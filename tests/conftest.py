@@ -1,0 +1,38 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Tests exercise TPU-shaped code paths (sharding included) on the host CPU;
+the real-TPU path is exercised by ``bench.py`` and the driver's compile
+checks. Env vars must be set before the first ``import jax`` anywhere.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags +
+                               " --xla_force_host_platform_device_count=8")
+
+import jax
+
+# NOTE: config.update, not os.environ — this environment's sitecustomize
+# registers a TPU PJRT plugin and pins jax_platforms before user code runs,
+# so the env var alone is ignored once jax is pre-imported.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+# Persist compiled executables across test runs; first-compile on this
+# machine is slow (~5-60s per program) and dominates suite wall-time.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/tpusky_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture(scope="session")
+def golden():
+    """Golden reference data converted from the reference's test assets."""
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "sunsky_golden.npz")
+    with np.load(path) as z:
+        return dict(z)

@@ -1,0 +1,118 @@
+"""Numerically-stable geometric/math primitives shared across the renderer.
+
+All functions are pure jnp, broadcast over leading batch dimensions, and are
+safe under jit/vmap/grad. Conventions: directions are unit 3-vectors with a
+trailing axis of size 3; the local "up" axis is +z; spherical angles are
+(phi, theta) with theta measured from +z.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def safe_sqrt(x):
+    """sqrt clamped to zero below; gradient is zero (not NaN) at x <= 0."""
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def safe_acos(x):
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+def safe_asin(x):
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+def dot(a, b, keepdims: bool = False):
+    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
+
+
+def norm(v, keepdims: bool = False):
+    return jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=keepdims))
+
+
+def normalize(v):
+    return v / norm(v, keepdims=True)
+
+
+def sph_dir(theta, phi):
+    """Spherical angles -> unit vector (theta from +z)."""
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    return jnp.stack([cp * st, sp * st, ct], axis=-1)
+
+
+def dir_to_sph(v):
+    """Unit vector -> (phi, theta), theta via the stable unit-angle form."""
+    return jnp.arctan2(v[..., 1], v[..., 0]), unit_angle_z(v)
+
+
+def unit_angle(a, b):
+    """Angle between two unit vectors, accurate for small and near-pi angles.
+
+    Uses 2*asin(|b - a| / 2) (resp. the mirrored form past 90 degrees),
+    which is far more precise than acos(dot) near 0 and pi.
+    """
+    dot_ab = dot(a, b)
+    temp = 2.0 * safe_asin(0.5 * norm(b - jnp.where(dot_ab[..., None] >= 0, a, -a)))
+    return jnp.where(dot_ab >= 0, temp, jnp.pi - temp)
+
+
+def unit_angle_z(v):
+    """Angle between a unit vector and +z (stable near the poles)."""
+    temp = 2.0 * safe_asin(
+        0.5 * jnp.sqrt(v[..., 0] ** 2 + v[..., 1] ** 2
+                       + (jnp.abs(v[..., 2]) - 1.0) ** 2))
+    return jnp.where(v[..., 2] >= 0, temp, jnp.pi - temp)
+
+
+def coordinate_system(n):
+    """Build an orthonormal basis (s, t) around unit normal n.
+
+    Branchless construction (Duff et al. 2017, "Building an Orthonormal
+    Basis, Revisited"), matching the frame the reference uses for local
+    shading/sampling spaces.
+    """
+    sign = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    s = jnp.stack([n[..., 0] ** 2 * a * sign + 1.0, b * sign, -n[..., 0] * sign],
+                  axis=-1)
+    t = jnp.stack([b, n[..., 1] ** 2 * a + sign, -n[..., 1]], axis=-1)
+    return s, t
+
+
+class Frame:
+    """Orthonormal frame around a normal; to_local/to_world helpers.
+
+    A lightweight struct-of-arrays; all fields broadcast over batch dims.
+    """
+
+    def __init__(self, n):
+        self.n = n
+        self.s, self.t = coordinate_system(n)
+
+    def to_local(self, v):
+        return jnp.stack([dot(v, self.s), dot(v, self.t), dot(v, self.n)], axis=-1)
+
+    def to_world(self, v):
+        return (v[..., 0:1] * self.s + v[..., 1:2] * self.t
+                + v[..., 2:3] * self.n)
+
+
+def erfinv(x):
+    """Inverse error function (jax provides jax.scipy.special.erfinv)."""
+    from jax.scipy.special import erfinv as _erfinv
+    return _erfinv(x)
+
+
+def gaussian_cdf(mu, sigma, x):
+    """CDF of a normal distribution N(mu, sigma) at x."""
+    from jax.scipy.special import erf
+    inv_sqrt2 = 0.7071067811865475
+    return 0.5 * (1.0 + erf(inv_sqrt2 * (x - mu) / sigma))
+
+
+def lerp(a, b, t):
+    return (1.0 - t) * a + t * b

@@ -1,0 +1,181 @@
+"""Analytic shapes with brute-force vectorised intersection.
+
+TPU-first design: instead of a BVH (pointer-chasing is hostile to the
+VPU/MXU), all shapes live in struct-of-arrays tables and every ray tests
+every shape with dense, branch-free math; the closest hit wins via a masked
+minimum. For the handful-of-shapes scenes the sunsky workloads use
+(cf. SURVEY.md H3/H20: sphere/rectangle/disk/cube test scenes) this is both
+simpler and faster than the reference's Embree/OptiX path on its own turf.
+Shapes are expressed by an affine object-to-world transform, so one
+(N, 4, 4) tensor describes each shape table.
+
+Shape kinds: 0=sphere (unit, local), 1=rectangle ([-1,1]^2 in z=0 plane),
+2=disk (unit radius in z=0 plane), 3=cube ([-1,1]^3).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops.math import dot, normalize
+
+SPHERE, RECTANGLE, DISK, CUBE = 0, 1, 2, 3
+
+_RAY_EPS = 1e-4
+
+
+class ShapeTable(NamedTuple):
+    """SoA shape set; static length N = number of shapes in the scene."""
+    kind: jnp.ndarray          # (N,) int32
+    to_world: jnp.ndarray      # (N, 4, 4) affine object->world
+    to_object: jnp.ndarray     # (N, 4, 4) inverse
+    bsdf_idx: jnp.ndarray      # (N,) int32 index into the scene's BSDF table
+    emitter_idx: jnp.ndarray   # (N,) int32 area-emitter index (-1 = none)
+
+
+def make_shape_table(shapes) -> ShapeTable:
+    """Build a ShapeTable from a list of dicts:
+    {kind, to_world (4x4), bsdf_idx, emitter_idx}."""
+    import numpy as np
+    n = len(shapes)
+    kind = np.zeros((n,), np.int32)
+    t2w = np.zeros((n, 4, 4), np.float32)
+    bsdf = np.zeros((n,), np.int32)
+    emit = np.full((n,), -1, np.int32)
+    for i, s in enumerate(shapes):
+        kind[i] = s["kind"]
+        t2w[i] = np.asarray(s.get("to_world", np.eye(4)), np.float32)
+        bsdf[i] = s.get("bsdf_idx", 0)
+        emit[i] = s.get("emitter_idx", -1)
+    t2o = np.linalg.inv(t2w)
+    return ShapeTable(jnp.asarray(kind), jnp.asarray(t2w), jnp.asarray(t2o),
+                      jnp.asarray(bsdf), jnp.asarray(emit))
+
+
+def _xform_point(m, p):
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+
+
+def _xform_vector(m, v):
+    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+
+
+def _xform_normal(m_inv, n):
+    """Normals transform by the inverse-transpose of the linear part."""
+    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+
+
+def _intersect_local(kind, o, d):
+    """Intersect a local-space ray with the canonical shape of `kind`.
+
+    Returns (t, n_local, uv, hit) with t = inf on miss. All inputs/outputs
+    broadcast; `kind` selects per-lane among the four analytic solutions
+    (all are computed — they are a few flops each — and one is picked with
+    `where`, keeping the lane fully branch-free).
+    """
+    inf = jnp.inf
+    big = jnp.asarray(inf, o.dtype)
+
+    # --- sphere: |o + t d|^2 = 1
+    a = dot(d, d)
+    b = 2.0 * dot(o, d)
+    c = dot(o, o) - 1.0
+    disc = b * b - 4.0 * a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = -0.5 * (b + jnp.sign(b) * sq)
+    t0 = q / a
+    t1 = c / jnp.where(q == 0.0, 1.0, q)
+    tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+    t_sph = jnp.where(tn > _RAY_EPS, tn, jnp.where(tf > _RAY_EPS, tf, big))
+    t_sph = jnp.where(disc >= 0.0, t_sph, big)
+    p_sph = o + t_sph[..., None] * d
+    n_sph = p_sph  # unit sphere: normal = position
+    uv_sph = jnp.stack([
+        jnp.arctan2(p_sph[..., 1], p_sph[..., 0]) / (2 * jnp.pi) + 0.5,
+        jnp.arccos(jnp.clip(p_sph[..., 2], -1, 1)) / jnp.pi], axis=-1)
+
+    # --- plane z=0 shapes (rectangle / disk)
+    dz = d[..., 2]
+    t_pl = -o[..., 2] / jnp.where(dz == 0.0, 1.0, dz)
+    p_pl = o + t_pl[..., None] * d
+    in_rect = (jnp.abs(p_pl[..., 0]) <= 1.0) & (jnp.abs(p_pl[..., 1]) <= 1.0)
+    in_disk = p_pl[..., 0] ** 2 + p_pl[..., 1] ** 2 <= 1.0
+    ok_pl = (dz != 0.0) & (t_pl > _RAY_EPS)
+    t_rect = jnp.where(ok_pl & in_rect, t_pl, big)
+    t_disk = jnp.where(ok_pl & in_disk, t_pl, big)
+    n_pl = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], o.dtype), p_pl.shape)
+    uv_pl = 0.5 * (p_pl[..., :2] + 1.0)
+
+    # --- cube: slab test on [-1, 1]^3
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    tl = (-1.0 - o) * inv_d
+    th = (1.0 - o) * inv_d
+    t_near = jnp.max(jnp.minimum(tl, th), axis=-1)
+    t_far = jnp.min(jnp.maximum(tl, th), axis=-1)
+    hit_cube = (t_near <= t_far) & (t_far > _RAY_EPS)
+    t_cube = jnp.where(hit_cube,
+                       jnp.where(t_near > _RAY_EPS, t_near, t_far), big)
+    p_cube = o + t_cube[..., None] * d
+    axis = jnp.argmax(jnp.abs(p_cube), axis=-1)
+    n_cube = (jnp.sign(p_cube)
+              * (jnp.arange(3) == axis[..., None]).astype(o.dtype))
+    uv_cube = jnp.zeros_like(uv_pl)
+
+    t = jnp.select([kind == SPHERE, kind == RECTANGLE, kind == DISK],
+                   [t_sph, t_rect, t_disk], t_cube)
+    n = jnp.select([(kind == SPHERE)[..., None],
+                    (kind == RECTANGLE)[..., None],
+                    (kind == DISK)[..., None]],
+                   [n_sph, n_pl, n_pl], n_cube)
+    uv = jnp.select([(kind == SPHERE)[..., None],
+                     (kind == RECTANGLE)[..., None],
+                     (kind == DISK)[..., None]],
+                    [uv_sph, uv_pl, uv_pl], uv_cube)
+    return t, n, uv, jnp.isfinite(t)
+
+
+def ray_intersect(shapes: ShapeTable, o, d, maxt=jnp.inf):
+    """Closest-hit intersection of world rays against every shape.
+
+    o, d: (..., 3). Returns a dict-like tuple (t, p, n, uv, shape_idx,
+    valid) with world-space quantities; the per-shape loop is a dense
+    batched computation over a new shapes axis (no data-dependent control
+    flow — XLA maps it straight onto the VPU).
+    """
+    n_shapes = shapes.kind.shape[0]
+    o_b = o[..., None, :]                              # (..., 1, 3)
+    d_b = d[..., None, :]
+    o_l = _xform_point(shapes.to_object, o_b)          # (..., N, 3)
+    d_l = _xform_vector(shapes.to_object, d_b)
+
+    t, n_l, uv, hit = _intersect_local(shapes.kind, o_l, d_l)
+    # NOTE t is in local units; for rigid+uniform-scale transforms the ray
+    # direction length absorbs the scale, so world t equals local t as long
+    # as we intersect with the *unnormalised* local direction. (We did.)
+    t = jnp.where(hit & (t < maxt), t, jnp.inf)
+
+    idx = jnp.argmin(t, axis=-1)                       # (...,)
+    t_min = jnp.take_along_axis(t, idx[..., None], axis=-1)[..., 0]
+    valid = jnp.isfinite(t_min)
+
+    take = lambda arr: jnp.take_along_axis(
+        arr, idx[..., None, None], axis=-2)[..., 0, :]
+    n_world = _xform_normal(shapes.to_object[idx], take(n_l))
+    n_world = normalize(n_world)
+    uv_min = take(uv)
+    p = o + jnp.where(valid, t_min, 0.0)[..., None] * d
+
+    shape_idx = jnp.where(valid, idx, -1)
+    return t_min, p, n_world, uv_min, shape_idx.astype(jnp.int32), valid
+
+
+def ray_test(shapes: ShapeTable, o, d, maxt):
+    """Shadow-ray predicate: does anything lie within (eps, maxt)?"""
+    o_b = o[..., None, :]
+    d_b = d[..., None, :]
+    o_l = _xform_point(shapes.to_object, o_b)
+    d_l = _xform_vector(shapes.to_object, d_b)
+    t, _, _, hit = _intersect_local(shapes.kind, o_l, d_l)
+    return jnp.any(hit & (t < maxt[..., None]), axis=-1)

@@ -1,0 +1,230 @@
+"""Self-contained image / dataset I/O.
+
+Implements, without external imaging dependencies:
+
+* A reader for the sunsky binary tensor format (magic ``SKY``/``SUN``,
+  u32 version, u64 ndim, u64 shape[], raw scalars) used by the reference's
+  dataset files (format documented at reference `sunsky.h:515-597`).
+* A minimal OpenEXR 2.0 scanline reader (NONE/ZIPS/ZIP compression,
+  HALF/FLOAT/UINT channels) and writer (NONE or ZIP, FLOAT channels) —
+  sufficient for golden-image tests and render output.
+* A reader for ``.spd`` spectrum files (two-column "wavelength value" text).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# sunsky .bin tensor format
+# ---------------------------------------------------------------------------
+
+
+def read_sunsky_bin(path: str, dtype=np.float64) -> np.ndarray:
+    """Read a sunsky dataset tensor (.bin). ``dtype`` is the on-disk scalar
+    type (float64 for radiance/params tables, float32 for TGMM tables)."""
+    with open(path, "rb") as f:
+        magic = f.read(3)
+        if magic not in (b"SKY", b"SUN"):
+            raise ValueError(f"{path}: bad magic {magic!r}")
+        (_version,) = struct.unpack("<I", f.read(4))
+        (ndim,) = struct.unpack("<Q", f.read(8))
+        shape = struct.unpack(f"<{ndim}Q", f.read(8 * ndim))
+        count = int(np.prod(shape))
+        data = np.frombuffer(f.read(count * np.dtype(dtype).itemsize), dtype=dtype)
+        if data.size != count:
+            raise ValueError(f"{path}: truncated data")
+    return data.reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# .spd spectra
+# ---------------------------------------------------------------------------
+
+
+def read_spd(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read a two-column spectrum file -> (wavelengths, values)."""
+    wl, val = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            a, b = line.split()[:2]
+            wl.append(float(a))
+            val.append(float(b))
+    return np.asarray(wl), np.asarray(val)
+
+
+# ---------------------------------------------------------------------------
+# OpenEXR (scanline, subset)
+# ---------------------------------------------------------------------------
+
+_PIXEL_DTYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
+_COMPRESSION_LINES = {0: 1, 2: 1, 3: 16}  # NONE, ZIPS, ZIP
+
+
+def _read_cstring(f) -> bytes:
+    out = bytearray()
+    while True:
+        c = f.read(1)
+        if c in (b"", b"\x00"):
+            return bytes(out)
+        out += c
+
+
+def _unpredict(data: bytes) -> bytes:
+    """Invert the EXR deflate pre-filter: delta decode, then de-interleave."""
+    t = np.frombuffer(data, np.uint8).astype(np.int64)
+    t = (np.cumsum(t - 128) + 128).astype(np.uint8)
+    half = (t.size + 1) // 2
+    out = np.empty_like(t)
+    out[0::2] = t[:half]
+    out[1::2] = t[half:]
+    return out.tobytes()
+
+
+def _predict(data: bytes) -> bytes:
+    """Apply the EXR deflate pre-filter: interleave, then delta encode."""
+    t = np.frombuffer(data, np.uint8)
+    half = (t.size + 1) // 2
+    inter = np.empty_like(t)
+    inter[:half] = t[0::2]
+    inter[half:] = t[1::2]
+    d = inter.astype(np.int16)
+    d[1:] -= inter[:-1].astype(np.int16)
+    d[1:] += 128
+    return d.astype(np.uint8).tobytes()
+
+
+def read_exr(path: str) -> tuple[np.ndarray, list[str]]:
+    """Read a scanline EXR file.
+
+    Returns (image[h, w, c], channel_names). Channels appear in the file's
+    (alphabetical) order. HALF data is widened to float32.
+    """
+    with open(path, "rb") as f:
+        if f.read(4) != b"\x76\x2f\x31\x01":
+            raise ValueError(f"{path}: not an EXR file")
+        version = struct.unpack("<I", f.read(4))[0]
+        if version & 0x200:
+            raise ValueError("tiled/deep EXR not supported")
+
+        channels: list[tuple[str, int]] = []
+        compression = 0
+        data_window = (0, 0, 0, 0)
+        while True:
+            name = _read_cstring(f)
+            if name == b"":
+                break
+            _attr_type = _read_cstring(f)
+            (size,) = struct.unpack("<i", f.read(4))
+            value = f.read(size)
+            if name == b"channels":
+                off = 0
+                while off < len(value) - 1:
+                    end = value.index(b"\x00", off)
+                    ch_name = value[off:end].decode()
+                    ptype, _xs, _ys = struct.unpack_from("<i4x2i", value, end + 1)
+                    channels.append((ch_name, ptype))
+                    off = end + 1 + 16
+            elif name == b"compression":
+                compression = value[0]
+            elif name == b"dataWindow":
+                data_window = struct.unpack("<4i", value)
+
+        if compression not in _COMPRESSION_LINES:
+            raise ValueError(f"unsupported EXR compression {compression}")
+
+        x_min, y_min, x_max, y_max = data_window
+        width = x_max - x_min + 1
+        height = y_max - y_min + 1
+        lines_per_block = _COMPRESSION_LINES[compression]
+        n_blocks = -(-height // lines_per_block)
+
+        f.read(8 * n_blocks)  # chunk offset table; we read sequentially
+
+        bytes_per_px = sum(np.dtype(_PIXEL_DTYPES[pt]).itemsize for _, pt in channels)
+        img = {ch: np.zeros((height, width), _PIXEL_DTYPES[pt]) for ch, pt in channels}
+
+        for _ in range(n_blocks):
+            y, size = struct.unpack("<2i", f.read(8))
+            raw = f.read(size)
+            n_lines = min(lines_per_block, y_max - y + 1)
+            expect = n_lines * width * bytes_per_px
+            if compression != 0 and size < expect:
+                raw = _unpredict(zlib.decompress(raw))
+            buf, off = raw, 0
+            for line in range(n_lines):
+                row = y - y_min + line
+                for ch, pt in channels:
+                    dt = np.dtype(_PIXEL_DTYPES[pt])
+                    n = width * dt.itemsize
+                    img[ch][row] = np.frombuffer(buf[off:off + n], dt)
+                    off += n
+
+    names = [ch for ch, _ in channels]
+    stack = np.stack([img[ch].astype(np.float32) for ch in names], axis=-1)
+    return stack, names
+
+
+def write_exr(path: str, image: np.ndarray, channel_names=None,
+              compress: bool = True) -> None:
+    """Write a float32 scanline EXR. ``image`` is (h, w) or (h, w, c)."""
+    image = np.asarray(image, np.float32)
+    if image.ndim == 2:
+        image = image[..., None]
+    h, w, c = image.shape
+    if channel_names is None:
+        channel_names = (["Y"] if c == 1 else
+                         ["R", "G", "B", "A"][:c] if c <= 4 else
+                         [f"ch{i:02d}" for i in range(c)])
+    # EXR stores channels sorted by name
+    order = sorted(range(c), key=lambda i: channel_names[i])
+
+    def attr(name: bytes, atype: bytes, value: bytes) -> bytes:
+        return name + b"\x00" + atype + b"\x00" + struct.pack("<i", len(value)) + value
+
+    chan_block = b"".join(
+        channel_names[i].encode() + b"\x00" + struct.pack("<i4x2i", 2, 1, 1)
+        for i in order) + b"\x00"
+
+    compression = 3 if compress else 0
+    lines_per_block = _COMPRESSION_LINES[compression]
+    header = b"\x76\x2f\x31\x01" + struct.pack("<I", 2)
+    header += attr(b"channels", b"chlist", chan_block)
+    header += attr(b"compression", b"compression", bytes([compression]))
+    box = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header += attr(b"dataWindow", b"box2i", box)
+    header += attr(b"displayWindow", b"box2i", box)
+    header += attr(b"lineOrder", b"lineOrder", b"\x00")
+    header += attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+    header += attr(b"screenWindowCenter", b"v2f", struct.pack("<2f", 0, 0))
+    header += attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    header += b"\x00"
+
+    blocks = []
+    for y0 in range(0, h, lines_per_block):
+        n_lines = min(lines_per_block, h - y0)
+        payload = b"".join(
+            image[y0 + line, :, i].tobytes()
+            for line in range(n_lines) for i in order)
+        if compress:
+            comp = zlib.compress(_predict(payload))
+            if len(comp) >= len(payload):
+                comp = payload
+            payload = comp
+        blocks.append(payload)
+
+    with open(path, "wb") as f:
+        f.write(header)
+        offset = len(header) + 8 * len(blocks)
+        for y0, blk in zip(range(0, h, lines_per_block), blocks):
+            f.write(struct.pack("<Q", offset))
+            offset += 8 + len(blk)
+        for y0, blk in zip(range(0, h, lines_per_block), blocks):
+            f.write(struct.pack("<2i", y0, len(blk)))
+            f.write(blk)
