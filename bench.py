@@ -1,0 +1,84 @@
+"""Benchmark: sunsky path-traced render throughput on the real TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config = BASELINE.json config 2 (sky + sun disc with TGMM importance
+sampling, RGB, single bounce): a sunsky-lit sphere-on-plane scene rendered
+with the wavefront path tracer (direct illumination = NEE + BSDF-sample
+MIS). "rays" counts every traced ray segment: camera rays + one NEE shadow
+ray and one BSDF continuation ray per path vertex. The reference publishes
+no numbers (BASELINE.md), so vs_baseline is null until a local reference
+measurement exists.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.render import integrator
+    from tpusky.render.film import Film
+    from tpusky.render.scene import make_scene
+    from tpusky.render.sensors import make_perspective
+
+    h = w = 512
+    spp = 8
+    max_depth = 2
+
+    tables = load_tables("rgb")
+    params = ts.make_params(turbidity=3.0, albedo=0.3,
+                            sun_direction=[0.3, 0.2, 0.93])
+
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    sphere = np.eye(4, dtype=np.float32)
+    sphere[2, 3] = 1.0
+    base_scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=0, to_world=sphere, bsdf_idx=1)],
+        bsdf_albedos=[[0.4, 0.4, 0.4], [0.6, 0.2, 0.2]],
+        env=None)
+    sensor = make_perspective(origin=[4, -4, 2.0], target=[0, 0, 1.0],
+                              fov_x_deg=45)
+    film = Film(h, w, 3)
+
+    @jax.jit
+    def run(p, key):
+        env = M.precompute(tables, p, "rgb")
+        scene = base_scene._replace(env=env)
+        return integrator._render_impl(scene, sensor, film, key, spp,
+                                       max_depth, 1000, "rgb")
+
+    # warm-up/compile
+    out = run(params, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(params, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    samples = h * w * spp
+    # per path sample: camera ray + per-vertex (shadow + continuation);
+    # with max_depth=2 that's 1 camera + 1 shadow + 1 continuation
+    rays_per_sample = 1 + 2 * (max_depth - 1)
+    rays_per_s = samples * rays_per_sample / dt
+
+    print(json.dumps({
+        "metric": "sunsky_path_rays_per_s",
+        "value": float(rays_per_s),
+        "unit": "rays/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

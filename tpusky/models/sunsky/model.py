@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ...ops import warp
@@ -38,7 +39,8 @@ from ...ops.distr import (ContinuousDistribution, DiscreteDistribution,
                           continuous_sample_pdf, discrete_sample_reuse,
                           make_continuous, make_discrete)
 from ...ops.math import (Frame, dir_to_sph, erfinv, gaussian_cdf, lerp,
-                         safe_sqrt, sph_dir, unit_angle, unit_angle_z)
+                         poly_powers, safe_sqrt, sph_dir, unit_angle,
+                         unit_angle_z)
 from ...ops.quad import gauss_legendre
 from ...ops.spectrum import cie1931_y, luminance_rgb
 from . import constants as C
@@ -98,7 +100,8 @@ class SunskyState(NamedTuple):
 # Precompute
 # ---------------------------------------------------------------------------
 
-_BEZIER_COEFS = jnp.array([1.0, 5.0, 10.0, 10.0, 5.0, 1.0])
+import numpy as _np_mod
+_BEZIER_COEFS = _np_mod.array([1.0, 5.0, 10.0, 10.0, 5.0, 1.0], _np_mod.float32)
 
 
 def _turbidity_lerp(table, turbidity):
@@ -124,8 +127,8 @@ def _sky_table_interp(table, albedo, turbidity, eta):
     # clip keeps powers NaN-free (and grads finite) when eta is outside
     # [0, pi/2]; the result is masked to zero there anyway.
     x = jnp.clip(jnp.cbrt(2.0 * eta / jnp.pi), 0.0, 1.0)
-    k = jnp.arange(C.N_SKY_CTRL_PTS)
-    bern = _BEZIER_COEFS * jnp.power(x, k) * jnp.power(1.0 - x, 5 - k)
+    bern = (_BEZIER_COEFS * poly_powers(x, C.N_SKY_CTRL_PTS)
+            * poly_powers(1.0 - x, C.N_SKY_CTRL_PTS)[..., ::-1])
     bez = jnp.tensordot(bern, table, axes=([0], [2]))  # (10, 2, NC, ...)
     by_alb = _turbidity_lerp(bez, turbidity)           # (2, NC, ...)
     alb = albedo.reshape((-1,) + (1,) * (by_alb.ndim - 2))
@@ -173,7 +176,12 @@ def precompute(tables: SunskyTables, params: SunskyParams,
                                    params.turbidity, eta)
     sky_radiance = _sky_table_interp(tables.sky_rad, params.albedo,
                                      params.turbidity, eta)
+    # Flatten the sun table's trailing coefficient axes: per-ray gathers of
+    # rank>=3 tensors with tiny minor dims pad catastrophically on TPU
+    # ((N,3,4,6) tiles to 21x its size in HBM); a rank-2 (45, F) table
+    # gathers to (N, F) with modest lane padding instead.
     sun_radiance = _turbidity_lerp(tables.sun_rad, params.turbidity)
+    sun_radiance = sun_radiance.reshape(C.N_SUN_SEGMENTS, -1)
 
     gaussians = _tgmm_mixture(tables.tgmm, params.turbidity, eta)
     gaussian_distr = make_discrete(gaussians[:, -1])
@@ -190,6 +198,12 @@ def precompute(tables: SunskyTables, params: SunskyParams,
 # ---------------------------------------------------------------------------
 # Radiance evaluation
 # ---------------------------------------------------------------------------
+
+# flat (k, j) index pairs for the RGB sun coefficient block (host-side
+# numpy: module import must not initialise a jax backend)
+import numpy as _np
+_SUN_RGB_K = _np.arange(C.N_SUN_CTRL_PTS * C.N_SUN_LD_PARAMS) // C.N_SUN_LD_PARAMS
+_SUN_RGB_J = _np.arange(C.N_SUN_CTRL_PTS * C.N_SUN_LD_PARAMS) % C.N_SUN_LD_PARAMS
 
 
 def _sky_formula(coefs, mean_rad, cos_theta, gamma):
@@ -236,14 +250,28 @@ def eval_sky_rgb(state: SunskyState, cos_theta, gamma):
                         cos_theta[..., None], gamma[..., None])
 
 
+def _sun_rgb_from_flat(coefs_flat, x, cos_psi):
+    """RGB sun radiance from flattened (..., 72) coefficients.
+
+    Layout: [c * 24 + k * 6 + j] (channel, elevation power, limb power).
+    Slices along the minor axis fuse into the multiply-reduce, so nothing
+    rank>2 is materialised.
+    """
+    xp = poly_powers(x, C.N_SUN_CTRL_PTS)
+    cp = poly_powers(cos_psi, C.N_SUN_LD_PARAMS)
+    w = (xp[..., _SUN_RGB_K] * cp[..., _SUN_RGB_J])     # (..., 24)
+    block = C.N_SUN_CTRL_PTS * C.N_SUN_LD_PARAMS
+    chans = [jnp.sum(coefs_flat[..., c * block:(c + 1) * block] * w, axis=-1)
+             for c in range(3)]
+    return jnp.stack(chans, axis=-1)
+
+
 def eval_sun_rgb(state: SunskyState, cos_theta, gamma):
     """Sun radiance with baked limb darkening -> (..., 3)."""
     pos, x = _sun_segment(cos_theta)
-    coefs = state.sun_radiance[pos]                     # (..., 3, 4, 6)
-    xp = jnp.power(x[..., None], jnp.arange(C.N_SUN_CTRL_PTS))
-    cp = jnp.power(_cos_psi(gamma, state.params.sun_half_aperture)[..., None],
-                   jnp.arange(C.N_SUN_LD_PARAMS))
-    return jnp.einsum("...ckj,...k,...j->...c", coefs, xp, cp)
+    coefs = state.sun_radiance[pos]                     # (..., 72)
+    return _sun_rgb_from_flat(coefs, x,
+                              _cos_psi(gamma, state.params.sun_half_aperture))
 
 
 def _eval_sky_channels(state, channel_idx, cos_theta, gamma):
@@ -261,9 +289,12 @@ def _eval_sun_all_channels(state, cos_theta):
     channels with `take_along_axis`.
     """
     pos, x = _sun_segment(cos_theta)
-    coefs = state.sun_radiance[pos]                           # (..., 11, 4)
-    xp = jnp.power(x[..., None, None], jnp.arange(C.N_SUN_CTRL_PTS))
-    return jnp.sum(coefs * xp, axis=-1)
+    coefs = state.sun_radiance[pos]                           # (..., 44)
+    xp = poly_powers(x, C.N_SUN_CTRL_PTS)
+    k = C.N_SUN_CTRL_PTS
+    chans = [jnp.sum(coefs[..., ch * k:(ch + 1) * k] * xp, axis=-1)
+             for ch in range(C.N_WAVELENGTHS)]
+    return jnp.stack(chans, axis=-1)
 
 
 def _eval_sun_channels(state, channel_idx, cos_theta):
@@ -278,8 +309,8 @@ def _eval_sun_ld(state, idx_low, idx_high, lerp_f, gamma):
     """Spectral limb darkening factor (..., W)."""
     ld = lerp(state.sun_ld[idx_low], state.sun_ld[idx_high],
               lerp_f[..., None])                               # (..., W, 6)
-    cp = jnp.power(_cos_psi(gamma, state.params.sun_half_aperture)
-                   [..., None, None], jnp.arange(C.N_SUN_LD_PARAMS))
+    cp = poly_powers(_cos_psi(gamma, state.params.sun_half_aperture),
+                     C.N_SUN_LD_PARAMS)[..., None, :]
     return jnp.sum(ld * cp, axis=-1)
 
 
@@ -325,29 +356,37 @@ def eval(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
     """
     cos_theta = d[..., 2]
     gamma = unit_angle(state.sun_frame_n, d)
+    # The formulas are only valid above the horizon; the output is masked
+    # by cos_theta >= 0, but masked lanes must stay NaN/inf-free under AD
+    # (exp(B / (cos_theta + 0.01)) explodes for cos_theta in [-1, 0)), so
+    # clamp the formula input. The clamp is the identity on valid lanes.
+    below = cos_theta < 0.0
+    cos_theta_c = jnp.maximum(cos_theta, 0.0)
 
     if mode == "rgb":
         p = state.params
-        sky = eval_sky_rgb(state, cos_theta, gamma)
-        sun = eval_sun_rgb(state, cos_theta, gamma)
-        hit_sun = _hit_sun_mask(state, cos_theta, gamma)
+        sky = eval_sky_rgb(state, cos_theta_c, gamma)
+        sun = eval_sun_rgb(state, cos_theta_c, gamma)
+        hit_sun = _hit_sun_mask(state, cos_theta_c, gamma)
         res = (p.sky_scale * sky
                + jnp.where(hit_sun[..., None],
                            p.sun_scale * sun * area_ratio(p.sun_half_aperture)
                            * C.SPEC_TO_RGB_SUN_CONV, 0.0))
         res = res * C.CIE_Y_NORMALIZATION
-        return jnp.where((cos_theta >= 0.0)[..., None], res, 0.0)
+        return jnp.where(below[..., None], 0.0, res)
 
     assert wavelengths is not None, "spectral eval needs wavelengths"
-    return eval_spectral(state, cos_theta, gamma, wavelengths)
+    res = eval_spectral(state, cos_theta_c, gamma, wavelengths)
+    return jnp.where(below[..., None], 0.0, res)
 
 
 # ---------------------------------------------------------------------------
 # Importance sampling
 # ---------------------------------------------------------------------------
 
-_TRUNC_A = jnp.array([0.0, 0.0])
-_TRUNC_B = jnp.array([2.0 * jnp.pi, 0.5 * jnp.pi])
+import numpy as _np_tr
+_TRUNC_A = _np_tr.array([0.0, 0.0], _np_tr.float32)
+_TRUNC_B = _np_tr.array([2.0 * _np_tr.pi, 0.5 * _np_tr.pi], _np_tr.float32)
 
 
 def sample_sky(state: SunskyState, sample):
@@ -356,6 +395,11 @@ def sample_sky(state: SunskyState, sample):
     sample: (..., 2) uniform. Returns local unit directions (..., 3).
     """
     idx, reused = discrete_sample_reuse(state.gaussian_distr, sample[..., 0])
+    # Detached-sampling discipline: the rescaled uniform is sample
+    # *placement*, not a differentiable quantity — and its reuse division
+    # has unbounded gradients when a mixture weight is ~0 (exact-integer
+    # turbidity zeroes half the bilinear corner weights).
+    reused = jnp.asarray(jax.lax.stop_gradient(reused))
     g = state.gaussians[idx]                      # (..., 5)
     mu = g[..., 0:2]
     sigma = g[..., 2:4]
@@ -433,7 +477,9 @@ def sample_direction(state: SunskyState, sample):
     Mixture of TGMM sky sampling and uniform sun-cone sampling weighted by
     the precomputed luminance ratio.
     """
-    w = state.sky_sampling_w
+    # strategy selection and uniform rescaling are sample placement ->
+    # detached (gradients flow through the returned pdf instead)
+    w = jax.lax.stop_gradient(state.sky_sampling_w)
     pick_sky = sample[..., 0] < w
     sky_u = jnp.stack([jnp.clip(sample[..., 0] / jnp.maximum(w, 1e-12), 0, 1),
                        sample[..., 1]], axis=-1)
@@ -509,14 +555,12 @@ def _estimate_sky_sun_ratio(state: SunskyState, mode: str, n_quad: int = 200):
     if mode == "rgb":
         pos, x = _sun_segment(ct_sun)
         coefs = state.sun_radiance[pos]
-        xp = jnp.power(x[..., None], jnp.arange(C.N_SUN_CTRL_PTS))
-        cp = jnp.power(_cos_psi(gamma_sun, p.sun_half_aperture)[..., None],
-                       jnp.arange(C.N_SUN_LD_PARAMS))
-        sun_spec = jnp.einsum("...ckj,...k,...j->...c", coefs, xp, cp)
+        sun_spec = _sun_rgb_from_flat(coefs, x,
+                                      _cos_psi(gamma_sun, p.sun_half_aperture))
     else:
         sun_spec = _eval_sun_channels(state, channel_idx, ct_sun)
-        cp = jnp.power(_cos_psi(gamma_sun, p.sun_half_aperture)
-                       [..., None, None], jnp.arange(C.N_SUN_LD_PARAMS))
+        cp = poly_powers(_cos_psi(gamma_sun, p.sun_half_aperture),
+                         C.N_SUN_LD_PARAMS)[..., None, :]
         sun_spec = sun_spec * jnp.sum(state.sun_ld * cp, axis=-1)
     sun_spec = jnp.where(active[..., None], sun_spec, 0.0)
     sun_int = jnp.sum(sun_spec * w_g[..., None], axis=(0, 1)) * jac

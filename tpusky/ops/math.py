@@ -12,8 +12,14 @@ import jax.numpy as jnp
 
 
 def safe_sqrt(x):
-    """sqrt clamped to zero below; gradient is zero (not NaN) at x <= 0."""
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped to zero below; gradient is zero (not inf/NaN) at x <= 0.
+
+    Double-where pattern: the inner where keeps the non-positive branch out
+    of the sqrt's gradient entirely (plain sqrt(max(x, 0)) still has an
+    infinite derivative at x == 0, which poisons masked lanes under AD).
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def safe_acos(x):
@@ -116,3 +122,15 @@ def gaussian_cdf(mu, sigma, x):
 
 def lerp(a, b, t):
     return (1.0 - t) * a + t * b
+
+
+def poly_powers(x, n: int):
+    """[1, x, x^2, ..., x^(n-1)] along a new trailing axis.
+
+    Built with cumprod instead of `x ** arange(n)`: the latter has a NaN
+    gradient at x == 0 for the constant term (0 * x^-1), which poisons
+    backprop through masked lanes (e.g. cos_psi == 0 outside the sun disc).
+    """
+    xs = jnp.broadcast_to(x[..., None], x.shape + (n - 1,))
+    return jnp.concatenate([jnp.ones_like(x)[..., None],
+                            jnp.cumprod(xs, axis=-1)], axis=-1)

@@ -1,0 +1,293 @@
+"""Integrators: direct illumination and a wavefront path tracer.
+
+TPU-first re-design of the reference's integrators (SURVEY.md H4;
+`src/integrators/path.cpp:94-308`, `direct.cpp:81`):
+
+* The whole wavefront (H * W * spp lanes) is one SoA tensor program; the
+  bounce loop is a `lax.scan` with static depth and per-lane active masks
+  (no data-dependent control flow — the analogue of the reference's
+  recorded megakernel loop, `path.cpp:158`).
+* MIS between emitter sampling (environment importance sampling — TGMM +
+  sun cone for sunsky) and BSDF sampling, with the same power-1 balance
+  heuristic as `path.cpp:321`.
+* Sampling decisions are `stop_gradient`-ed, matching the reference's
+  detached-sampling discipline for differentiable rendering
+  (`prb.py:147-160`): gradients flow through radiance/throughput values,
+  not through sample placement.
+* RNG: counter-based (threefry) keys derived from the *global* lane index,
+  so renders are bitwise-independent of device mesh shape (SURVEY.md §7
+  item 8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.math import Frame, dot, normalize
+from . import bsdf as bsdf_mod
+from . import emitters as em
+from . import film as film_mod
+from . import sensors as sensors_mod
+from .scene import Scene
+from .shapes import ray_intersect, ray_test
+
+_SHADOW_EPS = 1e-3
+
+
+def _mis_weight(pdf_a, pdf_b):
+    """Balance heuristic (power=1), guarded like the reference
+    (`path.cpp:321-327`)."""
+    w = pdf_a / (pdf_a + pdf_b)
+    return jnp.where(jnp.isfinite(w), w, 0.0)
+
+
+def _lane_samples(key, lane_idx, dim, n):
+    """n uniform samples for each lane, decorrelated across `dim` slots."""
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.fold_in(key, i), dim))(lane_idx)
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(keys)
+
+
+def _env_radiance(scene: Scene, d, wavelengths, mode):
+    if scene.env is None:
+        c = 1 if wavelengths is not None else 3
+        shape = d.shape[:-1] + ((wavelengths.shape[-1],)
+                                if wavelengths is not None else (3,))
+        return jnp.zeros(shape)
+    return em.env_eval(scene.env, d, scene.env_to_world,
+                       wavelengths=wavelengths, mode=mode)
+
+
+class PathState(NamedTuple):
+    o: jnp.ndarray            # (N, 3) current ray origin
+    d: jnp.ndarray            # (N, 3) current ray direction
+    throughput: jnp.ndarray   # (N, C)
+    result: jnp.ndarray       # (N, C)
+    active: jnp.ndarray       # (N,)
+    prev_bsdf_pdf: jnp.ndarray  # (N,) pdf of the ray's generating BSDF sample
+    prev_bsdf_delta: jnp.ndarray  # (N,) whether it was a delta sample
+
+
+def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
+                 rr_depth: int, mode: str, wavelengths, vma_axes=()):
+    """Estimate radiance along primary rays o, d -> (N, C).
+
+    max_depth counts path vertices like the reference (-1 handled by the
+    caller; depth=2 == direct illumination). `vma_axes` names the mesh
+    axes this call runs under inside shard_map (the scan carry must be
+    marked device-varying for those axes).
+    """
+    n = o.shape[0]
+    n_chan = (3 if wavelengths is None else wavelengths.shape[-1])
+    sg = jax.lax.stop_gradient
+
+    def varying(x):
+        if not vma_axes:
+            return x
+        try:
+            return jax.lax.pcast(x, vma_axes, to="varying")
+        except ValueError:  # already varying over these axes
+            return x
+
+    init = PathState(
+        o=varying(o), d=varying(d),
+        throughput=varying(jnp.ones((n, n_chan))),
+        result=varying(jnp.zeros((n, n_chan))),
+        active=varying(jnp.ones((n,), bool)),
+        prev_bsdf_pdf=varying(jnp.ones((n,))),
+        prev_bsdf_delta=varying(jnp.ones((n,), bool)),
+    )
+
+    def bounce(state: PathState, depth):
+        t, p, ng, uv, shape_idx, hit = ray_intersect(
+            scene.shapes, state.o, state.d)
+
+        # ---- emitter hit (environment): MIS vs previous BSDF sample ----
+        escaped = state.active & ~hit
+        env_L = _env_radiance(scene, state.d, wavelengths, mode)
+        em_pdf = jnp.where(
+            state.prev_bsdf_delta, 0.0,
+            em.env_pdf_direction(scene.env, scene.env_to_world, state.d)
+            if scene.env is not None else 0.0)
+        # MIS weights are detached, mirroring the reference's
+        # detached-sampling AD discipline (`prb.py:147-160`)
+        mis_em = _mis_weight(state.prev_bsdf_pdf, sg(em_pdf))
+        result = state.result + jnp.where(
+            escaped[..., None], state.throughput * env_L * mis_em[..., None],
+            0.0)
+
+        # ---- area-emitter hit (no NEE for area lights yet: weight 1) ----
+        area_L = scene.area_radiance[jnp.maximum(shape_idx, 0)]
+        facing = dot(ng, -state.d) > 0.0
+        result = result + jnp.where(
+            (state.active & hit & facing)[..., None],
+            state.throughput * area_L, 0.0)
+
+        active = state.active & hit & (depth + 1 < max_depth)
+
+        # shading frame (geometric normal, flipped toward the viewer for
+        # two-sided diffuse surfaces is handled inside the bsdf itself)
+        frame = Frame(ng)
+        wi_local = frame.to_local(-state.d)
+        mat_idx = scene.shapes.bsdf_idx[jnp.maximum(shape_idx, 0)]
+
+        # ---- next-event estimation toward the environment ----
+        if scene.env is not None:
+            u_nee = sg(_lane_samples(key, lane_idx, 3 * depth + 0, 2))
+            d_e, pdf_e = em.env_sample_direction(scene.env,
+                                                 scene.env_to_world, u_nee)
+            d_e = sg(d_e)
+            pdf_e_detached = sg(pdf_e)
+            wo_local = frame.to_local(d_e)
+            f_val, pdf_b = bsdf_mod.diffuse_eval_pdf(
+                scene.bsdfs, mat_idx, wi_local, wo_local)
+            offset_p = p + jnp.sign(dot(ng, d_e))[..., None] * ng * (
+                _SHADOW_EPS * jnp.maximum(
+                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+            occluded = ray_test(scene.shapes, offset_p, d_e,
+                                jnp.full((n,), jnp.inf))
+            L_e = _env_radiance(scene, d_e, wavelengths, mode)
+            mis_nee = _mis_weight(pdf_e_detached, sg(pdf_b))
+            contrib = (state.throughput * f_val * L_e
+                       * (mis_nee / jnp.maximum(pdf_e_detached, 1e-20))
+                       [..., None])
+            ok = active & ~occluded & (pdf_e_detached > 0.0)
+            result = result + jnp.where(ok[..., None], contrib, 0.0)
+
+        # ---- BSDF sampling for the next bounce ----
+        u_bsdf = sg(_lane_samples(key, lane_idx, 3 * depth + 1, 2))
+        wo_local, weight, pdf_b = bsdf_mod.diffuse_sample(
+            scene.bsdfs, mat_idx, wi_local, u_bsdf)
+        wo_local = sg(wo_local)
+        d_next = frame.to_world(wo_local)
+        throughput = state.throughput * weight
+        active = active & (pdf_b > 0.0)
+
+        # ---- russian roulette (detached, like `path.cpp:285-301`) ----
+        rr_prob = jnp.clip(sg(jnp.max(throughput, axis=-1)), 0.0, 0.95)
+        do_rr = depth + 1 >= rr_depth
+        u_rr = sg(_lane_samples(key, lane_idx, 3 * depth + 2, 1))[..., 0]
+        survive = jnp.where(do_rr, u_rr < rr_prob, True)
+        throughput = jnp.where(do_rr,
+                               throughput / jnp.maximum(rr_prob, 1e-6)[..., None],
+                               throughput)
+        active = active & survive
+
+        offset_p = p + jnp.sign(dot(ng, d_next))[..., None] * ng * (
+            _SHADOW_EPS * jnp.maximum(1.0, jnp.linalg.norm(p, axis=-1,
+                                                           keepdims=True)))
+        new_state = PathState(
+            o=jnp.where(active[..., None], offset_p, state.o),
+            d=jnp.where(active[..., None], d_next, state.d),
+            throughput=jnp.where(active[..., None], throughput,
+                                 state.throughput),
+            result=result,
+            active=active,
+            prev_bsdf_pdf=jnp.where(active, sg(pdf_b), state.prev_bsdf_pdf),
+            prev_bsdf_delta=jnp.where(active, False, state.prev_bsdf_delta),
+        )
+        return new_state, None
+
+    state, _ = jax.lax.scan(bounce, init, jnp.arange(max_depth))
+    return state.result
+
+
+def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
+                       max_depth, rr_depth, mode, row0, n_rows, vma_axes=()):
+    """Render `spp_chunk` of `spp` samples for a block of film rows.
+
+    Returns an accumulation block (n_rows, W, C+1). RNG is keyed on the
+    *global* lane index (pixel * spp + sample index), so the image is
+    invariant both to row sharding across devices and to spp chunking
+    (SURVEY.md §7 item 8).
+    """
+    h, w = film_cfg.height, film_cfg.width
+    n = n_rows * w * spp_chunk
+    local_lane = jnp.arange(n, dtype=jnp.uint32)
+    local_pixel = local_lane // spp_chunk
+    pixel = jnp.uint32(row0) * jnp.uint32(w) + local_pixel
+    lane_idx = (pixel * jnp.uint32(spp) + jnp.uint32(spp0)
+                + local_lane % spp_chunk)
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+
+    u_pos = _lane_samples(key, lane_idx, 10_000, 2)
+    pix_x = px + u_pos[:, 0]
+    pix_y = py + u_pos[:, 1]
+    uv = jnp.stack([pix_x / w, pix_y / h], axis=-1)
+
+    o, d = sensors_mod.sample_ray(sensor, uv)
+    radiance = _path_sample(scene, o, d, key, lane_idx, max_depth, rr_depth,
+                            mode, None, vma_axes=vma_axes)
+    radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
+
+    block_film = film_mod.Film(n_rows, w, film_cfg.n_channels,
+                               film_cfg.rfilter)
+    local_y = pix_y - jnp.float32(row0)
+    return film_mod.splat(block_film, jnp.stack([pix_x, local_y], -1),
+                          radiance)
+
+
+def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
+                mode, row0, n_rows, vma_axes=(), max_lanes=(1 << 20)):
+    """Render a block of film rows -> (n_rows, W, C+1).
+
+    Bounds the live wavefront to `max_lanes` lanes by scanning over spp
+    chunks; XLA reuses the chunk buffers across scan iterations. (The
+    reference bounds its wavefront the same way with multi-pass splitting,
+    `integrator.cpp:247-265`.)
+    """
+    w = film_cfg.width
+    chunk_cap = max(1, min(spp, max_lanes // max(n_rows * w, 1)))
+    # smallest divisor-of-spp chunking whose chunk fits the lane budget
+    spp_chunk = next(c for c in range(chunk_cap, 0, -1) if spp % c == 0)
+    n_chunks = spp // spp_chunk
+
+    if n_chunks == 1:
+        return _render_rows_chunk(scene, sensor, film_cfg, key, spp, 0, spp,
+                                  max_depth, rr_depth, mode, row0, n_rows,
+                                  vma_axes)
+
+    def chunk(accum, ci):
+        a = _render_rows_chunk(scene, sensor, film_cfg, key, spp,
+                               ci * spp_chunk, spp_chunk, max_depth,
+                               rr_depth, mode, row0, n_rows, vma_axes)
+        return accum + a, None
+
+    init = jnp.zeros((n_rows, w, film_cfg.n_channels + 1))
+    if vma_axes:
+        init = jax.lax.pcast(init, vma_axes, to="varying")
+    accum, _ = jax.lax.scan(chunk, init, jnp.arange(n_chunks))
+    return accum
+
+
+@partial(jax.jit,
+         static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
+                          "mode"))
+def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
+                 mode):
+    return render_rows(scene, sensor, film_cfg, key, spp, max_depth,
+                       rr_depth, mode, 0, film_cfg.height)
+
+
+def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
+           max_depth: int = 2, rr_depth: int = 1000, mode: str = "rgb",
+           passes: int = 1):
+    """Render an RGB image -> (H, W, C).
+
+    `max_depth` counts vertices excluding the camera (2 = direct
+    illumination, matching the reference's convention). For large
+    spp, raise `passes` to bound the wavefront size; pass results are
+    averaged through the film weights.
+    """
+    accum = None
+    for p in range(passes):
+        pass_key = jax.random.fold_in(key, p)
+        a = _render_impl(scene, sensor, film, pass_key, spp // passes,
+                         max_depth, rr_depth, mode)
+        accum = a if accum is None else accum + a
+    return film_mod.develop(accum)

@@ -1,0 +1,63 @@
+"""Scene: a pytree bundling geometry, materials and emitters.
+
+The TPU-native replacement for the reference's plugin-tree Scene
+(`src/render/scene.cpp`) and `mi.traverse` parameter dictionary
+(`src/python/python/util.py:13-331`): the scene IS a pytree, so
+"traverse" is `jax.tree_util`, differentiable parameters are just leaves,
+and a parameter update is a new pytree (XLA re-traces precompute
+automatically — the analogue of `parameters_changed`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bsdf import DiffuseTable, make_diffuse_table
+from .shapes import ShapeTable, make_shape_table
+
+
+class Scene(NamedTuple):
+    shapes: ShapeTable
+    bsdfs: DiffuseTable
+    env: Any                       # SunskyState | ConstantEnv | None
+    env_to_world: jnp.ndarray      # (3, 3) env-emitter local->world rotation
+    area_radiance: jnp.ndarray     # (n_shapes, C) emitted radiance (0 = none)
+    bsphere_center: jnp.ndarray    # (3,)
+    bsphere_radius: jnp.ndarray    # ()
+
+
+def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
+               env_to_world=None, area_radiance=None, n_channels=3,
+               bsdf_twosided=None) -> Scene:
+    """Assemble a scene from host-side descriptions.
+
+    shapes: list of dicts accepted by `make_shape_table`. The scene
+    bounding sphere is estimated from shape transforms (for env-emitter
+    ray origins, cf. reference `sunsky.cpp:287-301`).
+    """
+    if len(shapes) == 0:
+        # degenerate table with one never-hit shape keeps shapes static
+        shapes = [dict(kind=0, to_world=np.diag([1e-12, 1e-12, 1e-12, 1.0]),
+                       bsdf_idx=0, emitter_idx=-1)]
+    table = make_shape_table(shapes)
+    bsdfs = make_diffuse_table(np.asarray(bsdf_albedos, np.float32),
+                               bsdf_twosided)
+    if area_radiance is None:
+        area_radiance = np.zeros((len(shapes), n_channels), np.float32)
+    if env_to_world is None:
+        env_to_world = np.eye(3, dtype=np.float32)
+
+    # bounding sphere from shape origins + linear-part norms
+    t2w = np.asarray(table.to_world)
+    centers = t2w[:, :3, 3]
+    scales = np.linalg.norm(t2w[:, :3, :3], axis=(1, 2))
+    center = centers.mean(axis=0) if len(centers) else np.zeros(3)
+    radius = float(np.max(np.linalg.norm(centers - center, axis=-1) + scales,
+                          initial=1e-4))
+    return Scene(table, bsdfs, env, jnp.asarray(env_to_world, jnp.float32),
+                 jnp.asarray(area_radiance, jnp.float32),
+                 jnp.asarray(center, jnp.float32),
+                 jnp.asarray(radius * (1.0 + 1e-3), jnp.float32))

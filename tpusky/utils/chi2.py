@@ -1,0 +1,116 @@
+"""Chi-square goodness-of-fit harness for sampling routines.
+
+Counterpart of the reference's `mi.chi2` module (`src/python/python/chi2.py`,
+SURVEY.md §3.5): verifies that a `sample` routine and its claimed `pdf`
+agree, by histogramming N samples over a spherical domain and comparing
+against the pdf integrated per cell (Pearson chi-square with cell pooling).
+
+Domain parameterisation: (phi in [-pi, pi], cos_theta in [cos_lo, cos_hi]);
+the area element in these coordinates is constant, so the pdf integrand is
+pdf(direction) alone (solid-angle measure).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.stats import chi2 as chi2_dist
+
+import jax
+import jax.numpy as jnp
+
+
+def spherical_to_point(d):
+    """direction (..., 3) -> (phi, cos_theta)."""
+    return jnp.stack([jnp.arctan2(d[..., 1], d[..., 0]), d[..., 2]], axis=-1)
+
+
+def chi2_test(sample_fn, pdf_fn, *, key, sample_count=4_000_000,
+              res_phi=128, res_cos=64, cos_range=(-1.0, 1.0), ires=8,
+              batch=1_000_000, significance=0.01):
+    """Run the chi-square test.
+
+    sample_fn(key, n) -> directions (n, 3); pdf_fn(directions) -> (n,)
+    solid-angle pdf. Returns (p_value, passed, info dict).
+    Mirrors the reference's histogram/integration/pooling scheme
+    (`chi2.py:100-239`: trapezoid pdf integration at `ires` sub-resolution,
+    pooling of cells with expected < 5, Sidak-less single test).
+    """
+    cos_lo, cos_hi = cos_range
+
+    # ---- histogram of samples (batched to bound memory) ----
+    hist = np.zeros((res_cos, res_phi), np.int64)
+    n_done = 0
+    bi = 0
+    while n_done < sample_count:
+        n = min(batch, sample_count - n_done)
+        d = np.asarray(sample_fn(jax.random.fold_in(key, bi), n))
+        phi = np.arctan2(d[:, 1], d[:, 0])
+        ct = d[:, 2]
+        ix = np.clip(((phi + np.pi) / (2 * np.pi) * res_phi).astype(np.int64),
+                     0, res_phi - 1)
+        iy = np.clip(((ct - cos_lo) / (cos_hi - cos_lo) * res_cos)
+                     .astype(np.int64), 0, res_cos - 1)
+        inside = (ct >= cos_lo) & (ct <= cos_hi)
+        np.add.at(hist, (iy[inside], ix[inside]), 1)
+        n_done += n
+        bi += 1
+    n_outside = sample_count - hist.sum()
+
+    # ---- integrate the pdf per cell (midpoint rule at sub-resolution).
+    # Midpoint avoids evaluating on the domain boundary, where the
+    # solid-angle pdf has a 1/sin(theta) spike near the (cropped) pole
+    # that would wreck a trapezoid estimate. ----
+    n_sub_p = res_phi * ires
+    n_sub_c = res_cos * ires
+    phi_mid = -np.pi + (np.arange(n_sub_p) + 0.5) * (2 * np.pi / n_sub_p)
+    cos_mid = cos_lo + (np.arange(n_sub_c) + 0.5) * ((cos_hi - cos_lo)
+                                                     / n_sub_c)
+    pg, cg = np.meshgrid(phi_mid, cos_mid)
+    st = np.sqrt(np.maximum(1.0 - cg ** 2, 0.0))
+    dirs = np.stack([np.cos(pg) * st, np.sin(pg) * st, cg], -1)
+
+    pdf_vals = np.zeros(pg.shape, np.float64)
+    rows_per_chunk = max(1, (1 << 22) // pg.shape[1])
+    for r0 in range(0, pg.shape[0], rows_per_chunk):
+        r1 = min(r0 + rows_per_chunk, pg.shape[0])
+        pdf_vals[r0:r1] = np.asarray(
+            pdf_fn(jnp.asarray(dirs[r0:r1].reshape(-1, 3), jnp.float32))
+        ).reshape(r1 - r0, -1)
+
+    dphi = 2 * np.pi / n_sub_p
+    dcos = (cos_hi - cos_lo) / n_sub_c
+    cell_int = pdf_vals * (dphi * dcos)
+    expected = cell_int.reshape(res_cos, ires, res_phi, ires).sum((1, 3))
+    expected = expected * sample_count
+
+    # ---- pooled Pearson chi-square (cells with expected < 5 merged) ----
+    obs = hist.ravel().astype(np.float64)
+    exp = expected.ravel()
+    order = np.argsort(exp)
+    obs, exp = obs[order], exp[order]
+    pooled_obs, pooled_exp = [], []
+    acc_o = acc_e = 0.0
+    for o, e in zip(obs, exp):
+        acc_o += o
+        acc_e += e
+        if acc_e >= 5.0:
+            pooled_obs.append(acc_o)
+            pooled_exp.append(acc_e)
+            acc_o = acc_e = 0.0
+    if acc_e > 0:
+        if pooled_exp:
+            pooled_obs[-1] += acc_o
+            pooled_exp[-1] += acc_e
+        else:
+            pooled_obs, pooled_exp = [acc_o], [acc_e]
+    pooled_obs = np.asarray(pooled_obs)
+    pooled_exp = np.asarray(pooled_exp)
+
+    total_exp = pooled_exp.sum() + 0.0
+    miss_frac = n_outside / sample_count
+    stat = float(np.sum((pooled_obs - pooled_exp) ** 2 / pooled_exp))
+    dof = len(pooled_exp) - 1
+    p_value = float(chi2_dist.sf(stat, dof))
+    info = dict(stat=stat, dof=dof, cells=len(pooled_exp),
+                integral=total_exp / sample_count, miss_frac=miss_frac)
+    return p_value, p_value >= significance, info
