@@ -1,0 +1,104 @@
+"""Scene-dictionary loader tests (the `mi.load_dict` equivalent)."""
+
+import numpy as np
+import pytest
+import jax
+
+from tpusky.render.loader import load_dict, spectrum_to_channels
+from tpusky.utils.transform import compose, look_at, rotate, scale, translate
+
+
+def _sunsky_scene_dict(**emitter_overrides):
+    emitter = {"type": "sunsky", "hour": 12.0, "turbidity": 4.0,
+               "albedo": 0.3}
+    emitter.update(emitter_overrides)
+    return {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {
+            "type": "perspective", "fov": 45,
+            "to_world": look_at([4, -4, 2], [0, 0, 1]),
+            "film": {"type": "hdrfilm", "width": 32, "height": 32},
+            "sampler": {"type": "independent", "sample_count": 8},
+        },
+        "emitter": emitter,
+        "ground": {"type": "rectangle", "to_world": scale([10, 10, 1]),
+                   "bsdf": {"type": "diffuse",
+                            "reflectance": [0.4, 0.4, 0.4]}},
+        "ball": {"type": "sphere", "to_world": translate([0, 0, 1]),
+                 "bsdf": {"type": "twosided",
+                          "nested": {"type": "diffuse",
+                                     "reflectance": [0.6, 0.2, 0.2]}}},
+    }
+
+
+def test_load_and_render_sunsky_scene():
+    bundle = load_dict(_sunsky_scene_dict())
+    img = np.array(bundle.render(seed=0))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_parameter_update_rerenders():
+    """SceneParameters-style updates: replace a leaf, re-render."""
+    bundle = load_dict(_sunsky_scene_dict())
+    img = np.array(bundle.render(seed=0))
+    p2 = bundle.params._replace(turbidity=bundle.params.turbidity * 0 + 9.0)
+    img2 = np.array(bundle.render(seed=0, env_params=p2))
+    assert np.abs(img - img2).mean() > 1e-4
+
+
+def test_area_emitter_scene():
+    bundle = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective",
+                   "to_world": look_at([0, -3, 1], [0, 0, 0.5]),
+                   "film": {"width": 16, "height": 16},
+                   "sampler": {"sample_count": 64}},
+        "light": {"type": "rectangle",
+                  "to_world": compose(translate([0, 0, 3]),
+                                      rotate([1, 0, 0], 180)),
+                  "emitter": {"radiance": {"type": "rgb",
+                                           "value": [5, 5, 5]}}},
+        "floor": {"type": "rectangle", "to_world": scale(5),
+                  "bsdf": {"type": "diffuse", "reflectance": 0.5}},
+    })
+    img = np.array(bundle.render(seed=1))
+    assert img.max() > 0.01
+
+
+def test_unknown_plugin_raises():
+    with pytest.raises(ValueError, match="unknown plugin"):
+        load_dict({"type": "scene", "x": {"type": "unobtanium"}})
+
+
+def test_sunsky_validation():
+    with pytest.raises(ValueError, match="turbidity"):
+        load_dict({"type": "scene",
+                   "emitter": {"type": "sunsky", "turbidity": 12}})
+    with pytest.raises(ValueError, match="sun_direction or time"):
+        load_dict({"type": "scene",
+                   "emitter": {"type": "sunsky", "hour": 10,
+                               "sun_direction": [0, 0, 1]}})
+
+
+def test_spectrum_parsing():
+    assert np.allclose(spectrum_to_channels(0.3, "rgb"), 0.3)
+    assert spectrum_to_channels(0.3, "spectral").shape == (11,)
+    irr = {"type": "irregular",
+           "wavelengths": "320, 720", "values": "0.0, 1.0"}
+    out = spectrum_to_channels(irr, "spectral")
+    assert out[0] == 0.0 and abs(out[-1] - 1.0) < 1e-6
+    assert abs(out[5] - 0.5) < 1e-6
+    reg = {"type": "regular", "lambda_min": 320, "lambda_max": 720,
+           "values": [1.0, 3.0]}
+    out = spectrum_to_channels(reg, "spectral")
+    assert abs(out[0] - 1.0) < 1e-6 and abs(out[-1] - 3.0) < 1e-6
+
+
+def test_spectral_mode_loading():
+    bundle = load_dict(_sunsky_scene_dict(), mode="spectral")
+    img = np.array(bundle.render(seed=0))
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+    assert img.max() > 0

@@ -302,6 +302,8 @@ def _eval_sun_channels(state, channel_idx, cos_theta):
     all_ch = _eval_sun_all_channels(state, cos_theta)
     if channel_idx.ndim <= 1:  # static full-channel query (precompute path)
         return all_ch[..., channel_idx]
+    all_ch = jnp.broadcast_to(
+        all_ch, channel_idx.shape[:-1] + all_ch.shape[-1:])
     return jnp.take_along_axis(all_ch, channel_idx, axis=-1)
 
 

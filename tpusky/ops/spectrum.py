@@ -106,6 +106,29 @@ def sample_shifted(sample, n: int = 4):
     return jnp.mod(sample[..., None] + shifts, 1.0)
 
 
+def sample_rgb_spectrum(sample):
+    """Importance-sample wavelengths concentrated where RGB sensors respond.
+
+    Radziszewski, Boryczko & Alda, "An Improved Technique for Full Spectral
+    Rendering" (the same strategy the reference uses for spectral rendering
+    with RGB output, `spectrum.h:445-455`). Returns (wavelength_nm,
+    1/pdf weight).
+    """
+    wavelengths = (538.0 - jnp.arctanh(0.8569106254698279
+                                       - 1.8275019724092267 * sample)
+                   * 138.88888888888889)
+    tmp = jnp.cosh(0.0072 * (wavelengths - 538.0))
+    weight = 253.82 * tmp * tmp
+    return wavelengths, weight
+
+
+def pdf_rgb_spectrum(wavelengths):
+    """Pdf of `sample_rgb_spectrum` per wavelength."""
+    tmp = 1.0 / jnp.cosh(0.0072 * (wavelengths - 538.0))
+    return jnp.where((wavelengths >= CIE_MIN) & (wavelengths <= CIE_MAX),
+                     0.003939804229326285 * tmp * tmp, 0.0)
+
+
 def srgb_gamma(x):
     """Linear -> sRGB gamma encoding."""
     x = jnp.clip(x, 0.0, 1.0)

@@ -20,18 +20,39 @@ from ..ops import warp
 
 
 class DiffuseTable(NamedTuple):
-    albedo: jnp.ndarray       # (M, C) per-material reflectance
+    albedo: jnp.ndarray       # (M, C) per-material reflectance (RGB mode)
     twosided: jnp.ndarray     # (M,) bool
+    albedo_spec: jnp.ndarray = None  # (M, 11) reflectance at 320..720nm/40
 
 
-def make_diffuse_table(albedos, twosided=None) -> DiffuseTable:
+def make_diffuse_table(albedos, twosided=None,
+                       spectral_albedos=None) -> DiffuseTable:
+    """Build the material table. `spectral_albedos` holds per-material
+    reflectance sampled at the 11 model wavelengths (320..720nm step 40);
+    hero-wavelength rendering interpolates it linearly (clamped at the
+    ends, the convention of the reference's `regular` spectrum plugin)."""
     import numpy as np
     a = jnp.asarray(np.asarray(albedos, np.float32))
     if twosided is None:
         ts = jnp.zeros((a.shape[0],), bool)
     else:
         ts = jnp.asarray(np.asarray(twosided, bool))
-    return DiffuseTable(a, ts)
+    sa = (None if spectral_albedos is None
+          else jnp.asarray(np.asarray(spectral_albedos, np.float32)))
+    return DiffuseTable(a, ts, sa)
+
+
+def _reflectance(table: DiffuseTable, mat_idx, wavelengths):
+    """Per-lane reflectance: (..., C) RGB or (..., W) at hero wavelengths."""
+    if wavelengths is None:
+        return table.albedo[mat_idx]
+    spec = table.albedo_spec[mat_idx]                  # (..., 11)
+    norm = jnp.clip((wavelengths - 320.0) / 40.0, 0.0, 10.0)
+    lo = jnp.clip(jnp.floor(norm).astype(jnp.int32), 0, 9)
+    t = norm - lo
+    v_lo = jnp.take_along_axis(spec, lo, axis=-1)
+    v_hi = jnp.take_along_axis(spec, lo + 1, axis=-1)
+    return (1.0 - t) * v_lo + t * v_hi
 
 
 def _flip(wi, twosided):
@@ -41,10 +62,10 @@ def _flip(wi, twosided):
     return sign
 
 
-def diffuse_eval_pdf(table: DiffuseTable, mat_idx, wi, wo):
+def diffuse_eval_pdf(table: DiffuseTable, mat_idx, wi, wo, wavelengths=None):
     """(f * cos(theta_o), pdf) for local directions wi (toward viewer) and
     wo (sampled)."""
-    albedo = table.albedo[mat_idx]
+    albedo = _reflectance(table, mat_idx, wavelengths)
     sign = _flip(wi, table.twosided[mat_idx])
     cos_i = wi[..., 2] * sign
     cos_o = wo[..., 2] * sign
@@ -56,9 +77,10 @@ def diffuse_eval_pdf(table: DiffuseTable, mat_idx, wi, wo):
     return value, pdf
 
 
-def diffuse_sample(table: DiffuseTable, mat_idx, wi, sample2):
+def diffuse_sample(table: DiffuseTable, mat_idx, wi, sample2,
+                   wavelengths=None):
     """Cosine-hemisphere sample. Returns (wo, weight=value/pdf, pdf)."""
-    albedo = table.albedo[mat_idx]
+    albedo = _reflectance(table, mat_idx, wavelengths)
     sign = _flip(wi, table.twosided[mat_idx])
     wo = warp.square_to_cosine_hemisphere(sample2)
     wo = wo * jnp.stack([jnp.ones_like(sign), jnp.ones_like(sign), sign],

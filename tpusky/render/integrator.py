@@ -121,7 +121,11 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             0.0)
 
         # ---- area-emitter hit (no NEE for area lights yet: weight 1) ----
-        area_L = scene.area_radiance[jnp.maximum(shape_idx, 0)]
+        if wavelengths is None:
+            area_L = scene.area_radiance[jnp.maximum(shape_idx, 0)]
+        else:  # constant-spectrum area emitters in spectral mode
+            area_L = jnp.mean(scene.area_radiance[jnp.maximum(shape_idx, 0)],
+                              axis=-1, keepdims=True)
         facing = dot(ng, -state.d) > 0.0
         result = result + jnp.where(
             (state.active & hit & facing)[..., None],
@@ -144,7 +148,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             pdf_e_detached = sg(pdf_e)
             wo_local = frame.to_local(d_e)
             f_val, pdf_b = bsdf_mod.diffuse_eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_local)
+                scene.bsdfs, mat_idx, wi_local, wo_local, wavelengths)
             offset_p = p + jnp.sign(dot(ng, d_e))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -161,7 +165,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
         # ---- BSDF sampling for the next bounce ----
         u_bsdf = sg(_lane_samples(key, lane_idx, 3 * depth + 1, 2))
         wo_local, weight, pdf_b = bsdf_mod.diffuse_sample(
-            scene.bsdfs, mat_idx, wi_local, u_bsdf)
+            scene.bsdfs, mat_idx, wi_local, u_bsdf, wavelengths)
         wo_local = sg(wo_local)
         d_next = frame.to_world(wo_local)
         throughput = state.throughput * weight
@@ -221,8 +225,23 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
     uv = jnp.stack([pix_x / w, pix_y / h], axis=-1)
 
     o, d = sensors_mod.sample_ray(sensor, uv)
-    radiance = _path_sample(scene, o, d, key, lane_idx, max_depth, rr_depth,
-                            mode, None, vma_axes=vma_axes)
+    if mode == "spectral":
+        # hero-wavelength transport: 4 stratified wavelengths per path,
+        # importance-sampled for RGB sensor response (the reference's
+        # `sample_rgb_spectrum`, `spectrum.h:445-455`), converted to sRGB
+        # at splat time via the CIE tables.
+        from ..ops import spectrum as spec_mod
+        u_wl = _lane_samples(key, lane_idx, 20_000, 1)[..., 0]
+        shifted = spec_mod.sample_shifted(u_wl, 4)
+        wavelengths, wl_weight = spec_mod.sample_rgb_spectrum(shifted)
+        spec_radiance = _path_sample(scene, o, d, key, lane_idx, max_depth,
+                                     rr_depth, mode, wavelengths,
+                                     vma_axes=vma_axes)
+        radiance = spec_mod.spectrum_to_srgb(spec_radiance * wl_weight,
+                                             wavelengths)
+    else:
+        radiance = _path_sample(scene, o, d, key, lane_idx, max_depth,
+                                rr_depth, mode, None, vma_axes=vma_axes)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
 
     block_film = film_mod.Film(n_rows, w, film_cfg.n_channels,

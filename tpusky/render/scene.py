@@ -31,7 +31,7 @@ class Scene(NamedTuple):
 
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                env_to_world=None, area_radiance=None, n_channels=3,
-               bsdf_twosided=None) -> Scene:
+               bsdf_twosided=None, bsdf_spectral_albedos=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -43,8 +43,13 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
         shapes = [dict(kind=0, to_world=np.diag([1e-12, 1e-12, 1e-12, 1.0]),
                        bsdf_idx=0, emitter_idx=-1)]
     table = make_shape_table(shapes)
+    if bsdf_spectral_albedos is None:
+        # default: flat spectra with the mean RGB reflectance per material
+        bsdf_spectral_albedos = np.repeat(
+            np.asarray(bsdf_albedos, np.float32).mean(-1, keepdims=True),
+            11, axis=-1)
     bsdfs = make_diffuse_table(np.asarray(bsdf_albedos, np.float32),
-                               bsdf_twosided)
+                               bsdf_twosided, bsdf_spectral_albedos)
     if area_radiance is None:
         area_radiance = np.zeros((len(shapes), n_channels), np.float32)
     if env_to_world is None:
