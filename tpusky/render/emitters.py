@@ -62,3 +62,52 @@ def env_pdf_direction(env, env_to_world, d_world):
     if isinstance(env, ConstantEnv):
         return jnp.full(d_world.shape[:-1], warp.INV_FOUR_PI)
     raise TypeError(f"unknown environment {type(env)}")
+
+
+# ---------------------------------------------------------------------------
+# Area emitters (shape-attached)
+# ---------------------------------------------------------------------------
+
+
+def area_sample_direction(scene, p_ref, u2, u1):
+    """Sample a direction toward one of the scene's area emitters.
+
+    Picks an emitter shape uniformly (reference scene emitter selection,
+    `scene.cpp:311`), samples its surface uniformly in area, converts to
+    the solid-angle measure. Returns (d, dist, pdf_solid, radiance (..,3),
+    n_emit) with pdf 0 when the sampled point faces away.
+    """
+    from .shapes import sample_position
+    n_area = scene.area_emitter_shapes.shape[0]
+    pick = jnp.clip((u1 * n_area).astype(jnp.int32), 0, n_area - 1)
+    shape_idx = scene.area_emitter_shapes[pick]
+    p_emit, n_emit, pdf_area = sample_position(scene.shapes, shape_idx, u2)
+
+    to_emit = p_emit - p_ref
+    dist2 = jnp.sum(to_emit * to_emit, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    d = to_emit / dist[..., None]
+    cos_emit = jnp.sum(n_emit * -d, axis=-1)
+
+    pdf_solid = jnp.where(cos_emit > 1e-6,
+                          pdf_area * dist2 / jnp.maximum(cos_emit, 1e-6)
+                          / n_area, 0.0)
+    radiance = scene.area_radiance[shape_idx]
+    return d, dist, pdf_solid, radiance, n_emit
+
+
+def area_pdf_direction(scene, p_ref, p_hit, n_hit, shape_idx):
+    """Solid-angle pdf that `area_sample_direction` would produce the
+    direction hitting shape `shape_idx` at `p_hit` (for MIS on emitter
+    hits, cf. reference `scene.cpp:351`)."""
+    n_area = scene.area_emitter_shapes.shape[0]
+    to_hit = p_hit - p_ref
+    dist2 = jnp.sum(to_hit * to_hit, axis=-1)
+    d = to_hit / jnp.sqrt(jnp.maximum(dist2, 1e-12))[..., None]
+    cos_emit = jnp.sum(n_hit * -d, axis=-1)
+    pdf_area = 1.0 / scene.shapes.area[shape_idx]
+    is_emitter = scene.shapes.emitter_idx[shape_idx] >= 0
+    pdf = jnp.where(is_emitter & (cos_emit > 1e-6),
+                    pdf_area * dist2 / jnp.maximum(cos_emit, 1e-6) / n_area,
+                    0.0)
+    return pdf

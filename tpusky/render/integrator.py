@@ -120,16 +120,25 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             escaped[..., None], state.throughput * env_L * mis_em[..., None],
             0.0)
 
-        # ---- area-emitter hit (no NEE for area lights yet: weight 1) ----
+        # ---- area-emitter hit: MIS vs the area-NEE strategy ----
+        n_area = scene.area_emitter_shapes.shape[0]
         if wavelengths is None:
             area_L = scene.area_radiance[jnp.maximum(shape_idx, 0)]
         else:  # constant-spectrum area emitters in spectral mode
             area_L = jnp.mean(scene.area_radiance[jnp.maximum(shape_idx, 0)],
                               axis=-1, keepdims=True)
         facing = dot(ng, -state.d) > 0.0
+        if n_area > 0:
+            area_hit_pdf = em.area_pdf_direction(
+                scene, state.o, p, ng, jnp.maximum(shape_idx, 0))
+            area_hit_pdf = jnp.where(state.prev_bsdf_delta, 0.0,
+                                     area_hit_pdf)
+            mis_area_hit = _mis_weight(state.prev_bsdf_pdf, sg(area_hit_pdf))
+        else:
+            mis_area_hit = jnp.ones_like(state.prev_bsdf_pdf)
         result = result + jnp.where(
             (state.active & hit & facing)[..., None],
-            state.throughput * area_L, 0.0)
+            state.throughput * area_L * mis_area_hit[..., None], 0.0)
 
         active = state.active & hit & (depth + 1 < max_depth)
 
@@ -161,6 +170,70 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
                        [..., None])
             ok = active & ~occluded & (pdf_e_detached > 0.0)
             result = result + jnp.where(ok[..., None], contrib, 0.0)
+
+        # ---- next-event estimation toward area emitters ----
+        if n_area > 0:
+            u_area = sg(_lane_samples(key, lane_idx, 3 * depth + 3, 3))
+            d_a, dist_a, pdf_a, L_a, _n_emit = em.area_sample_direction(
+                scene, p, u_area[..., :2], u_area[..., 2])
+            d_a = sg(d_a)
+            pdf_a = sg(pdf_a)
+            if wavelengths is not None:
+                L_a = jnp.mean(L_a, axis=-1, keepdims=True)
+            wo_a = frame.to_local(d_a)
+            f_a, pdf_b_a = bsdf_mod.diffuse_eval_pdf(
+                scene.bsdfs, mat_idx, wi_local, wo_a, wavelengths)
+            off_a = p + jnp.sign(dot(ng, d_a))[..., None] * ng * (
+                _SHADOW_EPS * jnp.maximum(
+                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+            occ_a = ray_test(scene.shapes, off_a, d_a,
+                             dist_a * (1.0 - 1e-3))
+            mis_a = _mis_weight(pdf_a, sg(pdf_b_a))
+            contrib_a = (state.throughput * f_a * L_a
+                         * (mis_a / jnp.maximum(pdf_a, 1e-20))[..., None])
+            ok_a = active & ~occ_a & (pdf_a > 0.0)
+            result = result + jnp.where(ok_a[..., None], contrib_a, 0.0)
+
+        # ---- delta emitters (point / directional): direct connection ----
+        n_point = scene.point_lights.shape[0]
+        for li in range(n_point):
+            lp = scene.point_lights[li, :3]
+            intensity = scene.point_lights[li, 3:]
+            to_l = lp - p
+            dist2_l = jnp.sum(to_l * to_l, axis=-1)
+            dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
+            d_l = to_l / dist_l[..., None]
+            wo_l = frame.to_local(d_l)
+            f_l, _ = bsdf_mod.diffuse_eval_pdf(
+                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths)
+            off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
+                _SHADOW_EPS * jnp.maximum(
+                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+            occ_l = ray_test(scene.shapes, off_l, d_l, dist_l * (1 - 1e-3))
+            I_l = (intensity if wavelengths is None
+                   else jnp.mean(intensity, keepdims=True))
+            contrib_l = state.throughput * f_l * I_l / dist2_l[..., None]
+            result = result + jnp.where((active & ~occ_l)[..., None],
+                                        contrib_l, 0.0)
+        n_dir = scene.directional_lights.shape[0]
+        for li in range(n_dir):
+            d_l = -scene.directional_lights[li, :3]
+            d_l = d_l / jnp.linalg.norm(d_l)
+            irr = scene.directional_lights[li, 3:]
+            d_b = jnp.broadcast_to(d_l, p.shape)
+            wo_l = frame.to_local(d_b)
+            f_l, _ = bsdf_mod.diffuse_eval_pdf(
+                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths)
+            off_l = p + jnp.sign(dot(ng, d_b))[..., None] * ng * (
+                _SHADOW_EPS * jnp.maximum(
+                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+            occ_l = ray_test(scene.shapes, off_l, d_b,
+                             jnp.full((n,), jnp.inf))
+            E_l = (irr if wavelengths is None
+                   else jnp.mean(irr, keepdims=True))
+            contrib_l = state.throughput * f_l * E_l
+            result = result + jnp.where((active & ~occ_l)[..., None],
+                                        contrib_l, 0.0)
 
         # ---- BSDF sampling for the next bounce ----
         u_bsdf = sg(_lane_samples(key, lane_idx, 3 * depth + 1, 2))

@@ -203,6 +203,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     sensor_desc = None
     env_desc = None
     shapes, albedos_rgb, albedos_spec, twosided, areas = [], [], [], [], []
+    point_lights, directional_lights = [], []
 
     for key, value in d.items():
         if key == "type" or not isinstance(value, dict):
@@ -214,6 +215,14 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             sensor_desc = value
         elif t in ("sunsky", "constant", "envmap"):
             env_desc = value
+        elif t == "point":
+            point_lights.append(np.concatenate([
+                np.asarray(value.get("position", [0, 0, 0]), np.float32),
+                spectrum_to_channels(value.get("intensity", 1.0), "rgb")]))
+        elif t == "directional":
+            directional_lights.append(np.concatenate([
+                np.asarray(value.get("direction", [0, 0, -1]), np.float32),
+                spectrum_to_channels(value.get("irradiance", 1.0), "rgb")]))
         elif t in _SHAPE_KINDS:
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             rgb, spec, two = _build_bsdf(bsdf_desc, mode)
@@ -284,6 +293,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_twosided=twosided or None,
         bsdf_spectral_albedos=albedos_spec or None,
         area_radiance=area_radiance,
+        point_lights=point_lights or None,
+        directional_lights=directional_lights or None,
         env=None)
 
     itype = integrator.get("type", "path")

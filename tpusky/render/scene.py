@@ -27,11 +27,15 @@ class Scene(NamedTuple):
     area_radiance: jnp.ndarray     # (n_shapes, C) emitted radiance (0 = none)
     bsphere_center: jnp.ndarray    # (3,)
     bsphere_radius: jnp.ndarray    # ()
+    area_emitter_shapes: jnp.ndarray = None  # (n_area,) int32 shape indices
+    point_lights: jnp.ndarray = None         # (Np, 6) [position, intensity]
+    directional_lights: jnp.ndarray = None   # (Nd, 6) [direction, irradiance]
 
 
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                env_to_world=None, area_radiance=None, n_channels=3,
-               bsdf_twosided=None, bsdf_spectral_albedos=None) -> Scene:
+               bsdf_twosided=None, bsdf_spectral_albedos=None,
+               point_lights=None, directional_lights=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -62,7 +66,14 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
     center = centers.mean(axis=0) if len(centers) else np.zeros(3)
     radius = float(np.max(np.linalg.norm(centers - center, axis=-1) + scales,
                           initial=1e-4))
+    area_ids = np.asarray([i for i, s in enumerate(shapes)
+                           if s.get("emitter_idx", -1) >= 0], np.int32)
+    pl = (np.zeros((0, 6), np.float32) if point_lights is None
+          else np.asarray(point_lights, np.float32).reshape(-1, 6))
+    dl = (np.zeros((0, 6), np.float32) if directional_lights is None
+          else np.asarray(directional_lights, np.float32).reshape(-1, 6))
     return Scene(table, bsdfs, env, jnp.asarray(env_to_world, jnp.float32),
                  jnp.asarray(area_radiance, jnp.float32),
                  jnp.asarray(center, jnp.float32),
-                 jnp.asarray(radius * (1.0 + 1e-3), jnp.float32))
+                 jnp.asarray(radius * (1.0 + 1e-3), jnp.float32),
+                 jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl))

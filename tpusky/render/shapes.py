@@ -33,6 +33,30 @@ class ShapeTable(NamedTuple):
     to_object: jnp.ndarray     # (N, 4, 4) inverse
     bsdf_idx: jnp.ndarray      # (N,) int32 index into the scene's BSDF table
     emitter_idx: jnp.ndarray   # (N,) int32 area-emitter index (-1 = none)
+    area: jnp.ndarray          # (N,) world-space surface area
+
+
+def _world_area(kind: int, t2w) -> float:
+    """Surface area of the canonical shape under an affine transform.
+
+    Exact for rectangles/disks (planar: |col0 x col1| scales area) and for
+    spheres under uniform scaling; cubes use the average face scaling.
+    """
+    import numpy as np
+    lin = np.asarray(t2w)[:3, :3]
+    cross = np.linalg.norm(np.cross(lin[:, 0], lin[:, 1]))
+    if kind == RECTANGLE:
+        return 4.0 * cross
+    if kind == DISK:
+        return float(np.pi) * cross
+    if kind == SPHERE:
+        s = np.abs(np.linalg.det(lin)) ** (2.0 / 3.0)
+        return 4.0 * float(np.pi) * s
+    # cube: 6 faces of area 4 each, averaged over the three face scalings
+    c01 = np.linalg.norm(np.cross(lin[:, 0], lin[:, 1]))
+    c12 = np.linalg.norm(np.cross(lin[:, 1], lin[:, 2]))
+    c02 = np.linalg.norm(np.cross(lin[:, 0], lin[:, 2]))
+    return 8.0 * (c01 + c12 + c02)
 
 
 def make_shape_table(shapes) -> ShapeTable:
@@ -44,14 +68,53 @@ def make_shape_table(shapes) -> ShapeTable:
     t2w = np.zeros((n, 4, 4), np.float32)
     bsdf = np.zeros((n,), np.int32)
     emit = np.full((n,), -1, np.int32)
+    area = np.zeros((n,), np.float32)
     for i, s in enumerate(shapes):
         kind[i] = s["kind"]
         t2w[i] = np.asarray(s.get("to_world", np.eye(4)), np.float32)
         bsdf[i] = s.get("bsdf_idx", 0)
         emit[i] = s.get("emitter_idx", -1)
+        area[i] = _world_area(int(kind[i]), t2w[i])
     t2o = np.linalg.inv(t2w)
     return ShapeTable(jnp.asarray(kind), jnp.asarray(t2w), jnp.asarray(t2o),
-                      jnp.asarray(bsdf), jnp.asarray(emit))
+                      jnp.asarray(bsdf), jnp.asarray(emit),
+                      jnp.asarray(area))
+
+
+def sample_position(table: ShapeTable, shape_idx, u2):
+    """Uniform-area sample on the given shapes.
+
+    shape_idx (...,) int32; u2 (..., 2). Returns (p_world, n_world,
+    pdf_area) — pdf is 1/area in world measure. Supports rectangle, disk,
+    sphere (area sampling; cf. reference shape `sample_position` methods).
+    """
+    kind = table.kind[shape_idx]
+    t2w = table.to_world[shape_idx]
+    t2o = table.to_object[shape_idx]
+
+    # rectangle: uniform on [-1,1]^2, z=0
+    p_rect = jnp.stack([2.0 * u2[..., 0] - 1.0, 2.0 * u2[..., 1] - 1.0,
+                        jnp.zeros_like(u2[..., 0])], axis=-1)
+    # disk: concentric-free polar map
+    r = jnp.sqrt(u2[..., 0])
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    p_disk = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                        jnp.zeros_like(r)], axis=-1)
+    n_plane = jnp.asarray([0.0, 0.0, 1.0])
+    # sphere: uniform on the unit sphere
+    z = 1.0 - 2.0 * u2[..., 0]
+    sr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    p_sph = jnp.stack([sr * jnp.cos(phi), sr * jnp.sin(phi), z], axis=-1)
+
+    planar = (kind == RECTANGLE) | (kind == DISK)
+    p_local = jnp.where((kind == RECTANGLE)[..., None], p_rect,
+                        jnp.where((kind == DISK)[..., None], p_disk, p_sph))
+    n_local = jnp.where(planar[..., None], n_plane, p_sph)
+
+    p_world = _xform_point(t2w, p_local)
+    n_world = normalize(_xform_normal(t2o, n_local))
+    pdf_area = 1.0 / table.area[shape_idx]
+    return p_world, n_world, pdf_area
 
 
 def _xform_point(m, p):
