@@ -1,0 +1,116 @@
+"""BSDF tests: GGX sample/pdf chi-square consistency, conductor Fresnel
+sanity, and white-furnace energy checks through the full renderer.
+(Counterpart of the reference's BSDF chi2 adapters, `chi2.py:477`.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusky.render import bsdf as B
+from tpusky.render import integrator
+from tpusky.render.emitters import ConstantEnv
+from tpusky.render.film import Film
+from tpusky.render.scene import make_scene
+from tpusky.render.sensors import make_perspective
+from tpusky.utils.chi2 import chi2_test
+from tpusky.utils.transform import scale, translate
+
+
+def _table(kind, alpha=0.3, eta=None, k=None):
+    return B.make_material_table(
+        kinds=[kind], albedos=[[1.0, 1.0, 1.0]], alphas=[alpha],
+        etas=eta and [eta], ks=k and [k])
+
+
+def test_ggx_sample_pdf_chi2():
+    """GGX reflection lobe: histogram of samples matches eval_pdf."""
+    table = _table(B.ROUGH_CONDUCTOR, alpha=0.3)
+    wi = jnp.asarray([0.4, 0.1, 0.91])
+    wi = wi / jnp.linalg.norm(wi)
+    mat = jnp.zeros((), jnp.int32)
+
+    def sample_fn(key, n):
+        u = jax.random.uniform(key, (n, 2))
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        wo, w, pdf, _ = B.sample(table, jnp.zeros((n,), jnp.int32), wi_b, u,
+                                 jnp.zeros((n,)), None)
+        return wo
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        _, pdf = B.eval_pdf(table, jnp.zeros((n,), jnp.int32), wi_b, d)
+        return pdf
+
+    p, ok, info = chi2_test(sample_fn, pdf_fn, key=jax.random.PRNGKey(0),
+                            sample_count=1_000_000, res_phi=64, res_cos=32,
+                            cos_range=(0.0, 1.0), ires=16)
+    assert ok, f"chi2 p={p} {info}"
+
+
+def test_fresnel_conductor_limits():
+    """Perfect mirror (k -> inf) reflects ~1; grazing incidence -> 1."""
+    f = B._fresnel_conductor(jnp.asarray(0.7), jnp.asarray([0.0]),
+                             jnp.asarray([1e4]))
+    assert abs(float(f[0]) - 1.0) < 1e-4
+    f_grazing = B._fresnel_conductor(jnp.asarray(1e-5),
+                                     jnp.asarray([0.143]),
+                                     jnp.asarray([3.983]))
+    assert float(f_grazing[0]) > 0.99
+
+
+def test_fresnel_dielectric_energy():
+    """R + T = 1 and total internal reflection beyond the critical angle."""
+    f, cos_t, eta_rel = B.fresnel_dielectric(jnp.asarray(0.8),
+                                             jnp.asarray(1.5))
+    assert 0.0 < float(f) < 1.0 and float(eta_rel) == 1.5
+    # from inside beyond critical angle: TIR
+    f_tir, _, _ = B.fresnel_dielectric(jnp.asarray(-0.2), jnp.asarray(1.5))
+    assert float(f_tir) == 1.0
+
+
+def _furnace(kind, alpha=0.1, max_depth=8, eta=None, k=None, spp=256):
+    """Sphere of the given material inside a unit constant environment."""
+    scene = make_scene(
+        shapes=[dict(kind=0, to_world=translate([0, 0, 0]), bsdf_idx=0)],
+        bsdf_albedos=[[1.0, 1.0, 1.0]],
+        bsdf_kinds=[kind],
+        bsdf_alphas=[alpha],
+        bsdf_etas=eta and [eta], bsdf_ks=k and [k],
+        env=ConstantEnv(jnp.asarray([1.0, 1.0, 1.0])))
+    sensor = make_perspective(origin=[0, -4, 0], target=[0, 0, 0],
+                              fov_x_deg=18)
+    img = np.array(integrator.render(scene, sensor, Film(16, 16, 3),
+                                     jax.random.PRNGKey(0), spp=spp,
+                                     max_depth=max_depth))
+    return img
+
+
+def test_furnace_mirror():
+    """Perfect smooth mirror in a white furnace: exactly 1 everywhere."""
+    img = _furnace(B.CONDUCTOR, eta=[0.0, 0.0, 0.0], k=[1e4, 1e4, 1e4],
+                   max_depth=3, spp=32)
+    assert np.allclose(img, 1.0, atol=1e-3), (img.min(), img.max())
+
+
+def test_furnace_dielectric():
+    """Glass sphere in a white furnace: energy preserved (reflection +
+    refraction chains), within a few % given bounded depth."""
+    img = _furnace(B.DIELECTRIC, max_depth=16, spp=128)
+    assert img.mean() > 0.93, img.mean()
+    assert img.max() < 1.25
+
+
+def test_furnace_rough_conductor():
+    """Perfect-reflector GGX sphere: near 1, below by the single-scattering
+    energy loss at this roughness."""
+    img = _furnace(B.ROUGH_CONDUCTOR, alpha=0.2, eta=[0.0] * 3,
+                   k=[1e4] * 3, max_depth=6, spp=256)
+    assert 0.88 < img.mean() <= 1.02, img.mean()
+
+
+def test_furnace_diffuse():
+    """Diffuse unit-albedo sphere in a white furnace -> 1 at high depth."""
+    img = _furnace(B.DIFFUSE, max_depth=24, spp=256)
+    assert 0.95 < img.mean() < 1.05, img.mean()

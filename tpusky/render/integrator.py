@@ -156,7 +156,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             d_e = sg(d_e)
             pdf_e_detached = sg(pdf_e)
             wo_local = frame.to_local(d_e)
-            f_val, pdf_b = bsdf_mod.diffuse_eval_pdf(
+            f_val, pdf_b = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_local, wavelengths)
             offset_p = p + jnp.sign(dot(ng, d_e))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
@@ -181,7 +181,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             if wavelengths is not None:
                 L_a = jnp.mean(L_a, axis=-1, keepdims=True)
             wo_a = frame.to_local(d_a)
-            f_a, pdf_b_a = bsdf_mod.diffuse_eval_pdf(
+            f_a, pdf_b_a = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_a, wavelengths)
             off_a = p + jnp.sign(dot(ng, d_a))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
@@ -204,7 +204,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
             d_l = to_l / dist_l[..., None]
             wo_l = frame.to_local(d_l)
-            f_l, _ = bsdf_mod.diffuse_eval_pdf(
+            f_l, _ = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths)
             off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
@@ -222,7 +222,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             irr = scene.directional_lights[li, 3:]
             d_b = jnp.broadcast_to(d_l, p.shape)
             wo_l = frame.to_local(d_b)
-            f_l, _ = bsdf_mod.diffuse_eval_pdf(
+            f_l, _ = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths)
             off_l = p + jnp.sign(dot(ng, d_b))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
@@ -236,9 +236,10 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
                                         contrib_l, 0.0)
 
         # ---- BSDF sampling for the next bounce ----
-        u_bsdf = sg(_lane_samples(key, lane_idx, 3 * depth + 1, 2))
-        wo_local, weight, pdf_b = bsdf_mod.diffuse_sample(
-            scene.bsdfs, mat_idx, wi_local, u_bsdf, wavelengths)
+        u_bsdf = sg(_lane_samples(key, lane_idx, 3 * depth + 1, 3))
+        wo_local, weight, pdf_b, is_delta = bsdf_mod.sample(
+            scene.bsdfs, mat_idx, wi_local, u_bsdf[..., :2],
+            u_bsdf[..., 2], wavelengths)
         wo_local = sg(wo_local)
         d_next = frame.to_world(wo_local)
         throughput = state.throughput * weight
@@ -265,7 +266,8 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
             result=result,
             active=active,
             prev_bsdf_pdf=jnp.where(active, sg(pdf_b), state.prev_bsdf_pdf),
-            prev_bsdf_delta=jnp.where(active, False, state.prev_bsdf_delta),
+            prev_bsdf_delta=jnp.where(active, is_delta,
+                                      state.prev_bsdf_delta),
         )
         return new_state, None
 

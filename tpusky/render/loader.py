@@ -178,21 +178,57 @@ def _parse_to_world(v) -> np.ndarray:
     return arr
 
 
+# Named conductor IORs at RGB primaries (standard tabulated optical
+# constants, as shipped by the reference's `data/ior/*.spd` files)
+_CONDUCTOR_IOR = {
+    "Au": ([0.143, 0.375, 1.442], [3.983, 2.386, 1.603]),
+    "Ag": ([0.155, 0.116, 0.138], [4.828, 3.122, 2.146]),
+    "Cu": ([0.200, 0.924, 1.102], [3.912, 2.448, 2.167]),
+    "Al": ([1.345, 0.965, 0.617], [7.475, 6.400, 5.303]),
+    "none": ([0.0, 0.0, 0.0], [1e4, 1e4, 1e4]),  # perfect mirror
+}
+
+
 def _build_bsdf(desc, mode):
-    """-> (albedo_rgb (3,), albedo_spec (11,), twosided)."""
+    """-> material dict {kind, rgb, spec, twosided, alpha, eta, k, ior}."""
+    from .bsdf import CONDUCTOR, DIELECTRIC, DIFFUSE, ROUGH_CONDUCTOR
     twosided = False
     if desc.get("type") == "twosided":
         twosided = True
         inner = [v for v in desc.values() if isinstance(v, dict)
                  and v.get("type") not in (None, "twosided")]
         desc = inner[0] if inner else {"type": "diffuse"}
-    if desc.get("type") != "diffuse":
-        raise ValueError(f"unsupported bsdf {desc.get('type')!r} (round 1 "
-                         "supports diffuse/twosided)")
-    refl = desc.get("reflectance", 0.5)
-    rgb = spectrum_to_channels(refl, "rgb")
-    spec = spectrum_to_channels(refl, "spectral")
-    return rgb, spec, twosided
+    t = desc.get("type", "diffuse")
+    mat = dict(kind=DIFFUSE, rgb=np.full(3, 0.5), spec=np.full(11, 0.5),
+               twosided=twosided, alpha=0.1,
+               eta=np.array(_CONDUCTOR_IOR["Au"][0]),
+               k=np.array(_CONDUCTOR_IOR["Au"][1]), ior=1.5046)
+    if t == "diffuse":
+        refl = desc.get("reflectance", 0.5)
+        mat["rgb"] = spectrum_to_channels(refl, "rgb")
+        mat["spec"] = spectrum_to_channels(refl, "spectral")
+    elif t in ("roughconductor", "conductor"):
+        mat["kind"] = ROUGH_CONDUCTOR if t == "roughconductor" else CONDUCTOR
+        material = desc.get("material", "Au")
+        if material not in _CONDUCTOR_IOR:
+            raise ValueError(f"unknown conductor material {material!r}")
+        mat["eta"] = np.asarray(desc.get("eta",
+                                         _CONDUCTOR_IOR[material][0]))
+        mat["k"] = np.asarray(desc.get("k", _CONDUCTOR_IOR[material][1]))
+        mat["alpha"] = float(desc.get("alpha", 0.1))
+        tint = desc.get("specular_reflectance", 1.0)
+        mat["rgb"] = spectrum_to_channels(tint, "rgb")
+        mat["spec"] = spectrum_to_channels(tint, "spectral")
+    elif t == "dielectric":
+        mat["kind"] = DIELECTRIC
+        int_ior = float(desc.get("int_ior", 1.5046))
+        ext_ior = float(desc.get("ext_ior", 1.000277))
+        mat["ior"] = int_ior / ext_ior
+        mat["rgb"] = np.ones(3)
+        mat["spec"] = np.ones(11)
+    else:
+        raise ValueError(f"unsupported bsdf {t!r}")
+    return mat
 
 
 def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
@@ -202,7 +238,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     integrator = {"type": "path"}
     sensor_desc = None
     env_desc = None
-    shapes, albedos_rgb, albedos_spec, twosided, areas = [], [], [], [], []
+    shapes, materials, areas = [], [], []
     point_lights, directional_lights = [], []
 
     for key, value in d.items():
@@ -225,17 +261,15 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 spectrum_to_channels(value.get("irradiance", 1.0), "rgb")]))
         elif t in _SHAPE_KINDS:
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
-            rgb, spec, two = _build_bsdf(bsdf_desc, mode)
+            mat = _build_bsdf(bsdf_desc, mode)
             emitter = value.get("emitter")
             radiance = (spectrum_to_channels(emitter["radiance"], "rgb")
                         if emitter else np.zeros(3))
             shapes.append(dict(kind=_SHAPE_KINDS[t],
                                to_world=_parse_to_world(value.get("to_world")),
-                               bsdf_idx=len(albedos_rgb),
+                               bsdf_idx=len(materials),
                                emitter_idx=len(areas) if emitter else -1))
-            albedos_rgb.append(rgb)
-            albedos_spec.append(spec)
-            twosided.append(two)
+            materials.append(mat)
             if emitter:
                 areas.append(radiance)
         else:
@@ -287,11 +321,18 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             if s["emitter_idx"] >= 0:
                 area_radiance[shapes.index(s)] = areas[s["emitter_idx"]]
 
+    if not materials:
+        materials = [_build_bsdf({"type": "diffuse"}, mode)]
     scene_static = make_scene(
         shapes=shapes,
-        bsdf_albedos=albedos_rgb or [[0.5, 0.5, 0.5]],
-        bsdf_twosided=twosided or None,
-        bsdf_spectral_albedos=albedos_spec or None,
+        bsdf_albedos=[m["rgb"] for m in materials],
+        bsdf_twosided=[m["twosided"] for m in materials],
+        bsdf_spectral_albedos=[m["spec"] for m in materials],
+        bsdf_kinds=[m["kind"] for m in materials],
+        bsdf_alphas=[m["alpha"] for m in materials],
+        bsdf_etas=[m["eta"] for m in materials],
+        bsdf_ks=[m["k"] for m in materials],
+        bsdf_iors=[m["ior"] for m in materials],
         area_radiance=area_radiance,
         point_lights=point_lights or None,
         directional_lights=directional_lights or None,

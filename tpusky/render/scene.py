@@ -15,13 +15,13 @@ from typing import Any, NamedTuple, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .bsdf import DiffuseTable, make_diffuse_table
+from .bsdf import MaterialTable, make_material_table
 from .shapes import ShapeTable, make_shape_table
 
 
 class Scene(NamedTuple):
     shapes: ShapeTable
-    bsdfs: DiffuseTable
+    bsdfs: MaterialTable
     env: Any                       # SunskyState | ConstantEnv | None
     env_to_world: jnp.ndarray      # (3, 3) env-emitter local->world rotation
     area_radiance: jnp.ndarray     # (n_shapes, C) emitted radiance (0 = none)
@@ -35,7 +35,9 @@ class Scene(NamedTuple):
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                env_to_world=None, area_radiance=None, n_channels=3,
                bsdf_twosided=None, bsdf_spectral_albedos=None,
-               point_lights=None, directional_lights=None) -> Scene:
+               point_lights=None, directional_lights=None, bsdf_kinds=None,
+               bsdf_alphas=None, bsdf_etas=None, bsdf_ks=None,
+               bsdf_iors=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -47,13 +49,10 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
         shapes = [dict(kind=0, to_world=np.diag([1e-12, 1e-12, 1e-12, 1.0]),
                        bsdf_idx=0, emitter_idx=-1)]
     table = make_shape_table(shapes)
-    if bsdf_spectral_albedos is None:
-        # default: flat spectra with the mean RGB reflectance per material
-        bsdf_spectral_albedos = np.repeat(
-            np.asarray(bsdf_albedos, np.float32).mean(-1, keepdims=True),
-            11, axis=-1)
-    bsdfs = make_diffuse_table(np.asarray(bsdf_albedos, np.float32),
-                               bsdf_twosided, bsdf_spectral_albedos)
+    bsdfs = make_material_table(
+        kinds=bsdf_kinds, albedos=np.asarray(bsdf_albedos, np.float32),
+        twosided=bsdf_twosided, spectral_albedos=bsdf_spectral_albedos,
+        alphas=bsdf_alphas, etas=bsdf_etas, ks=bsdf_ks, iors=bsdf_iors)
     if area_radiance is None:
         area_radiance = np.zeros((len(shapes), n_channels), np.float32)
     if env_to_world is None:
