@@ -48,10 +48,14 @@ def main() -> None:
                               fov_x_deg=45)
     film = Film(h, w, 3)
 
-    @jax.jit
+    # NOTE: precompute and render are separate XLA programs here — the
+    # terminal's tpu compile helper SIGILLs on the fused program (compiler
+    # bug, 2026-08); the split adds ~2.5 ms/frame of precompute, which is
+    # included in the timed loop.
+    precompute = jax.jit(lambda p: M.precompute(tables, p, "rgb"))
+
     def run(p, key):
-        env = M.precompute(tables, p, "rgb")
-        scene = base_scene._replace(env=env)
+        scene = base_scene._replace(env=precompute(p))
         return integrator._render_impl(scene, sensor, film, key, spp,
                                        max_depth, 1000, "rgb")
 

@@ -1,0 +1,61 @@
+"""Sampler tests: stream determinism, stratification quality (variance
+reduction vs independent sampling), and QMC uniformity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusky.render import integrator, sampler
+from tpusky.render.emitters import ConstantEnv
+from tpusky.render.film import Film
+from tpusky.render.scene import make_scene
+from tpusky.render.sensors import make_perspective
+from tpusky.utils.transform import scale
+
+
+def test_sampler_streams_deterministic_and_uniform():
+    key = jax.random.PRNGKey(0)
+    pix = jnp.arange(4096, dtype=jnp.uint32) // 16
+    smp = jnp.arange(4096, dtype=jnp.uint32) % 16
+    for kind in ("independent", "stratified", "qmc"):
+        a = np.array(sampler.lane_samples(kind, key, pix, smp, 16, 3, 2))
+        b = np.array(sampler.lane_samples(kind, key, pix, smp, 16, 3, 2))
+        assert np.array_equal(a, b), kind
+        assert a.min() >= 0.0 and a.max() < 1.0, kind
+        assert abs(a.mean() - 0.5) < 0.02, (kind, a.mean())
+
+
+def test_qmc_stratification_beats_independent():
+    """Per-pixel integration error of a smooth function is lower for the
+    (0,2)-sequence than for independent samples."""
+    key = jax.random.PRNGKey(1)
+    n_pix, spp = 256, 64
+    pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), spp)
+    smp = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), n_pix)
+
+    def pixel_error(kind):
+        u = np.array(sampler.lane_samples(kind, key, pix, smp, spp, 0, 2))
+        f = u[:, 0] * u[:, 1]  # integral = 1/4
+        means = f.reshape(n_pix, spp).mean(-1)
+        return np.abs(means - 0.25).mean()
+
+    err_ind = pixel_error("independent")
+    err_qmc = pixel_error("qmc")
+    err_strat = pixel_error("stratified")
+    assert err_qmc < err_ind * 0.5, (err_qmc, err_ind)
+    assert err_strat < err_ind, (err_strat, err_ind)
+
+
+def test_render_with_each_sampler():
+    scene = make_scene(shapes=[dict(kind=1, to_world=scale(50), bsdf_idx=0)],
+                       bsdf_albedos=[[0.5, 0.5, 0.5]],
+                       env=ConstantEnv(jnp.asarray([1.0, 1.0, 1.0])))
+    sensor = make_perspective(origin=[0, 0, 3], target=[0.01, 0, 0],
+                              fov_x_deg=30)
+    film = Film(8, 8, 3)
+    for kind in ("independent", "stratified", "qmc"):
+        img = np.array(integrator.render(scene, sensor, film,
+                                         jax.random.PRNGKey(0), spp=128,
+                                         max_depth=2, sampler_kind=kind))
+        assert np.isfinite(img).all()
+        assert abs(img.mean() - 0.5) < 0.03, (kind, img.mean())

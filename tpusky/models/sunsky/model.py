@@ -41,6 +41,7 @@ from ...ops.distr import (ContinuousDistribution, DiscreteDistribution,
 from ...ops.math import (Frame, dir_to_sph, erfinv, gaussian_cdf, lerp,
                          poly_powers, safe_sqrt, sph_dir, unit_angle,
                          unit_angle_z)
+from ...ops.gather import take_rows
 from ...ops.quad import gauss_legendre
 from ...ops.spectrum import cie1931_y, luminance_rgb
 from . import constants as C
@@ -269,7 +270,7 @@ def _sun_rgb_from_flat(coefs_flat, x, cos_psi):
 def eval_sun_rgb(state: SunskyState, cos_theta, gamma):
     """Sun radiance with baked limb darkening -> (..., 3)."""
     pos, x = _sun_segment(cos_theta)
-    coefs = state.sun_radiance[pos]                     # (..., 72)
+    coefs = take_rows(state.sun_radiance, pos)          # (..., 72)
     return _sun_rgb_from_flat(coefs, x,
                               _cos_psi(gamma, state.params.sun_half_aperture))
 
@@ -289,7 +290,7 @@ def _eval_sun_all_channels(state, cos_theta):
     channels with `take_along_axis`.
     """
     pos, x = _sun_segment(cos_theta)
-    coefs = state.sun_radiance[pos]                           # (..., 44)
+    coefs = take_rows(state.sun_radiance, pos)                # (..., 44)
     xp = poly_powers(x, C.N_SUN_CTRL_PTS)
     k = C.N_SUN_CTRL_PTS
     chans = [jnp.sum(coefs[..., ch * k:(ch + 1) * k] * xp, axis=-1)
@@ -402,7 +403,7 @@ def sample_sky(state: SunskyState, sample):
     # has unbounded gradients when a mixture weight is ~0 (exact-integer
     # turbidity zeroes half the bilinear corner weights).
     reused = jnp.asarray(jax.lax.stop_gradient(reused))
-    g = state.gaussians[idx]                      # (..., 5)
+    g = take_rows(state.gaussians, idx)           # (..., 5)
     mu = g[..., 0:2]
     sigma = g[..., 2:4]
 
@@ -556,7 +557,7 @@ def _estimate_sky_sun_ratio(state: SunskyState, mode: str, n_quad: int = 200):
 
     if mode == "rgb":
         pos, x = _sun_segment(ct_sun)
-        coefs = state.sun_radiance[pos]
+        coefs = take_rows(state.sun_radiance, pos)
         sun_spec = _sun_rgb_from_flat(coefs, x,
                                       _cos_psi(gamma_sun, p.sun_half_aperture))
     else:

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import warp
+from ..ops.gather import take_ints, take_rows, take_scalars
 from ..ops.math import safe_sqrt
 
 DIFFUSE, ROUGH_CONDUCTOR, CONDUCTOR, DIELECTRIC = 0, 1, 2, 3
@@ -86,8 +87,8 @@ def make_diffuse_table(albedos, twosided=None,
 def _reflectance(table: MaterialTable, mat_idx, wavelengths):
     """Per-lane reflectance: (..., C) RGB or (..., W) at hero wavelengths."""
     if wavelengths is None:
-        return table.albedo[mat_idx]
-    spec = table.albedo_spec[mat_idx]                  # (..., 11)
+        return take_rows(table.albedo, mat_idx)
+    spec = take_rows(table.albedo_spec, mat_idx)       # (..., 11)
     norm = jnp.clip((wavelengths - 320.0) / 40.0, 0.0, 10.0)
     lo = jnp.clip(jnp.floor(norm).astype(jnp.int32), 0, 9)
     t = norm - lo
@@ -189,8 +190,9 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None):
     Delta materials contribute 0 here (their throughput only arrives via
     `sample`), matching how the reference's NEE skips Delta BSDFs.
     """
-    kind = table.kind[mat_idx]
-    sign = _flip_sign(wi, table.twosided[mat_idx])
+    kind = take_ints(table.kind, mat_idx)
+    sign = _flip_sign(wi, take_scalars(table.twosided.astype(jnp.float32),
+                                       mat_idx) > 0.5)
     wi_l = wi * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], axis=-1)
     wo_l = wo * jnp.stack([jnp.ones_like(sign)] * 2 + [sign], axis=-1)
     cos_i = wi_l[..., 2]
@@ -203,7 +205,7 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None):
     diff_pdf = warp.INV_PI * jnp.maximum(cos_o, 0.0)
 
     # --- GGX rough conductor lobe ---
-    alpha = table.alpha[mat_idx]
+    alpha = take_scalars(table.alpha, mat_idx)
     m = wi_l + wo_l
     m_len = jnp.linalg.norm(m, axis=-1, keepdims=True)
     m = m / jnp.maximum(m_len, 1e-12)
@@ -211,11 +213,12 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None):
     g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_l, alpha)
     mi_dot = jnp.sum(wi_l * m, axis=-1)
     if wavelengths is None:
-        f_c = _fresnel_conductor(mi_dot, table.eta[mat_idx],
-                                 table.k[mat_idx])
+        f_c = _fresnel_conductor(mi_dot, take_rows(table.eta, mat_idx),
+                                 take_rows(table.k, mat_idx))
     else:  # spectral: channel-averaged conductor Fresnel
         f_avg = jnp.mean(_fresnel_conductor(
-            mi_dot, table.eta[mat_idx], table.k[mat_idx]), axis=-1)
+            mi_dot, take_rows(table.eta, mat_idx),
+            take_rows(table.k, mat_idx)), axis=-1)
         f_c = jnp.broadcast_to(f_avg[..., None],
                                mi_dot.shape + (wavelengths.shape[-1],))
     spec_tint = _tint(table, mat_idx, wavelengths, None)
@@ -242,8 +245,9 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
     Returns (wo, weight, pdf, is_delta). `sample1` drives discrete lobe
     choices (dielectric reflect/refract).
     """
-    kind = table.kind[mat_idx]
-    sign = _flip_sign(wi, table.twosided[mat_idx])
+    kind = take_ints(table.kind, mat_idx)
+    sign = _flip_sign(wi, take_scalars(table.twosided.astype(jnp.float32),
+                                       mat_idx) > 0.5)
     sign3 = jnp.stack([jnp.ones_like(sign)] * 2 + [sign], axis=-1)
     wi_l = wi * sign3
     cos_i = wi_l[..., 2]
@@ -255,7 +259,7 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
     albedo = _reflectance(table, mat_idx, wavelengths)
 
     # --- rough conductor: sample the NDF, reflect ---
-    alpha = table.alpha[mat_idx]
+    alpha = take_scalars(table.alpha, mat_idx)
     m = _ggx_sample(alpha, sample2)
     wo_rough = _reflect(wi_l, m)
     mi_dot = jnp.sum(wi_l * m, axis=-1)
@@ -263,11 +267,12 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
                  / jnp.maximum(4.0 * jnp.abs(mi_dot), 1e-6))
     g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_rough, alpha)
     if wavelengths is None:
-        f_c = _fresnel_conductor(mi_dot, table.eta[mat_idx],
-                                 table.k[mat_idx])
+        f_c = _fresnel_conductor(mi_dot, take_rows(table.eta, mat_idx),
+                                 take_rows(table.k, mat_idx))
     else:
         f_avg = jnp.mean(_fresnel_conductor(
-            mi_dot, table.eta[mat_idx], table.k[mat_idx]), axis=-1)
+            mi_dot, take_rows(table.eta, mat_idx),
+            take_rows(table.k, mat_idx)), axis=-1)
         f_c = jnp.broadcast_to(f_avg[..., None],
                                mi_dot.shape + (wavelengths.shape[-1],))
     spec_tint = _tint(table, mat_idx, wavelengths, None)
@@ -282,17 +287,18 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
     wo_mirr = jnp.stack([-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]],
                         axis=-1)
     if wavelengths is None:
-        f_m = _fresnel_conductor(cos_i, table.eta[mat_idx],
-                                 table.k[mat_idx])
+        f_m = _fresnel_conductor(cos_i, take_rows(table.eta, mat_idx),
+                                 take_rows(table.k, mat_idx))
     else:
         f_avg = jnp.mean(_fresnel_conductor(
-            cos_i, table.eta[mat_idx], table.k[mat_idx]), axis=-1)
+            cos_i, take_rows(table.eta, mat_idx),
+            take_rows(table.k, mat_idx)), axis=-1)
         f_m = jnp.broadcast_to(f_avg[..., None],
                                cos_i.shape + (wavelengths.shape[-1],))
     w_mirr = spec_tint * f_m
 
     # --- smooth dielectric: reflect or refract by Fresnel (delta) ---
-    ior = table.ior[mat_idx]
+    ior = take_scalars(table.ior, mat_idx)
     # dielectric is inherently two-sided: use the unflipped wi
     f_d, cos_t, eta_rel = fresnel_dielectric(wi[..., 2], ior)
     do_reflect = sample1 < f_d

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..models.sunsky import model as sunsky
 from ..ops import warp
+from ..ops.gather import take_ints, take_scalars
 
 
 class ConstantEnv(NamedTuple):
@@ -80,7 +81,7 @@ def area_sample_direction(scene, p_ref, u2, u1):
     from .shapes import sample_position
     n_area = scene.area_emitter_shapes.shape[0]
     pick = jnp.clip((u1 * n_area).astype(jnp.int32), 0, n_area - 1)
-    shape_idx = scene.area_emitter_shapes[pick]
+    shape_idx = take_ints(scene.area_emitter_shapes, pick)
     p_emit, n_emit, pdf_area = sample_position(scene.shapes, shape_idx, u2)
 
     to_emit = p_emit - p_ref
@@ -92,7 +93,8 @@ def area_sample_direction(scene, p_ref, u2, u1):
     pdf_solid = jnp.where(cos_emit > 1e-6,
                           pdf_area * dist2 / jnp.maximum(cos_emit, 1e-6)
                           / n_area, 0.0)
-    radiance = scene.area_radiance[shape_idx]
+    from ..ops.gather import take_rows
+    radiance = take_rows(scene.area_radiance, shape_idx)
     return d, dist, pdf_solid, radiance, n_emit
 
 
@@ -105,8 +107,8 @@ def area_pdf_direction(scene, p_ref, p_hit, n_hit, shape_idx):
     dist2 = jnp.sum(to_hit * to_hit, axis=-1)
     d = to_hit / jnp.sqrt(jnp.maximum(dist2, 1e-12))[..., None]
     cos_emit = jnp.sum(n_hit * -d, axis=-1)
-    pdf_area = 1.0 / scene.shapes.area[shape_idx]
-    is_emitter = scene.shapes.emitter_idx[shape_idx] >= 0
+    pdf_area = 1.0 / take_scalars(scene.shapes.area, shape_idx)
+    is_emitter = take_ints(scene.shapes.emitter_idx, shape_idx) >= 0
     pdf = jnp.where(is_emitter & (cos_emit > 1e-6),
                     pdf_area * dist2 / jnp.maximum(cos_emit, 1e-6) / n_area,
                     0.0)

@@ -27,11 +27,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.gather import take_ints, take_rows
 from ..ops.math import Frame, dot, normalize
+from . import sampler as sampler_mod
 from . import bsdf as bsdf_mod
 from . import emitters as em
 from . import film as film_mod
 from . import sensors as sensors_mod
+from .mesh import mesh_intersect, mesh_test
 from .scene import Scene
 from .shapes import ray_intersect, ray_test
 
@@ -46,10 +49,26 @@ def _mis_weight(pdf_a, pdf_b):
 
 
 def _lane_samples(key, lane_idx, dim, n):
-    """n uniform samples for each lane, decorrelated across `dim` slots."""
+    """n uniform samples for each lane, decorrelated across `dim` slots.
+    (Independent sampler path; see `sampler.py` for stratified/QMC.)"""
     keys = jax.vmap(lambda i: jax.random.fold_in(
         jax.random.fold_in(key, i), dim))(lane_idx)
     return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(keys)
+
+
+class _SamplerCtx:
+    """Per-render sampler context bound to lane identities."""
+
+    def __init__(self, kind, key, pixel_idx, sample_idx, spp):
+        self.kind = kind
+        self.key = key
+        self.pixel_idx = pixel_idx
+        self.sample_idx = sample_idx
+        self.spp = spp
+
+    def next(self, dim, n):
+        return sampler_mod.lane_samples(self.kind, self.key, self.pixel_idx,
+                                        self.sample_idx, self.spp, dim, n)
 
 
 def _env_radiance(scene: Scene, d, wavelengths, mode):
@@ -72,7 +91,7 @@ class PathState(NamedTuple):
     prev_bsdf_delta: jnp.ndarray  # (N,) whether it was a delta sample
 
 
-def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
+def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                  rr_depth: int, mode: str, wavelengths, vma_axes=()):
     """Estimate radiance along primary rays o, d -> (N, C).
 
@@ -105,6 +124,18 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
     def bounce(state: PathState, depth):
         t, p, ng, uv, shape_idx, hit = ray_intersect(
             scene.shapes, state.o, state.d)
+        mesh_mat = None
+        if scene.mesh is not None:
+            tm, nm, matm, _b1, _b2, _tri, hitm = mesh_intersect(
+                scene.mesh, state.o, state.d)
+            use_mesh = hitm & (tm < t)
+            t = jnp.where(use_mesh, tm, t)
+            p = jnp.where(use_mesh[..., None],
+                          state.o + tm[..., None] * state.d, p)
+            ng = jnp.where(use_mesh[..., None], nm, ng)
+            shape_idx = jnp.where(use_mesh, -2, shape_idx)
+            hit = hit | hitm
+            mesh_mat = (use_mesh, matm)
 
         # ---- emitter hit (environment): MIS vs previous BSDF sample ----
         escaped = state.active & ~hit
@@ -122,12 +153,13 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
 
         # ---- area-emitter hit: MIS vs the area-NEE strategy ----
         n_area = scene.area_emitter_shapes.shape[0]
+        area_rows = take_rows(scene.area_radiance,
+                              jnp.maximum(shape_idx, 0))
         if wavelengths is None:
-            area_L = scene.area_radiance[jnp.maximum(shape_idx, 0)]
+            area_L = area_rows
         else:  # constant-spectrum area emitters in spectral mode
-            area_L = jnp.mean(scene.area_radiance[jnp.maximum(shape_idx, 0)],
-                              axis=-1, keepdims=True)
-        facing = dot(ng, -state.d) > 0.0
+            area_L = jnp.mean(area_rows, axis=-1, keepdims=True)
+        facing = (dot(ng, -state.d) > 0.0) & (shape_idx >= 0)
         if n_area > 0:
             area_hit_pdf = em.area_pdf_direction(
                 scene, state.o, p, ng, jnp.maximum(shape_idx, 0))
@@ -146,11 +178,14 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
         # two-sided diffuse surfaces is handled inside the bsdf itself)
         frame = Frame(ng)
         wi_local = frame.to_local(-state.d)
-        mat_idx = scene.shapes.bsdf_idx[jnp.maximum(shape_idx, 0)]
+        mat_idx = take_ints(scene.shapes.bsdf_idx,
+                            jnp.maximum(shape_idx, 0))
+        if mesh_mat is not None:
+            mat_idx = jnp.where(mesh_mat[0], mesh_mat[1], mat_idx)
 
         # ---- next-event estimation toward the environment ----
         if scene.env is not None:
-            u_nee = sg(_lane_samples(key, lane_idx, 3 * depth + 0, 2))
+            u_nee = sg(smp.next(3 * depth + 0, 2))
             d_e, pdf_e = em.env_sample_direction(scene.env,
                                                  scene.env_to_world, u_nee)
             d_e = sg(d_e)
@@ -163,6 +198,9 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occluded = ray_test(scene.shapes, offset_p, d_e,
                                 jnp.full((n,), jnp.inf))
+            if scene.mesh is not None:
+                occluded = occluded | mesh_test(scene.mesh, offset_p, d_e,
+                                                jnp.full((n,), jnp.inf))
             L_e = _env_radiance(scene, d_e, wavelengths, mode)
             mis_nee = _mis_weight(pdf_e_detached, sg(pdf_b))
             contrib = (state.throughput * f_val * L_e
@@ -173,7 +211,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
 
         # ---- next-event estimation toward area emitters ----
         if n_area > 0:
-            u_area = sg(_lane_samples(key, lane_idx, 3 * depth + 3, 3))
+            u_area = sg(smp.next(3 * depth + 3, 3))
             d_a, dist_a, pdf_a, L_a, _n_emit = em.area_sample_direction(
                 scene, p, u_area[..., :2], u_area[..., 2])
             d_a = sg(d_a)
@@ -188,6 +226,9 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_a = ray_test(scene.shapes, off_a, d_a,
                              dist_a * (1.0 - 1e-3))
+            if scene.mesh is not None:
+                occ_a = occ_a | mesh_test(scene.mesh, off_a, d_a,
+                                          dist_a * (1.0 - 1e-3))
             mis_a = _mis_weight(pdf_a, sg(pdf_b_a))
             contrib_a = (state.throughput * f_a * L_a
                          * (mis_a / jnp.maximum(pdf_a, 1e-20))[..., None])
@@ -210,6 +251,9 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_l = ray_test(scene.shapes, off_l, d_l, dist_l * (1 - 1e-3))
+            if scene.mesh is not None:
+                occ_l = occ_l | mesh_test(scene.mesh, off_l, d_l,
+                                          dist_l * (1 - 1e-3))
             I_l = (intensity if wavelengths is None
                    else jnp.mean(intensity, keepdims=True))
             contrib_l = state.throughput * f_l * I_l / dist2_l[..., None]
@@ -229,6 +273,9 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_l = ray_test(scene.shapes, off_l, d_b,
                              jnp.full((n,), jnp.inf))
+            if scene.mesh is not None:
+                occ_l = occ_l | mesh_test(scene.mesh, off_l, d_b,
+                                          jnp.full((n,), jnp.inf))
             E_l = (irr if wavelengths is None
                    else jnp.mean(irr, keepdims=True))
             contrib_l = state.throughput * f_l * E_l
@@ -236,7 +283,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
                                         contrib_l, 0.0)
 
         # ---- BSDF sampling for the next bounce ----
-        u_bsdf = sg(_lane_samples(key, lane_idx, 3 * depth + 1, 3))
+        u_bsdf = sg(smp.next(3 * depth + 1, 3))
         wo_local, weight, pdf_b, is_delta = bsdf_mod.sample(
             scene.bsdfs, mat_idx, wi_local, u_bsdf[..., :2],
             u_bsdf[..., 2], wavelengths)
@@ -248,7 +295,7 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
         # ---- russian roulette (detached, like `path.cpp:285-301`) ----
         rr_prob = jnp.clip(sg(jnp.max(throughput, axis=-1)), 0.0, 0.95)
         do_rr = depth + 1 >= rr_depth
-        u_rr = sg(_lane_samples(key, lane_idx, 3 * depth + 2, 1))[..., 0]
+        u_rr = sg(smp.next(3 * depth + 2, 1))[..., 0]
         survive = jnp.where(do_rr, u_rr < rr_prob, True)
         throughput = jnp.where(do_rr,
                                throughput / jnp.maximum(rr_prob, 1e-6)[..., None],
@@ -276,7 +323,8 @@ def _path_sample(scene: Scene, o, d, key, lane_idx, max_depth: int,
 
 
 def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
-                       max_depth, rr_depth, mode, row0, n_rows, vma_axes=()):
+                       max_depth, rr_depth, mode, row0, n_rows, vma_axes=(),
+                       sampler_kind="independent"):
     """Render `spp_chunk` of `spp` samples for a block of film rows.
 
     Returns an accumulation block (n_rows, W, C+1). RNG is keyed on the
@@ -289,12 +337,12 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
     local_lane = jnp.arange(n, dtype=jnp.uint32)
     local_pixel = local_lane // spp_chunk
     pixel = jnp.uint32(row0) * jnp.uint32(w) + local_pixel
-    lane_idx = (pixel * jnp.uint32(spp) + jnp.uint32(spp0)
-                + local_lane % spp_chunk)
+    sample_idx = jnp.uint32(spp0) + local_lane % spp_chunk
     px = (pixel % w).astype(jnp.float32)
     py = (pixel // w).astype(jnp.float32)
 
-    u_pos = _lane_samples(key, lane_idx, 10_000, 2)
+    smp = _SamplerCtx(sampler_kind, key, pixel, sample_idx, spp)
+    u_pos = smp.next(10_000, 2)
     pix_x = px + u_pos[:, 0]
     pix_y = py + u_pos[:, 1]
     uv = jnp.stack([pix_x / w, pix_y / h], axis=-1)
@@ -306,16 +354,16 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
         # `sample_rgb_spectrum`, `spectrum.h:445-455`), converted to sRGB
         # at splat time via the CIE tables.
         from ..ops import spectrum as spec_mod
-        u_wl = _lane_samples(key, lane_idx, 20_000, 1)[..., 0]
+        u_wl = smp.next(20_000, 1)[..., 0]
         shifted = spec_mod.sample_shifted(u_wl, 4)
         wavelengths, wl_weight = spec_mod.sample_rgb_spectrum(shifted)
-        spec_radiance = _path_sample(scene, o, d, key, lane_idx, max_depth,
+        spec_radiance = _path_sample(scene, o, d, smp, max_depth,
                                      rr_depth, mode, wavelengths,
                                      vma_axes=vma_axes)
         radiance = spec_mod.spectrum_to_srgb(spec_radiance * wl_weight,
                                              wavelengths)
     else:
-        radiance = _path_sample(scene, o, d, key, lane_idx, max_depth,
+        radiance = _path_sample(scene, o, d, smp, max_depth,
                                 rr_depth, mode, None, vma_axes=vma_axes)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
 
@@ -327,7 +375,8 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
 
 
 def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
-                mode, row0, n_rows, vma_axes=(), max_lanes=(1 << 20)):
+                mode, row0, n_rows, vma_axes=(), max_lanes=(1 << 20),
+                sampler_kind="independent"):
     """Render a block of film rows -> (n_rows, W, C+1).
 
     Bounds the live wavefront to `max_lanes` lanes by scanning over spp
@@ -344,12 +393,13 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
     if n_chunks == 1:
         return _render_rows_chunk(scene, sensor, film_cfg, key, spp, 0, spp,
                                   max_depth, rr_depth, mode, row0, n_rows,
-                                  vma_axes)
+                                  vma_axes, sampler_kind)
 
     def chunk(accum, ci):
         a = _render_rows_chunk(scene, sensor, film_cfg, key, spp,
                                ci * spp_chunk, spp_chunk, max_depth,
-                               rr_depth, mode, row0, n_rows, vma_axes)
+                               rr_depth, mode, row0, n_rows, vma_axes,
+                               sampler_kind)
         return accum + a, None
 
     init = jnp.zeros((n_rows, w, film_cfg.n_channels + 1))
@@ -361,16 +411,17 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
 
 @partial(jax.jit,
          static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
-                          "mode"))
+                          "mode", "sampler_kind"))
 def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
-                 mode):
+                 mode, sampler_kind="independent"):
     return render_rows(scene, sensor, film_cfg, key, spp, max_depth,
-                       rr_depth, mode, 0, film_cfg.height)
+                       rr_depth, mode, 0, film_cfg.height,
+                       sampler_kind=sampler_kind)
 
 
 def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
            max_depth: int = 2, rr_depth: int = 1000, mode: str = "rgb",
-           passes: int = 1):
+           passes: int = 1, sampler_kind: str = "independent"):
     """Render an RGB image -> (H, W, C).
 
     `max_depth` counts vertices excluding the camera (2 = direct
@@ -382,6 +433,6 @@ def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
     for p in range(passes):
         pass_key = jax.random.fold_in(key, p)
         a = _render_impl(scene, sensor, film, pass_key, spp // passes,
-                         max_depth, rr_depth, mode)
+                         max_depth, rr_depth, mode, sampler_kind)
         accum = a if accum is None else accum + a
     return film_mod.develop(accum)

@@ -131,6 +131,7 @@ class SceneBundle:
     rr_depth: int
     spp: int
     mode: str
+    sampler_kind: str
     env_kind: Optional[str]
     env_params: Any                      # SunskyParams | ConstantEnv | None
     scene_desc: dict = field(default_factory=dict)
@@ -157,7 +158,8 @@ class SceneBundle:
         return integrator_mod.render(
             scene, self.sensor, self.film, jax.random.PRNGKey(seed),
             spp=spp or self.spp, max_depth=self.max_depth,
-            rr_depth=self.rr_depth, mode=self.mode)
+            rr_depth=self.rr_depth, mode=self.mode,
+            sampler_kind=self.sampler_kind)
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +240,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     integrator = {"type": "path"}
     sensor_desc = None
     env_desc = None
-    shapes, materials, areas = [], [], []
+    shapes, materials, areas, meshes = [], [], [], []
     point_lights, directional_lights = [], []
 
     for key, value in d.items():
@@ -251,6 +253,14 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             sensor_desc = value
         elif t in ("sunsky", "constant", "envmap"):
             env_desc = value
+        elif t == "obj":
+            from ..utils.native import load_obj
+            pos, nrm, idx = load_obj(value["filename"])
+            mat = _build_bsdf(value.get("bsdf", {"type": "diffuse"}), mode)
+            meshes.append(dict(positions=pos, normals=nrm, indices=idx,
+                               to_world=_parse_to_world(value.get("to_world")),
+                               bsdf_idx=len(materials)))
+            materials.append(mat)
         elif t == "point":
             point_lights.append(np.concatenate([
                 np.asarray(value.get("position", [0, 0, 0]), np.float32),
@@ -286,7 +296,15 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     rfilter = film_desc.get("rfilter", {}).get("type", "box") \
         if isinstance(film_desc.get("rfilter"), dict) else "box"
     film = Film(h, w, 3, "gaussian" if rfilter == "gaussian" else "box")
-    spp = int(sensor_desc.get("sampler", {}).get("sample_count", 16))
+    sampler_desc = sensor_desc.get("sampler", {})
+    spp = int(sampler_desc.get("sample_count", 16))
+    sampler_kind = {"independent": "independent",
+                    "stratified": "stratified",
+                    "multijitter": "stratified",
+                    "ldsampler": "qmc",
+                    "sobol": "qmc"}.get(sampler_desc.get("type",
+                                                         "independent"),
+                                        "independent")
 
     st = sensor_desc["type"]
     to_world = _parse_to_world(sensor_desc.get("to_world"))
@@ -336,6 +354,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         area_radiance=area_radiance,
         point_lights=point_lights or None,
         directional_lights=directional_lights or None,
+        meshes=meshes or None,
         env=None)
 
     itype = integrator.get("type", "path")
@@ -346,7 +365,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
 
     return SceneBundle(sensor=sensor, film=film, integrator=itype,
                        max_depth=max_depth, rr_depth=rr_depth, spp=spp,
-                       mode=mode, env_kind=env_kind, env_params=env_params,
+                       mode=mode, sampler_kind=sampler_kind,
+                       env_kind=env_kind, env_params=env_params,
                        scene_desc=d, _scene_static=scene_static)
 
 

@@ -1,0 +1,155 @@
+"""Triangle meshes: SoA tables + tiled Moller-Trumbore intersection.
+
+TPU-first counterpart of the reference's `Mesh` shapes (SURVEY.md H20):
+triangles are intersected in dense 128-wide tiles (the VPU lane width) by
+a `lax.scan` carrying the running closest hit — no BVH pointer chasing,
+fully regular compute. Suitable for the small/medium meshes of the test
+scenes; grid acceleration can subdivide the tile list later without
+changing this kernel.
+
+World-space vertices are baked at build time (`to_world` applied on the
+host), so the inner loop is free of per-mesh transforms.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_TILE = 128
+_RAY_EPS = 1e-4
+
+
+class MeshTable(NamedTuple):
+    """All scene triangles, concatenated and padded to a tile multiple."""
+    v0: jnp.ndarray         # (T, 3)
+    e1: jnp.ndarray         # (T, 3) v1 - v0
+    e2: jnp.ndarray         # (T, 3) v2 - v0
+    n0: jnp.ndarray         # (T, 3) vertex normals for shading (v0)
+    n1: jnp.ndarray         # (T, 3)
+    n2: jnp.ndarray         # (T, 3)
+    bsdf_idx: jnp.ndarray   # (T,) int32
+    valid: jnp.ndarray      # (T,) bool (False on padding)
+
+
+def make_mesh_table(meshes) -> MeshTable:
+    """meshes: list of dicts {positions (V,3), indices (T,3),
+    normals (V,3) optional, to_world (4,4) optional, bsdf_idx int}."""
+    v0s, e1s, e2s, n0s, n1s, n2s, mats = [], [], [], [], [], [], []
+    for m in meshes:
+        pos = np.asarray(m["positions"], np.float32)
+        idx = np.asarray(m["indices"], np.int32)
+        t2w = np.asarray(m.get("to_world", np.eye(4)), np.float32)
+        pos_w = pos @ t2w[:3, :3].T + t2w[:3, 3]
+        nrm = np.asarray(m.get("normals", np.zeros_like(pos)), np.float32)
+        inv_t = np.linalg.inv(t2w[:3, :3]).T
+        nrm_w = nrm @ inv_t.T
+        tri = pos_w[idx]                      # (T, 3, 3)
+        tn = nrm_w[idx]
+        # faces without vertex normals fall back to the geometric normal
+        geo_n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        geo_n /= np.maximum(np.linalg.norm(geo_n, axis=-1, keepdims=True),
+                            1e-12)
+        missing = np.linalg.norm(tn, axis=-1) < 1e-6   # (T, 3)
+        for c in range(3):
+            tn[:, c][missing[:, c]] = geo_n[missing[:, c]]
+        v0s.append(tri[:, 0])
+        e1s.append(tri[:, 1] - tri[:, 0])
+        e2s.append(tri[:, 2] - tri[:, 0])
+        n0s.append(tn[:, 0])
+        n1s.append(tn[:, 1])
+        n2s.append(tn[:, 2])
+        mats.append(np.full((len(idx),), m.get("bsdf_idx", 0), np.int32))
+
+    v0 = np.concatenate(v0s) if v0s else np.zeros((0, 3), np.float32)
+    e1 = np.concatenate(e1s) if e1s else np.zeros((0, 3), np.float32)
+    e2 = np.concatenate(e2s) if e2s else np.zeros((0, 3), np.float32)
+    n0 = np.concatenate(n0s) if n0s else np.zeros((0, 3), np.float32)
+    n1 = np.concatenate(n1s) if n1s else np.zeros((0, 3), np.float32)
+    n2 = np.concatenate(n2s) if n2s else np.zeros((0, 3), np.float32)
+    mat = np.concatenate(mats) if mats else np.zeros((0,), np.int32)
+
+    t = len(v0)
+    pad = (-t) % _TILE
+    zpad3 = np.zeros((pad, 3), np.float32)
+    valid = np.concatenate([np.ones((t,), bool), np.zeros((pad,), bool)])
+    cat = lambda a: np.concatenate([a, zpad3])
+    return MeshTable(jnp.asarray(cat(v0)), jnp.asarray(cat(e1)),
+                     jnp.asarray(cat(e2)), jnp.asarray(cat(n0)),
+                     jnp.asarray(cat(n1)), jnp.asarray(cat(n2)),
+                     jnp.asarray(np.concatenate(
+                         [mat, np.zeros((pad,), np.int32)])),
+                     jnp.asarray(valid))
+
+
+def _tile_hits(mesh: MeshTable, tile: int, o, d):
+    """Moller-Trumbore for one 128-triangle tile -> per-lane best within
+    the tile: (t, b1, b2, tri_local, hit)."""
+    sl = slice(tile * _TILE, (tile + 1) * _TILE)
+    v0 = jax.lax.dynamic_slice_in_dim(mesh.v0, tile * _TILE, _TILE)
+    e1 = jax.lax.dynamic_slice_in_dim(mesh.e1, tile * _TILE, _TILE)
+    e2 = jax.lax.dynamic_slice_in_dim(mesh.e2, tile * _TILE, _TILE)
+    valid = jax.lax.dynamic_slice_in_dim(mesh.valid, tile * _TILE, _TILE)
+
+    # (N, 1, 3) x (TILE, 3) -> (N, TILE)
+    d_b = d[..., None, :]
+    o_b = o[..., None, :]
+    pvec = jnp.cross(d_b, e2[None])
+    det = jnp.sum(e1[None] * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    tvec = o_b - v0[None]
+    b1 = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1[None])
+    b2 = jnp.sum(d_b * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2[None] * qvec, axis=-1) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (b1 >= 0.0) & (b2 >= 0.0)
+           & (b1 + b2 <= 1.0) & (t > _RAY_EPS) & valid[None])
+    t = jnp.where(hit, t, jnp.inf)
+    arg = jnp.argmin(t, axis=-1)
+    take = lambda a: jnp.take_along_axis(a, arg[..., None], axis=-1)[..., 0]
+    return take(t), take(b1), take(b2), arg, jnp.isfinite(take(t))
+
+
+def mesh_intersect(mesh: MeshTable, o, d):
+    """Closest hit against all triangles -> (t, n_shading, mat_idx, b1, b2,
+    tri_idx, hit). t = inf on miss."""
+    n_tiles = mesh.v0.shape[0] // _TILE
+    batch = o.shape[:-1]
+
+    def body(carry, tile):
+        bt, bb1, bb2, btri = carry
+        t, b1, b2, local, hit = _tile_hits(mesh, tile, o, d)
+        closer = t < bt
+        bt = jnp.where(closer, t, bt)
+        bb1 = jnp.where(closer, b1, bb1)
+        bb2 = jnp.where(closer, b2, bb2)
+        btri = jnp.where(closer, tile * _TILE + local, btri)
+        return (bt, bb1, bb2, btri), None
+
+    init = (jnp.full(batch, jnp.inf), jnp.zeros(batch), jnp.zeros(batch),
+            jnp.full(batch, -1, jnp.int32))
+    (t, b1, b2, tri), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
+    hit = jnp.isfinite(t)
+
+    tri_c = jnp.maximum(tri, 0)
+    n = ((1.0 - b1 - b2)[..., None] * mesh.n0[tri_c]
+         + b1[..., None] * mesh.n1[tri_c] + b2[..., None] * mesh.n2[tri_c])
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    mat = mesh.bsdf_idx[tri_c]
+    return t, n, mat, b1, b2, tri, hit
+
+
+def mesh_test(mesh: MeshTable, o, d, maxt):
+    """Any-hit within (eps, maxt)."""
+    n_tiles = mesh.v0.shape[0] // _TILE
+
+    def body(occ, tile):
+        t, _, _, _, hit = _tile_hits(mesh, tile, o, d)
+        return occ | (hit & (t < maxt)), None
+
+    occ, _ = jax.lax.scan(body, jnp.zeros(o.shape[:-1], bool),
+                          jnp.arange(n_tiles))
+    return occ

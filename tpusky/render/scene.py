@@ -30,6 +30,7 @@ class Scene(NamedTuple):
     area_emitter_shapes: jnp.ndarray = None  # (n_area,) int32 shape indices
     point_lights: jnp.ndarray = None         # (Np, 6) [position, intensity]
     directional_lights: jnp.ndarray = None   # (Nd, 6) [direction, irradiance]
+    mesh: Any = None                         # MeshTable | None
 
 
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
@@ -37,7 +38,7 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                bsdf_twosided=None, bsdf_spectral_albedos=None,
                point_lights=None, directional_lights=None, bsdf_kinds=None,
                bsdf_alphas=None, bsdf_etas=None, bsdf_ks=None,
-               bsdf_iors=None) -> Scene:
+               bsdf_iors=None, meshes=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -71,8 +72,13 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
           else np.asarray(point_lights, np.float32).reshape(-1, 6))
     dl = (np.zeros((0, 6), np.float32) if directional_lights is None
           else np.asarray(directional_lights, np.float32).reshape(-1, 6))
+    mesh_table = None
+    if meshes:
+        from .mesh import make_mesh_table
+        mesh_table = make_mesh_table(meshes)
     return Scene(table, bsdfs, env, jnp.asarray(env_to_world, jnp.float32),
                  jnp.asarray(area_radiance, jnp.float32),
                  jnp.asarray(center, jnp.float32),
                  jnp.asarray(radius * (1.0 + 1e-3), jnp.float32),
-                 jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl))
+                 jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl),
+                 mesh_table)
