@@ -1,0 +1,42 @@
+"""Pallas kernel tests (interpreter mode on CPU; numerics vs the jnp path).
+
+The fused TPU kernel is validated against `model.eval` here; on-hardware
+execution is currently blocked by the terminal's remote Mosaic compile
+hanging (2026-08) — the jnp one-hot path remains the production eval until
+then.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import tpusky as ts
+from tpusky.models.sunsky import model as M
+from tpusky.models.sunsky.tables import load_tables
+from tpusky.ops.pallas.sunsky_kernel import sunsky_eval_rgb_pallas
+
+
+def test_pallas_sunsky_matches_jnp():
+    tables = load_tables("rgb")
+    params = ts.make_params(turbidity=4.3, albedo=0.3,
+                            sun_direction=[0.3, 0.2, 0.93])
+    state = jax.jit(lambda p: M.precompute(tables, p, "rgb"))(params)
+    d = jax.random.normal(jax.random.PRNGKey(0), (5000, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    ref = np.array(M.eval(state, d, mode="rgb"))
+    out = np.array(sunsky_eval_rgb_pallas(state, d, interpret=True))
+    err = np.abs(out - ref) / (np.abs(ref) + 1e-6)
+    assert err.max() < 1e-4, err.max()
+
+
+def test_pallas_sun_disc_and_horizon():
+    tables = load_tables("rgb")
+    st = np.sin(np.pi / 3)
+    params = ts.make_params(turbidity=3.0, albedo=0.0,
+                            sun_direction=[st, 0, np.cos(np.pi / 3)])
+    state = jax.jit(lambda p: M.precompute(tables, p, "rgb"))(params)
+    d = jnp.asarray([[st, 0.0, np.cos(np.pi / 3)],   # sun centre
+                     [0.0, 0.0, -1.0]], jnp.float32)  # below horizon
+    out = np.array(sunsky_eval_rgb_pallas(state, d, interpret=True))
+    assert out[0].min() > 1.0       # bright sun disc
+    assert np.all(out[1] == 0.0)    # nothing below the horizon

@@ -318,7 +318,14 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         )
         return new_state, None
 
-    state, _ = jax.lax.scan(bounce, init, jnp.arange(max_depth))
+    # Rematerialised bounce: the backward sweep stores only the compact
+    # per-bounce carry (rays, throughput — a dozen floats per lane) and
+    # recomputes intersections/emitter evals per bounce. This is the
+    # JAX-native analogue of the reference's path-replay backprop
+    # (`prb.py:63-258`): replay instead of taping, with identical RNG by
+    # construction (counter-based streams).
+    state, _ = jax.lax.scan(jax.checkpoint(bounce), init,
+                            jnp.arange(max_depth))
     return state.result
 
 
