@@ -1,0 +1,112 @@
+"""Environment-map emitter tests: eval lookup, chi-square sampling
+consistency, and cross-validation against the constant environment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusky.render.emitters import (EnvMapState, envmap_eval,
+                                    envmap_pdf_direction,
+                                    envmap_sample_direction, make_envmap)
+from tpusky.utils.chi2 import chi2_test
+
+
+def _test_bitmap(h=32, w=64):
+    """Smooth, asymmetric test radiance."""
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    phi = (np.arange(w) + 0.5) / w * 2 * np.pi
+    pg, tg = np.meshgrid(phi, theta)
+    r = 0.2 + np.exp(-((tg - 0.7) ** 2 + (np.cos(pg) - 0.8) ** 2) * 3)
+    g = 0.3 + 0.5 * np.cos(tg)
+    b = 0.1 + 0.4 * np.sin(pg / 2) ** 2
+    return np.stack([r, g, np.abs(b)], -1).astype(np.float32)
+
+
+def test_envmap_constant_matches_uniform():
+    env = make_envmap(np.full((16, 32, 3), 2.5, np.float32))
+    d = jax.random.normal(jax.random.PRNGKey(0), (256, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.array(envmap_eval(env, d))
+    assert np.allclose(out, 2.5, atol=1e-5)
+
+
+def test_envmap_eval_lookup():
+    bm = _test_bitmap()
+    env = make_envmap(bm)
+    # direction through the centre of texel (row, col)
+    h, w = bm.shape[:2]
+    row, col = 10, 40
+    theta = (row + 0.5) / h * np.pi
+    phi = (col + 0.5) / w * 2 * np.pi
+    d = jnp.asarray([[np.cos(phi) * np.sin(theta),
+                      np.sin(phi) * np.sin(theta), np.cos(theta)]])
+    out = np.array(envmap_eval(env, d))[0]
+    assert np.allclose(out, bm[row, col], rtol=1e-4), (out, bm[row, col])
+
+
+def test_envmap_sampling_chi2():
+    env = make_envmap(_test_bitmap())
+
+    def sample_fn(key, n):
+        u = jax.random.uniform(key, (n, 2))
+        return envmap_sample_direction(env, u)[0]
+
+    def pdf_fn(d):
+        return envmap_pdf_direction(env, d)
+
+    p, ok, info = chi2_test(sample_fn, pdf_fn, key=jax.random.PRNGKey(0),
+                            sample_count=2_000_000, res_phi=64, res_cos=32,
+                            cos_range=(-0.99, 0.99), ires=16)
+    assert ok, f"chi2 p={p} {info}"
+
+
+def test_envmap_sample_pdf_agree():
+    env = make_envmap(_test_bitmap())
+    u = jax.random.uniform(jax.random.PRNGKey(1), (50_000, 2))
+    d, pdf = envmap_sample_direction(env, u)
+    pdf2 = envmap_pdf_direction(env, d)
+    rel = np.abs(np.array(pdf) - np.array(pdf2)) / np.maximum(
+        np.array(pdf), 1e-9)
+    assert np.quantile(rel, 0.99) < 1e-3, np.quantile(rel, 0.99)
+
+
+def test_tgmm_vs_envmap_cross_validation():
+    """The reference validates TGMM sampling against an envmap rasterised
+    from the same sky (`sunsky-testing/sky_data_test.py:72-85`): both
+    importance samplers must estimate the same hemispherical sky integral.
+    """
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+
+    state = M.precompute(load_tables("rgb"),
+                         ts.make_params(turbidity=4.0, albedo=0.3,
+                                        sun_direction=[0.4, 0.1, 0.91],
+                                        sun_scale=0.0), "rgb")
+
+    # rasterise the sky into a lat-long bitmap (upper hemisphere)
+    h, w = 64, 128
+    theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+    phi = (jnp.arange(w) + 0.5) / w * 2 * jnp.pi
+    pg, tg = jnp.meshgrid(phi, theta)
+    d = jnp.stack([jnp.cos(pg) * jnp.sin(tg), jnp.sin(pg) * jnp.sin(tg),
+                   jnp.cos(tg)], -1)
+    bm = M.eval(state, d.reshape(-1, 3), mode="rgb").reshape(h, w, 3)
+    env = make_envmap(np.array(bm))
+
+    def lum(x):
+        return 0.212671 * x[..., 0] + 0.715160 * x[..., 1] \
+            + 0.072169 * x[..., 2]
+
+    n = 400_000
+    u = jax.random.uniform(jax.random.PRNGKey(2), (n, 2))
+    # TGMM estimate of integral(lum)
+    d_t, pdf_t = M.sample_direction(state, u)
+    l_t = lum(np.array(M.eval(state, d_t, mode="rgb")))
+    est_tgmm = np.mean(np.where(np.array(pdf_t) > 0,
+                                l_t / np.maximum(np.array(pdf_t), 1e-12), 0))
+    # envmap estimate
+    d_e, pdf_e = envmap_sample_direction(env, u)
+    l_e = lum(np.array(M.eval(state, d_e, mode="rgb")))
+    est_env = np.mean(l_e / np.maximum(np.array(pdf_e), 1e-12))
+    assert abs(est_tgmm - est_env) / est_env < 0.02, (est_tgmm, est_env)

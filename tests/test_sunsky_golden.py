@@ -74,6 +74,21 @@ def test_sky_radiance_spectral(golden, eta, turb, key):
     assert _mean_rel_err(img, golden[key]) <= 0.037
 
 
+def test_sky_radiance_spectral_irregular_albedo(golden):
+    """Reference test03: spectral sky with an 11-point irregular albedo
+    spectrum, vs the stored golden EXR (bar 0.03, `test_sunsky.py:143-145`).
+    """
+    albedo = np.array([0.56, 0.21, 0.58, 0.24, 0.92, 0.42, 0.53, 0.75,
+                       0.54, 0.20, 0.46], np.float32)
+    eta = np.deg2rad(60)
+    st = np.sin(np.pi / 2 - eta)
+    params = M.make_params(turbidity=4.2, albedo=albedo,
+                           sun_direction=[st, 0.0, np.cos(np.pi / 2 - eta)],
+                           sun_scale=0.0, mode="spectral")
+    img = np.array(_render(params, _SPEC_WL, "spectral"))
+    assert _mean_rel_err(img, golden["sky_spectrum_special"]) <= 0.03
+
+
 def test_sun_radiance_spectral(golden):
     """All 80 golden sun spectra (5 turbidities x 4 elevations x 4 gammas)."""
     eps = 1e-4

@@ -36,6 +36,13 @@ def env_eval(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
             return jnp.broadcast_to(env.radiance[..., :1],
                                     wavelengths.shape)
         return jnp.broadcast_to(env.radiance, shape + env.radiance.shape)
+    if isinstance(env, EnvMapState):
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        rgb = envmap_eval(env, d_local)
+        if wavelengths is not None:
+            return jnp.broadcast_to(jnp.mean(rgb, -1, keepdims=True),
+                                    wavelengths.shape)
+        return rgb
     raise TypeError(f"unknown environment {type(env)}")
 
 
@@ -53,6 +60,10 @@ def env_sample_direction(env, env_to_world, sample2):
         d = warp.square_to_uniform_sphere(sample2)
         pdf = jnp.full(d.shape[:-1], warp.INV_FOUR_PI)
         return d, pdf
+    if isinstance(env, EnvMapState):
+        d_local, pdf = envmap_sample_direction(env, sample2)
+        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local)
+        return d_world, pdf
     raise TypeError(f"unknown environment {type(env)}")
 
 
@@ -62,6 +73,9 @@ def env_pdf_direction(env, env_to_world, d_world):
         return sunsky.pdf_direction(env, d_local)
     if isinstance(env, ConstantEnv):
         return jnp.full(d_world.shape[:-1], warp.INV_FOUR_PI)
+    if isinstance(env, EnvMapState):
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        return envmap_pdf_direction(env, d_local)
     raise TypeError(f"unknown environment {type(env)}")
 
 
@@ -113,3 +127,118 @@ def area_pdf_direction(scene, p_ref, p_hit, n_hit, shape_idx):
                     pdf_area * dist2 / jnp.maximum(cos_emit, 1e-6) / n_area,
                     0.0)
     return pdf
+
+
+# ---------------------------------------------------------------------------
+# Bitmap environment emitter (lat-long) with marginal-2D importance sampling
+# ---------------------------------------------------------------------------
+
+
+class EnvMapState(NamedTuple):
+    """Lat-long environment map (reference `src/emitters/envmap.cpp`) with
+    row-marginal / per-row-conditional CDFs for importance sampling (the
+    counterpart of the reference's Hierarchical2D/Marginal2D tables,
+    `include/mitsuba/core/distr_2d.h`; used there to cross-validate the
+    TGMM sampler, `sky_data_test.py:72-85`)."""
+    bitmap: jnp.ndarray      # (H, W, 3)
+    row_cdf: jnp.ndarray     # (H,) inclusive prefix of sin-weighted row lum
+    cond_cdf: jnp.ndarray    # (H, W) per-row inclusive prefix of lum
+    lum: jnp.ndarray         # (H, W) sin-weighted luminance
+    scale: jnp.ndarray       # () radiance scale
+
+
+def make_envmap(bitmap, scale=1.0) -> EnvMapState:
+    """Build an envmap emitter from an (H, W, 3) radiance bitmap.
+
+    Convention: u = phi / 2pi (x axis at u=0), v = theta / pi (zenith at
+    v=0) — matching the spherical sensor.
+    """
+    import numpy as np
+    bm = jnp.asarray(np.asarray(bitmap, np.float32))
+    h, w = bm.shape[:2]
+    theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+    lum = (0.212671 * bm[..., 0] + 0.715160 * bm[..., 1]
+           + 0.072169 * bm[..., 2]) * jnp.sin(theta)[:, None]
+    lum = jnp.maximum(lum, 1e-12)
+    cond_cdf = jnp.cumsum(lum, axis=1)
+    row_cdf = jnp.cumsum(cond_cdf[:, -1])
+    return EnvMapState(bm, row_cdf, cond_cdf, lum,
+                       jnp.asarray(scale, jnp.float32))
+
+
+def _envmap_uv(d):
+    phi = jnp.arctan2(d[..., 1], d[..., 0])
+    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    u = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+    v = theta / jnp.pi
+    return u, v
+
+
+def envmap_eval(env: EnvMapState, d):
+    """Bilinear radiance lookup toward direction d -> (..., 3)."""
+    h, w = env.bitmap.shape[:2]
+    u, v = _envmap_uv(d)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+    tx = x - x0
+    ty = y - jnp.floor(y)
+    x0 = jnp.mod(x0, w)
+    x1 = jnp.mod(x0 + 1, w)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    c00 = env.bitmap[y0, x0]
+    c10 = env.bitmap[y0, x1]
+    c01 = env.bitmap[y1, x0]
+    c11 = env.bitmap[y1, x1]
+    top = c00 * (1 - tx)[..., None] + c10 * tx[..., None]
+    bot = c01 * (1 - tx)[..., None] + c11 * tx[..., None]
+    return env.scale * (top * (1 - ty)[..., None] + bot * ty[..., None])
+
+
+def envmap_sample_direction(env: EnvMapState, sample2):
+    """Luminance-importance sample -> (d, pdf). Texel-uniform within the
+    chosen texel (piecewise-constant distribution)."""
+    h, w = env.bitmap.shape[:2]
+    total = env.row_cdf[-1]
+    ur = sample2[..., 0] * total
+    row = jnp.clip(jnp.searchsorted(env.row_cdf, ur, side="right"), 0, h - 1)
+    row_lo = jnp.where(row > 0, env.row_cdf[jnp.maximum(row - 1, 0)], 0.0)
+    row_mass = env.cond_cdf[row, -1]
+    u_in_row = jnp.clip((ur - row_lo) / jnp.maximum(row_mass, 1e-20), 0, 1)
+
+    cond = env.cond_cdf[row]                    # (..., W) gathered rows
+    uc = u_in_row * row_mass
+    # batched CDF inversion by counting (W is small; pure VPU compares)
+    col = jnp.clip(jnp.sum((cond < uc[..., None]).astype(jnp.int32),
+                           axis=-1), 0, w - 1)
+    col_lo = jnp.where(col > 0,
+                       jnp.take_along_axis(cond, jnp.maximum(col - 1, 0)
+                                           [..., None], -1)[..., 0], 0.0)
+    texel = env.lum.reshape(-1)[row * w + col]
+    u_in_col = jnp.clip((uc - col_lo) / jnp.maximum(texel, 1e-20), 0, 1)
+
+    u = (col + u_in_col) / w
+    v = (row + sample2[..., 1]) / h
+    phi = u * 2.0 * jnp.pi
+    theta = v * jnp.pi
+    st = jnp.sin(theta)
+    d = jnp.stack([jnp.cos(phi) * st, jnp.sin(phi) * st,
+                   jnp.cos(theta)], -1)
+
+    # pdf: texel mass / total, over the texel's solid angle
+    pdf_uv = texel / total * (h * w)
+    pdf = pdf_uv / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-6))
+    return d, pdf
+
+
+def envmap_pdf_direction(env: EnvMapState, d):
+    h, w = env.bitmap.shape[:2]
+    u, v = _envmap_uv(d)
+    col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    texel = env.lum.reshape(-1)[row * w + col]
+    total = env.row_cdf[-1]
+    st = jnp.sqrt(jnp.maximum(1.0 - d[..., 2] ** 2, 0.0))
+    pdf_uv = texel / total * (h * w)
+    return pdf_uv / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-6))

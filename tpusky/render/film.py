@@ -7,8 +7,10 @@ accumulated with `segment_sum` over pixel ids, which XLA lowers to a
 deterministic sorted reduction — renders are bit-reproducible for a fixed
 seed and mesh shape (SURVEY.md §5 "race detection").
 
-Reconstruction filters: `box` (1 tap) and `gaussian` (stddev 0.5,
-2x2 taps), matching the reference's defaults (`src/rfilters/`).
+Reconstruction filters: `box` (1 tap), `gaussian` (stddev 0.5), `tent`,
+and `mitchell` (B = C = 1/3), matching the reference's rfilter plugins
+(`src/rfilters/`); non-box filters splat into a 2x2 (gaussian/tent) or
+4x4 (mitchell) neighbourhood.
 """
 
 from __future__ import annotations
@@ -42,18 +44,35 @@ def splat(film: Film, pixel_uv, values):
         img = jax.ops.segment_sum(values, flat, num_segments=h * w)
         return img.reshape(h, w, c + 1)
 
-    # gaussian (sigma = 0.5, radius 1): 2x2 neighbourhood around the sample
-    sigma2 = 0.25
-    base_x = jnp.floor(pixel_uv[..., 0] - 0.5)
-    base_y = jnp.floor(pixel_uv[..., 1] - 0.5)
+    radius = 2 if film.rfilter == "mitchell" else 1
+    taps = range(2 * radius)
+
+    def weight_fn(r):
+        if film.rfilter == "gaussian":
+            return jnp.exp(-0.5 * r * r / 0.25)
+        if film.rfilter == "tent":
+            return jnp.maximum(1.0 - r, 0.0)
+        if film.rfilter == "mitchell":
+            b = cc = 1.0 / 3.0
+            r = jnp.abs(r)
+            r2, r3 = r * r, r * r * r
+            inner = ((12 - 9 * b - 6 * cc) * r3 + (-18 + 12 * b + 6 * cc)
+                     * r2 + (6 - 2 * b)) / 6.0
+            outer = ((-b - 6 * cc) * r3 + (6 * b + 30 * cc) * r2
+                     + (-12 * b - 48 * cc) * r + (8 * b + 24 * cc)) / 6.0
+            return jnp.where(r < 1.0, inner, jnp.where(r < 2.0, outer, 0.0))
+        raise ValueError(f"unknown rfilter {film.rfilter!r}")
+
+    base_x = jnp.floor(pixel_uv[..., 0] - 0.5) - (radius - 1)
+    base_y = jnp.floor(pixel_uv[..., 1] - 0.5) - (radius - 1)
     img = jnp.zeros((h * w, c + 1), values.dtype)
-    for oy in (0, 1):
-        for ox in (0, 1):
+    for oy in taps:
+        for ox in taps:
             px = base_x + ox
             py = base_y + oy
             dx = px + 0.5 - pixel_uv[..., 0]
             dy = py + 0.5 - pixel_uv[..., 1]
-            wgt = jnp.exp(-0.5 * (dx * dx + dy * dy) / sigma2)
+            wgt = weight_fn(jnp.sqrt(dx * dx + dy * dy))
             inside = ((px >= 0) & (px < w) & (py >= 0) & (py < h))
             wgt = jnp.where(inside, wgt, 0.0)
             flat = (jnp.clip(py, 0, h - 1) * w
@@ -61,6 +80,25 @@ def splat(film: Film, pixel_uv, values):
             img = img + jax.ops.segment_sum(values * wgt[..., None], flat,
                                             num_segments=h * w)
     return img.reshape(h, w, c + 1)
+
+
+def spectral_band_accumulate(wavelengths, values_over_pdf, bands):
+    """SpecFilm-style band accumulation (reference `src/films/specfilm.cpp`):
+    each hero-wavelength sample lands in its band -> (..., n_bands).
+
+    bands: static array of band edges (n_bands + 1,) in nm. values_over_pdf
+    (..., W) are spectral radiance samples already divided by their
+    wavelength pdf; the band estimate is the mean over hero samples of the
+    in-band contribution.
+    """
+    edges = jnp.asarray(bands)
+    n_bands = edges.shape[0] - 1
+    idx = jnp.clip(jnp.searchsorted(edges, wavelengths, side="right") - 1,
+                   0, n_bands - 1)
+    inside = (wavelengths >= edges[0]) & (wavelengths <= edges[-1])
+    contrib = jnp.where(inside, values_over_pdf, 0.0)
+    onehot = (idx[..., None] == jnp.arange(n_bands)).astype(contrib.dtype)
+    return jnp.mean(contrib[..., None] * onehot, axis=-2)
 
 
 def develop(accum):

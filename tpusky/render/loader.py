@@ -329,6 +329,17 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             env_params = ConstantEnv(jnp.asarray(
                 spectrum_to_channels(env_desc.get("radiance", 1.0), "rgb"),
                 jnp.float32))
+        elif env_desc["type"] == "envmap":
+            from ..utils.io import read_exr
+            from .emitters import make_envmap
+            env_kind = "constant"  # precomputed state, no re-derivation
+            if "bitmap" in env_desc:
+                bm = np.asarray(env_desc["bitmap"], np.float32)
+            else:
+                img, names = read_exr(env_desc["filename"])
+                bm = img[..., ::-1] if names[:3] == ["B", "G", "R"] else img
+            env_params = make_envmap(bm,
+                                     float(env_desc.get("scale", 1.0)))
         else:
             raise ValueError(f"unsupported environment {env_desc['type']!r}")
 
