@@ -34,10 +34,11 @@ def test_sphere_light_analytic():
         area_radiance=np.array([[0, 0, 0], [L, L, L]], np.float32))
     img = np.array(integrator.render(scene, _floor_camera(), Film(8, 8, 3),
                                      jax.random.PRNGKey(0), spp=1024,
-                                     max_depth=2))
+                                     max_depth=2,
+                                     sampler_kind="stratified"))
     expected = rho * L * (r / h) ** 2
     got = img[4, 4].mean()
-    assert abs(got - expected) / expected < 0.05, (got, expected)
+    assert abs(got - expected) / expected < 0.02, (got, expected)
 
 
 def test_point_light_analytic():
@@ -88,10 +89,11 @@ def test_small_rect_light_analytic():
         area_radiance=np.array([[0, 0, 0], [L, L, L]], np.float32))
     img = np.array(integrator.render(scene, _floor_camera(), Film(8, 8, 3),
                                      jax.random.PRNGKey(0), spp=512,
-                                     max_depth=2))
+                                     max_depth=2,
+                                     sampler_kind="stratified"))
     expected = rho / np.pi * L * area / h ** 2
     got = img[4, 4].mean()
-    assert abs(got - expected) / expected < 0.03, (got, expected)
+    assert abs(got - expected) / expected < 0.02, (got, expected)
 
 
 def test_point_light_via_loader():

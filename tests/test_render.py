@@ -177,9 +177,11 @@ def test_train_step_reduces_loss():
     params = ts.make_params(turbidity=3.0, albedo=0.3,
                             sun_direction=[0.3, 0.2, 0.93])
     opt_state = optimizer.init(params)
-    for i in range(10):
+    for i in range(15):
+        # fresh sample set each iteration (stochastic gradient descent)
         opt_state, params, loss = step(opt_state, params, target,
-                                       jax.random.PRNGKey(5))
+                                       jax.random.fold_in(
+                                           jax.random.PRNGKey(5), i))
         assert np.isfinite(float(loss))
     # turbidity should move noticeably toward the target value 6.0
     assert float(params.turbidity) > 4.0, float(params.turbidity)

@@ -167,7 +167,10 @@ def _tgmm_mixture(tgmm, turbidity, eta):
 def precompute(tables: SunskyTables, params: SunskyParams,
                mode: str = "rgb") -> SunskyState:
     """Derive the renderer-facing state from model parameters."""
-    sun_dir = params.sun_direction
+    # Normalise here so optimisers can treat sun_direction as a free
+    # 3-vector (gradients flow through the normalisation); the reference
+    # normalises its input the same way (`sunsky.cpp:923`).
+    sun_dir = params.sun_direction / jnp.linalg.norm(params.sun_direction)
     phi, theta = dir_to_sph(sun_dir)
     sun_angles = jnp.stack([phi, theta])
     frame = Frame(sun_dir)
