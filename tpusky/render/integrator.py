@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.gather import take_ints, take_rows
-from ..ops.math import Frame, dot, normalize
+from ..ops.math import Frame, dot
 from . import sampler as sampler_mod
 from . import bsdf as bsdf_mod
 from . import emitters as em

@@ -36,10 +36,9 @@ from ..models.sunsky.tables import load_tables
 from ..utils import transform as T
 from . import integrator as integrator_mod
 from .emitters import ConstantEnv
-from .film import Film, develop
+from .film import Film
 from .scene import make_scene
-from .sensors import (Orthographic, Perspective, Spherical, make_perspective,
-                      make_spherical)
+from .sensors import Orthographic, Perspective, make_spherical
 from .shapes import CUBE, DISK, RECTANGLE, SPHERE
 
 _SHAPE_KINDS = {"rectangle": RECTANGLE, "sphere": SPHERE, "disk": DISK,

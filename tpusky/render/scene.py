@@ -10,7 +10,7 @@ automatically — the analogue of `parameters_changed`).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax.numpy as jnp
 import numpy as np
