@@ -391,11 +391,12 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
 
     smp = _SamplerCtx(sampler_kind, key, pixel, sample_idx, spp)
     u_pos = smp.next(10_000, 2)
+    u_lens = smp.next(10_001, 2)
     pix_x = px + u_pos[:, 0]
     pix_y = py + u_pos[:, 1]
     uv = jnp.stack([pix_x / w, pix_y / h], axis=-1)
 
-    o, d = sensors_mod.sample_ray(sensor, uv)
+    o, d = sensors_mod.sample_ray(sensor, uv, u_lens)
     if mode == "spectral":
         # hero-wavelength transport: 4 stratified wavelengths per path,
         # importance-sampled for RGB sensor response (the reference's

@@ -96,6 +96,22 @@ def spectrum_to_channels(value, mode: str) -> np.ndarray:
             if mode == "rgb":
                 return np.full(3, np.interp([600, 550, 450], w, v).mean())
             return np.interp(wl, w, v)
+        if t == "blackbody":
+            # Planck spectral radiance (W / m^2 / sr / nm), the reference's
+            # `src/spectra/blackbody.cpp`
+            temp = float(value.get("temperature", 5778.0))
+            h_pl, c, kb = 6.62607015e-34, 2.99792458e8, 1.380649e-23
+            lam = (np.array([600, 550, 450.0]) if mode == "rgb"
+                   else wl) * 1e-9
+            rad = (2 * h_pl * c * c / lam ** 5
+                   / (np.exp(h_pl * c / (lam * kb * temp)) - 1.0)) * 1e-9
+            scale = float(value.get("scale", 1.0))
+            return rad * scale
+        if t == "d65":
+            from ..ops.spectrum import cie_d65
+            import jax.numpy as _jnp
+            lam = np.array([600, 550, 450.0]) if mode == "rgb" else wl
+            return np.asarray(cie_d65(_jnp.asarray(lam)))                 * float(value.get("scale", 1.0))
         if t == "regular":
             lo = float(value.get("lambda_min", value.get("wavelength_min",
                                                          360.0)))
@@ -139,6 +155,20 @@ class SceneBundle:
     @property
     def params(self):
         return self.env_params
+
+    def traverse(self):
+        """Differentiable-parameter dictionary, the `mi.traverse` analogue
+        (`util.py:13-331`): flat {path: leaf} over the emitter parameters.
+        Mutate values and pass the rebuilt pytree to `render`."""
+        import jax
+        if self.env_params is None:
+            return {}
+        leaves, treedef = jax.tree.flatten(self.env_params)
+        if hasattr(self.env_params, "_fields"):
+            names = self.env_params._fields
+            return {f"emitter.{k}": v
+                    for k, v in zip(names, self.env_params)}
+        return {f"emitter.{i}": v for i, v in enumerate(leaves)}
 
     def build_scene(self, env_params=None):
         env_params = self.env_params if env_params is None else env_params
@@ -307,7 +337,17 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
 
     st = sensor_desc["type"]
     to_world = _parse_to_world(sensor_desc.get("to_world"))
-    if st in ("perspective", "thinlens"):
+    if st == "thinlens":
+        from .sensors import ThinLens
+        fov = float(sensor_desc.get("fov", 45.0))
+        sensor = ThinLens(jnp.asarray(to_world),
+                          jnp.asarray(fov, jnp.float32),
+                          jnp.asarray(w / h, jnp.float32),
+                          jnp.asarray(float(sensor_desc.get(
+                              "aperture_radius", 0.1)), jnp.float32),
+                          jnp.asarray(float(sensor_desc.get(
+                              "focus_distance", 5.0)), jnp.float32))
+    elif st == "perspective":
         fov = float(sensor_desc.get("fov", 45.0))
         sensor = Perspective(jnp.asarray(to_world),
                              jnp.asarray(fov, jnp.float32),

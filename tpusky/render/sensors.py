@@ -75,6 +75,35 @@ def spherical_ray(sensor: Spherical, uv):
     return o, d
 
 
+class ThinLens(NamedTuple):
+    """Perspective camera with a finite aperture (depth of field);
+    reference `src/sensors/thinlens.cpp`."""
+    to_world: jnp.ndarray
+    fov_x_deg: jnp.ndarray
+    aspect: jnp.ndarray
+    aperture_radius: jnp.ndarray
+    focus_distance: jnp.ndarray
+
+
+def thinlens_ray(sensor: ThinLens, uv, lens_uv):
+    """uv: film coords; lens_uv: aperture samples (..., 2)."""
+    from ..ops.warp import square_to_uniform_disk_concentric
+    tan_half = jnp.tan(0.5 * jnp.deg2rad(sensor.fov_x_deg))
+    x = (2.0 * uv[..., 0] - 1.0) * tan_half
+    y = (1.0 - 2.0 * uv[..., 1]) * tan_half / sensor.aspect
+    # point on the focal plane (camera space, +z forward)
+    focus = jnp.stack([x, y, jnp.ones_like(x)], -1) * sensor.focus_distance
+    lens = square_to_uniform_disk_concentric(lens_uv) * sensor.aperture_radius
+    o_cam = jnp.stack([lens[..., 0], lens[..., 1],
+                       jnp.zeros_like(lens[..., 0])], -1)
+    d_cam = focus - o_cam
+    d = jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], d_cam)
+    d = normalize(d)
+    o = (jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], o_cam)
+         + sensor.to_world[:3, 3])
+    return o, d
+
+
 class Orthographic(NamedTuple):
     to_world: jnp.ndarray     # (4, 4)
     scale: jnp.ndarray        # () half-extent of the film in world units
@@ -90,8 +119,12 @@ def orthographic_ray(sensor: Orthographic, uv):
     return o, d
 
 
-def sample_ray(sensor, uv):
+def sample_ray(sensor, uv, lens_uv=None):
     """Dispatch on the sensor pytree type (static under jit)."""
+    if isinstance(sensor, ThinLens):
+        if lens_uv is None:
+            lens_uv = jnp.full(uv.shape, 0.5)
+        return thinlens_ray(sensor, uv, lens_uv)
     if isinstance(sensor, Perspective):
         return perspective_ray(sensor, uv)
     if isinstance(sensor, Spherical):
