@@ -53,11 +53,14 @@ def main() -> None:
     # bug, 2026-08); the split adds ~2.5 ms/frame of precompute, which is
     # included in the timed loop.
     precompute = jax.jit(lambda p: M.precompute(tables, p, "rgb"))
+    from tpusky.render.bsdf import table_kinds
+    kinds = table_kinds(base_scene.bsdfs)
 
     def run(p, key):
         scene = base_scene._replace(env=precompute(p))
         return integrator._render_impl(scene, sensor, film, key, spp,
-                                       max_depth, 1000, "rgb")
+                                       max_depth, 1000, "rgb",
+                                       kinds=kinds)
 
     # warm-up/compile
     out = run(params, jax.random.PRNGKey(0))

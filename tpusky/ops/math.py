@@ -89,6 +89,30 @@ def coordinate_system(n):
     return s, t
 
 
+def mat3_apply(m, v):
+    """(3, 3) matrix times (..., 3) vectors with explicit elementwise
+    arithmetic. NEVER lower small geometry transforms to `@`/einsum: XLA
+    routes those onto the MXU whose default f32 precision is bf16-truncated
+    inputs (~2e-3 relative) — enough to break shadow-ray occlusion
+    predicates. Explicit muls/adds stay on the VPU in full f32."""
+    return jnp.stack([v[..., 0] * m[0, 0] + v[..., 1] * m[0, 1]
+                      + v[..., 2] * m[0, 2],
+                      v[..., 0] * m[1, 0] + v[..., 1] * m[1, 1]
+                      + v[..., 2] * m[1, 2],
+                      v[..., 0] * m[2, 0] + v[..., 1] * m[2, 1]
+                      + v[..., 2] * m[2, 2]], axis=-1)
+
+
+def mat3_apply_t(m, v):
+    """Transpose apply: m^T @ v for (3, 3) m, (..., 3) v (VPU-exact)."""
+    return jnp.stack([v[..., 0] * m[0, 0] + v[..., 1] * m[1, 0]
+                      + v[..., 2] * m[2, 0],
+                      v[..., 0] * m[0, 1] + v[..., 1] * m[1, 1]
+                      + v[..., 2] * m[2, 1],
+                      v[..., 0] * m[0, 2] + v[..., 1] * m[1, 2]
+                      + v[..., 2] * m[2, 2]], axis=-1)
+
+
 class Frame:
     """Orthonormal frame around a normal; to_local/to_world helpers.
 

@@ -11,6 +11,14 @@ Supported kinds:
                     (`roughconductor.cpp`, `microfacet.h`)
   2 conductor       smooth mirror + complex-IOR Fresnel (delta lobe)
   3 dielectric      smooth glass, reflect/refract by Fresnel (delta lobe)
+  4 plastic         smooth dielectric coat over a Lambertian base with
+                    internal-scattering compensation (`plastic.cpp`)
+  5 roughdielectric GGX microfacet glass, reflect+refract (`roughdielectric.cpp`)
+  6 null            invisible pass-through (`null.cpp`; delta transmission)
+
+Any material additionally carries an `opacity` in [0, 1]: lanes pass
+through unscattered with probability 1-opacity — the flattened equivalent
+of the reference's `mask.cpp` wrapper (opacity 1 = no mask).
 
 Directions are in the local shading frame (+z = normal). `sample` returns
 weight = value/pdf with cosine foreshortening included; delta lobes return
@@ -31,6 +39,7 @@ from ..ops.gather import take_ints, take_rows, take_scalars
 from ..ops.math import safe_sqrt
 
 DIFFUSE, ROUGH_CONDUCTOR, CONDUCTOR, DIELECTRIC = 0, 1, 2, 3
+PLASTIC, ROUGH_DIELECTRIC, NULL_BSDF = 4, 5, 6
 
 
 class MaterialTable(NamedTuple):
@@ -42,6 +51,7 @@ class MaterialTable(NamedTuple):
     eta: jnp.ndarray          # (M, 3) conductor IOR (real part)
     k: jnp.ndarray            # (M, 3) conductor IOR (imaginary part)
     ior: jnp.ndarray          # (M,) dielectric relative IOR (int/ext)
+    opacity: jnp.ndarray = None  # (M,) mask opacity (1 = opaque)
 
 
 # legacy alias used throughout the renderer
@@ -50,7 +60,8 @@ DiffuseTable = MaterialTable
 
 def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                         twosided=None, spectral_albedos=None, alphas=None,
-                        etas=None, ks=None, iors=None) -> MaterialTable:
+                        etas=None, ks=None, iors=None,
+                        opacities=None) -> MaterialTable:
     import numpy as np
     a = np.atleast_2d(np.asarray(albedos, np.float32))
     m = a.shape[0]
@@ -69,12 +80,15 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
           if ks is None else np.atleast_2d(np.asarray(ks, np.float32)))
     iors = (np.full((m,), 1.5046, np.float32) if iors is None
             else np.asarray(iors, np.float32))
+    opacities = (np.ones((m,), np.float32) if opacities is None
+                 else np.asarray(opacities, np.float32))
     return MaterialTable(jnp.asarray(kinds), jnp.asarray(a),
                          jnp.asarray(ts),
                          jnp.asarray(np.asarray(spectral_albedos,
                                                 np.float32)),
                          jnp.asarray(alphas), jnp.asarray(etas),
-                         jnp.asarray(ks), jnp.asarray(iors))
+                         jnp.asarray(ks), jnp.asarray(iors),
+                         jnp.asarray(opacities))
 
 
 def make_diffuse_table(albedos, twosided=None,
@@ -174,6 +188,15 @@ def _reflect(wi, m):
     return 2.0 * jnp.sum(wi * m, axis=-1, keepdims=True) * m - wi
 
 
+def fresnel_diffuse_reflectance(inv_eta):
+    """Diffuse (hemispherically averaged) Fresnel reflectance for a
+    relative IOR < 1, Egan & Hilgeman (1973) fit — the reference's
+    `fresnel_diffuse_reflectance` fast path (`fresnel.h`), evaluated at
+    1/eta for the plastic model's internal scattering term."""
+    return (-1.4399 * inv_eta * inv_eta + 0.7099 * inv_eta + 0.6681
+            + 0.0636 / jnp.maximum(inv_eta, 1e-4))
+
+
 def _tint(table, mat_idx, wavelengths, n_chan_ref):
     """Specular tint: RGB uses the albedo column; spectral uses the
     interpolated spectrum."""
@@ -184,12 +207,36 @@ def _n_chan(wavelengths):
     return 3 if wavelengths is None else wavelengths.shape[-1]
 
 
-def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None):
+def table_kinds(table: MaterialTable):
+    """Static lobe descriptor for a CONCRETE material table: (sorted kind
+    tuple, any_mask flag). Pass the result to eval_pdf/sample as `kinds` so
+    absent lobes are pruned at trace time instead of computed-and-masked —
+    worth ~8% whole-render throughput for diffuse-only scenes. Returns None
+    (= compute everything) when the table is a tracer."""
+    import numpy as np
+    try:
+        ks = np.asarray(table.kind)
+        op = np.asarray(table.opacity)
+    except Exception:
+        return None
+    return (tuple(sorted(int(k) for k in np.unique(ks))),
+            bool((op < 1.0).any()))
+
+
+def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
+             kinds=None):
     """(f * cos(theta_o), pdf) over the non-delta lobes.
 
     Delta materials contribute 0 here (their throughput only arrives via
     `sample`), matching how the reference's NEE skips Delta BSDFs.
+    `kinds`: optional static descriptor from `table_kinds` — lobes not in
+    it are skipped entirely.
     """
+    present, any_mask = kinds if kinds is not None else (None, True)
+
+    def has(k):
+        return present is None or k in present
+
     kind = take_ints(table.kind, mat_idx)
     sign = _flip_sign(wi, take_scalars(table.twosided.astype(jnp.float32),
                                        mat_idx) > 0.5)
@@ -199,52 +246,142 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None):
     cos_o = wo_l[..., 2]
     refl_active = (cos_i > 0.0) & (cos_o > 0.0)
 
+    nc = _n_chan(wavelengths)
+    value = jnp.zeros(cos_i.shape + (nc,))
+    pdf = jnp.zeros(cos_i.shape)
+
     # --- diffuse lobe ---
-    albedo = _reflectance(table, mat_idx, wavelengths)
-    diff_val = albedo * (warp.INV_PI * jnp.maximum(cos_o, 0.0))[..., None]
-    diff_pdf = warp.INV_PI * jnp.maximum(cos_o, 0.0)
+    if has(DIFFUSE) or has(PLASTIC):
+        albedo = _reflectance(table, mat_idx, wavelengths)
+    if has(DIFFUSE):
+        diff_val = albedo * (warp.INV_PI
+                             * jnp.maximum(cos_o, 0.0))[..., None]
+        diff_pdf = warp.INV_PI * jnp.maximum(cos_o, 0.0)
+        is_diff = kind == DIFFUSE
+        value = jnp.where(is_diff[..., None], diff_val, value)
+        pdf = jnp.where(is_diff, diff_pdf, pdf)
 
     # --- GGX rough conductor lobe ---
-    alpha = take_scalars(table.alpha, mat_idx)
-    m = wi_l + wo_l
-    m_len = jnp.linalg.norm(m, axis=-1, keepdims=True)
-    m = m / jnp.maximum(m_len, 1e-12)
-    d_ndf = _ggx_ndf(m, alpha)
-    g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_l, alpha)
-    mi_dot = jnp.sum(wi_l * m, axis=-1)
-    if wavelengths is None:
-        f_c = _fresnel_conductor(mi_dot, take_rows(table.eta, mat_idx),
-                                 take_rows(table.k, mat_idx))
-    else:  # spectral: channel-averaged conductor Fresnel
-        f_avg = jnp.mean(_fresnel_conductor(
-            mi_dot, take_rows(table.eta, mat_idx),
-            take_rows(table.k, mat_idx)), axis=-1)
-        f_c = jnp.broadcast_to(f_avg[..., None],
-                               mi_dot.shape + (wavelengths.shape[-1],))
-    spec_tint = _tint(table, mat_idx, wavelengths, None)
-    denom = 4.0 * jnp.maximum(cos_i, 1e-6)
-    rough_val = (spec_tint * f_c
-                 * (d_ndf * g / denom)[..., None])
-    rough_pdf = (d_ndf * m[..., 2]
-                 / jnp.maximum(4.0 * jnp.abs(mi_dot), 1e-6))
+    if has(ROUGH_CONDUCTOR):
+        alpha = take_scalars(table.alpha, mat_idx)
+        m = wi_l + wo_l
+        m_len = jnp.linalg.norm(m, axis=-1, keepdims=True)
+        m = m / jnp.maximum(m_len, 1e-12)
+        d_ndf = _ggx_ndf(m, alpha)
+        g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_l, alpha)
+        mi_dot = jnp.sum(wi_l * m, axis=-1)
+        if wavelengths is None:
+            f_c = _fresnel_conductor(mi_dot, take_rows(table.eta, mat_idx),
+                                     take_rows(table.k, mat_idx))
+        else:  # spectral: channel-averaged conductor Fresnel
+            f_avg = jnp.mean(_fresnel_conductor(
+                mi_dot, take_rows(table.eta, mat_idx),
+                take_rows(table.k, mat_idx)), axis=-1)
+            f_c = jnp.broadcast_to(f_avg[..., None],
+                                   mi_dot.shape + (wavelengths.shape[-1],))
+        spec_tint = _tint(table, mat_idx, wavelengths, None)
+        denom = 4.0 * jnp.maximum(cos_i, 1e-6)
+        rough_val = (spec_tint * f_c * (d_ndf * g / denom)[..., None])
+        rough_pdf = (d_ndf * m[..., 2]
+                     / jnp.maximum(4.0 * jnp.abs(mi_dot), 1e-6))
+        is_rough = kind == ROUGH_CONDUCTOR
+        value = jnp.where(is_rough[..., None], rough_val, value)
+        pdf = jnp.where(is_rough, rough_pdf, pdf)
 
-    is_diff = kind == DIFFUSE
-    is_rough = kind == ROUGH_CONDUCTOR
-    value = jnp.where(is_diff[..., None], diff_val,
-                      jnp.where(is_rough[..., None], rough_val, 0.0))
-    pdf = jnp.where(is_diff, diff_pdf, jnp.where(is_rough, rough_pdf, 0.0))
+    if has(PLASTIC) or has(ROUGH_DIELECTRIC):
+        ior = take_scalars(table.ior, mat_idx)
+
+    # --- smooth plastic: Fresnel-weighted Lambertian base
+    #     (specular coat is a delta lobe -> only via `sample`) ---
+    if has(PLASTIC):
+        f_i_pl, _, _ = fresnel_dielectric(jnp.maximum(cos_i, 0.0), ior)
+        f_o_pl, _, _ = fresnel_dielectric(jnp.maximum(cos_o, 0.0), ior)
+        fdr = fresnel_diffuse_reflectance(1.0 / jnp.maximum(ior,
+                                                            1.0 + 1e-4))
+        inv_eta2 = 1.0 / (ior * ior)
+        # nonlinear=True internal-scattering compensation (`plastic.cpp`)
+        pl_val = (albedo / jnp.maximum(1.0 - albedo * fdr[..., None], 1e-3)
+                  * ((1.0 - f_i_pl) * (1.0 - f_o_pl) * inv_eta2
+                     * warp.INV_PI * jnp.maximum(cos_o, 0.0))[..., None])
+        # lobe choice matches `sample`: specular with probability F(cos_i)
+        pl_pdf = (1.0 - f_i_pl) * warp.INV_PI * jnp.maximum(cos_o, 0.0)
+        is_plastic = kind == PLASTIC
+        value = jnp.where(is_plastic[..., None], pl_val, value)
+        pdf = jnp.where(is_plastic, pl_pdf, pdf)
+
     value = jnp.where(refl_active[..., None], value, 0.0)
     pdf = jnp.where(refl_active, pdf, 0.0)
+
+    # --- rough dielectric (GGX reflect + refract, Walter 2007 / the
+    #     reference's `roughdielectric.cpp`) — geometric frame, and it
+    #     bypasses the reflection-hemisphere gate above ---
+    if has(ROUGH_DIELECTRIC):
+        alpha = take_scalars(table.alpha, mat_idx)
+        gi, go = wi[..., 2], wo[..., 2]
+        reflecting = gi * go > 0.0
+        eta_rel_rd = jnp.where(gi >= 0.0, ior, 1.0 / ior)
+        # half vector: reflection m ~ wi+wo; refraction m ~ -(wi + eta*wo)
+        m_refl = wi + wo
+        m_refr = -(wi + wo * eta_rel_rd[..., None])
+        m_rd = jnp.where(reflecting[..., None], m_refl, m_refr)
+        m_rd = m_rd / jnp.maximum(
+            jnp.linalg.norm(m_rd, axis=-1, keepdims=True), 1e-12)
+        m_rd = m_rd * jnp.sign(m_rd[..., 2:3])      # upper hemisphere
+        alpha_rd = jnp.maximum(alpha, 1e-3)
+        d_rd = _ggx_ndf(m_rd, alpha_rd)
+        # Smith G with shadowing evaluated in the upper half space
+        g_rd = (_ggx_g1(wi * jnp.sign(gi)[..., None], alpha_rd)
+                * _ggx_g1(wo * jnp.sign(go)[..., None], alpha_rd))
+        wim = jnp.sum(wi * m_rd, axis=-1)
+        wom = jnp.sum(wo * m_rd, axis=-1)
+        f_rd, _, _ = fresnel_dielectric(wim, ior)
+        # reflection: f*cos_o = F D G / (4 |cos_i|)
+        val_refl = (f_rd * d_rd * g_rd
+                    / (4.0 * jnp.maximum(jnp.abs(gi), 1e-6)))
+        jac_refl = 1.0 / jnp.maximum(4.0 * jnp.abs(wom), 1e-6)
+        # refraction (Walter eq. 21), x cos_o, x 1/eta^2 compression
+        sqrt_dn = wim + eta_rel_rd * wom
+        jac_refr = (eta_rel_rd * eta_rel_rd * jnp.abs(wom)
+                    / jnp.maximum(sqrt_dn * sqrt_dn, 1e-8))
+        val_refr = ((1.0 - f_rd) * d_rd * g_rd * jnp.abs(wim) * jac_refr
+                    / jnp.maximum(jnp.abs(gi), 1e-6)
+                    / (eta_rel_rd * eta_rel_rd))
+        rd_ok = jnp.where(reflecting, wim * gi > 0.0,
+                          (wim * gi > 0.0) & (wom * go > 0.0))
+        rd_val_s = jnp.where(reflecting, val_refl, val_refr)
+        rd_val_s = jnp.where(rd_ok, rd_val_s, 0.0)
+        rd_pdf = (d_rd * jnp.abs(m_rd[..., 2])
+                  * jnp.where(reflecting, f_rd * jac_refl,
+                              (1.0 - f_rd) * jac_refr))
+        rd_pdf = jnp.where(rd_ok, rd_pdf, 0.0)
+        rd_val = jnp.broadcast_to(rd_val_s[..., None],
+                                  rd_val_s.shape + (nc,))
+        is_rd = kind == ROUGH_DIELECTRIC
+        value = jnp.where(is_rd[..., None], rd_val, value)
+        pdf = jnp.where(is_rd, rd_pdf, pdf)
+
+    # mask wrapper: surviving (non-passthrough) interaction probability
+    if any_mask:
+        opac = take_scalars(table.opacity, mat_idx)
+        value = value * opac[..., None]
+        pdf = pdf * opac
     return value, pdf
 
 
 def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
-           wavelengths=None):
+           wavelengths=None, kinds=None):
     """Sample an outgoing direction.
 
     Returns (wo, weight, pdf, is_delta). `sample1` drives discrete lobe
-    choices (dielectric reflect/refract).
+    choices (dielectric reflect/refract, mask pass-through). `kinds`:
+    optional static descriptor from `table_kinds` — absent lobes are
+    skipped at trace time.
     """
+    present, any_mask = kinds if kinds is not None else (None, True)
+
+    def has(k):
+        return present is None or k in present
+
     kind = take_ints(table.kind, mat_idx)
     sign = _flip_sign(wi, take_scalars(table.twosided.astype(jnp.float32),
                                        mat_idx) > 0.5)
@@ -252,92 +389,196 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
     wi_l = wi * sign3
     cos_i = wi_l[..., 2]
     active = cos_i > 0.0
+    nc = _n_chan(wavelengths)
+    one_c = jnp.ones(cos_i.shape + (nc,))
+
+    if any_mask:
+        # mask wrapper (`mask.cpp`): pass through with prob 1-opacity; the
+        # surviving lanes re-use the renormalised lobe-choice sample
+        opac = take_scalars(table.opacity, mat_idx)
+        passthrough = sample1 >= opac
+        sample1 = jnp.clip(sample1 / jnp.maximum(opac, 1e-6), 0.0,
+                           1.0 - 1e-7)
+
+    wo = jnp.zeros_like(wi)
+    weight = jnp.zeros(cos_i.shape + (nc,))
+    pdf = jnp.zeros(cos_i.shape)
+    is_delta = jnp.zeros(cos_i.shape, bool)
+    geom_frame = jnp.zeros(cos_i.shape, bool)   # lobes w/o twosided flip
 
     # --- diffuse: cosine hemisphere ---
-    wo_diff = warp.square_to_cosine_hemisphere(sample2)
-    pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
-    albedo = _reflectance(table, mat_idx, wavelengths)
+    if has(DIFFUSE) or has(PLASTIC):
+        wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
+        albedo = _reflectance(table, mat_idx, wavelengths)
+    if has(DIFFUSE):
+        is_diff = kind == DIFFUSE
+        wo = jnp.where(is_diff[..., None], wo_diff, wo)
+        weight = jnp.where(is_diff[..., None], albedo, weight)
+        pdf = jnp.where(is_diff, pdf_diff, pdf)
+
+    if has(ROUGH_CONDUCTOR) or has(CONDUCTOR):
+        spec_tint = _tint(table, mat_idx, wavelengths, None)
 
     # --- rough conductor: sample the NDF, reflect ---
-    alpha = take_scalars(table.alpha, mat_idx)
-    m = _ggx_sample(alpha, sample2)
-    wo_rough = _reflect(wi_l, m)
-    mi_dot = jnp.sum(wi_l * m, axis=-1)
-    pdf_rough = (_ggx_ndf(m, alpha) * m[..., 2]
-                 / jnp.maximum(4.0 * jnp.abs(mi_dot), 1e-6))
-    g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_rough, alpha)
-    if wavelengths is None:
-        f_c = _fresnel_conductor(mi_dot, take_rows(table.eta, mat_idx),
-                                 take_rows(table.k, mat_idx))
-    else:
-        f_avg = jnp.mean(_fresnel_conductor(
-            mi_dot, take_rows(table.eta, mat_idx),
-            take_rows(table.k, mat_idx)), axis=-1)
-        f_c = jnp.broadcast_to(f_avg[..., None],
-                               mi_dot.shape + (wavelengths.shape[-1],))
-    spec_tint = _tint(table, mat_idx, wavelengths, None)
-    # weight = f*cos/pdf = tint * F * G * mi_dot / (cos_m * cos_i)
-    w_rough = (spec_tint * f_c
-               * (g * jnp.abs(mi_dot)
-                  / jnp.maximum(m[..., 2] * jnp.maximum(cos_i, 1e-6), 1e-6)
-                  )[..., None])
-    rough_ok = (wo_rough[..., 2] > 0.0) & (mi_dot > 0.0)
+    if has(ROUGH_CONDUCTOR):
+        alpha = take_scalars(table.alpha, mat_idx)
+        m = _ggx_sample(alpha, sample2)
+        wo_rough = _reflect(wi_l, m)
+        mi_dot = jnp.sum(wi_l * m, axis=-1)
+        pdf_rough = (_ggx_ndf(m, alpha) * m[..., 2]
+                     / jnp.maximum(4.0 * jnp.abs(mi_dot), 1e-6))
+        g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_rough, alpha)
+        if wavelengths is None:
+            f_c = _fresnel_conductor(mi_dot, take_rows(table.eta, mat_idx),
+                                     take_rows(table.k, mat_idx))
+        else:
+            f_avg = jnp.mean(_fresnel_conductor(
+                mi_dot, take_rows(table.eta, mat_idx),
+                take_rows(table.k, mat_idx)), axis=-1)
+            f_c = jnp.broadcast_to(f_avg[..., None],
+                                   mi_dot.shape + (wavelengths.shape[-1],))
+        # weight = f*cos/pdf = tint * F * G * mi_dot / (cos_m * cos_i)
+        w_rough = (spec_tint * f_c
+                   * (g * jnp.abs(mi_dot)
+                      / jnp.maximum(m[..., 2] * jnp.maximum(cos_i, 1e-6),
+                                    1e-6))[..., None])
+        rough_ok = (wo_rough[..., 2] > 0.0) & (mi_dot > 0.0)
+        is_rough = kind == ROUGH_CONDUCTOR
+        wo = jnp.where(is_rough[..., None], wo_rough, wo)
+        weight = jnp.where(is_rough[..., None],
+                           jnp.where(rough_ok[..., None], w_rough, 0.0),
+                           weight)
+        pdf = jnp.where(is_rough, pdf_rough, pdf)
 
     # --- smooth conductor: mirror reflection (delta) ---
-    wo_mirr = jnp.stack([-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]],
-                        axis=-1)
-    if wavelengths is None:
-        f_m = _fresnel_conductor(cos_i, take_rows(table.eta, mat_idx),
-                                 take_rows(table.k, mat_idx))
-    else:
-        f_avg = jnp.mean(_fresnel_conductor(
-            cos_i, take_rows(table.eta, mat_idx),
-            take_rows(table.k, mat_idx)), axis=-1)
-        f_m = jnp.broadcast_to(f_avg[..., None],
-                               cos_i.shape + (wavelengths.shape[-1],))
-    w_mirr = spec_tint * f_m
+    if has(CONDUCTOR) or has(PLASTIC):
+        wo_mirr = jnp.stack([-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]],
+                            axis=-1)
+    if has(CONDUCTOR):
+        if wavelengths is None:
+            f_m = _fresnel_conductor(cos_i, take_rows(table.eta, mat_idx),
+                                     take_rows(table.k, mat_idx))
+        else:
+            f_avg = jnp.mean(_fresnel_conductor(
+                cos_i, take_rows(table.eta, mat_idx),
+                take_rows(table.k, mat_idx)), axis=-1)
+            f_m = jnp.broadcast_to(f_avg[..., None],
+                                   cos_i.shape + (wavelengths.shape[-1],))
+        is_mirr = kind == CONDUCTOR
+        wo = jnp.where(is_mirr[..., None], wo_mirr, wo)
+        weight = jnp.where(is_mirr[..., None], spec_tint * f_m, weight)
+        pdf = jnp.where(is_mirr, 1.0, pdf)
+        is_delta = is_delta | is_mirr
+
+    if has(DIELECTRIC) or has(PLASTIC) or has(ROUGH_DIELECTRIC):
+        ior = take_scalars(table.ior, mat_idx)
 
     # --- smooth dielectric: reflect or refract by Fresnel (delta) ---
-    ior = take_scalars(table.ior, mat_idx)
-    # dielectric is inherently two-sided: use the unflipped wi
-    f_d, cos_t, eta_rel = fresnel_dielectric(wi[..., 2], ior)
-    do_reflect = sample1 < f_d
-    wo_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
-    scale_xy = -1.0 / eta_rel
-    wo_refr = jnp.stack([wi[..., 0] * scale_xy, wi[..., 1] * scale_xy,
-                         cos_t], axis=-1)
-    wo_diel = jnp.where(do_reflect[..., None], wo_refl, wo_refr)
-    # radiance transport carries the 1/eta_rel^2 factor on refraction
-    # (reference dielectric.cpp solid-angle compression)
-    w_diel_s = jnp.where(do_reflect, 1.0, 1.0 / (eta_rel * eta_rel))
-    nc = _n_chan(wavelengths)
-    w_diel = jnp.broadcast_to(w_diel_s[..., None], w_diel_s.shape + (nc,))
-    pdf_diel = jnp.where(do_reflect, f_d, 1.0 - f_d)
+    if has(DIELECTRIC):
+        # dielectric is inherently two-sided: use the unflipped wi
+        f_d, cos_t, eta_rel = fresnel_dielectric(wi[..., 2], ior)
+        do_reflect = sample1 < f_d
+        wo_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]],
+                            axis=-1)
+        scale_xy = -1.0 / eta_rel
+        wo_refr = jnp.stack([wi[..., 0] * scale_xy, wi[..., 1] * scale_xy,
+                             cos_t], axis=-1)
+        wo_diel = jnp.where(do_reflect[..., None], wo_refl, wo_refr)
+        # radiance transport carries the 1/eta_rel^2 factor on refraction
+        # (reference dielectric.cpp solid-angle compression)
+        w_diel_s = jnp.where(do_reflect, 1.0, 1.0 / (eta_rel * eta_rel))
+        is_diel = kind == DIELECTRIC
+        wo = jnp.where(is_diel[..., None], wo_diel, wo)
+        weight = jnp.where(is_diel[..., None], w_diel_s[..., None] * one_c,
+                           weight)
+        pdf = jnp.where(is_diel, jnp.where(do_reflect, f_d, 1.0 - f_d),
+                        pdf)
+        is_delta = is_delta | is_diel
+        geom_frame = geom_frame | is_diel
 
-    is_diff = kind == DIFFUSE
-    is_rough = kind == ROUGH_CONDUCTOR
-    is_mirr = kind == CONDUCTOR
-    is_diel = kind == DIELECTRIC
+    # --- smooth plastic: delta coat (prob F) over Lambertian base ---
+    if has(PLASTIC):
+        f_i_pl, _, _ = fresnel_dielectric(jnp.maximum(cos_i, 0.0), ior)
+        pl_spec = sample1 < f_i_pl
+        f_o_pl, _, _ = fresnel_dielectric(
+            jnp.maximum(wo_diff[..., 2], 0.0), ior)
+        fdr = fresnel_diffuse_reflectance(
+            1.0 / jnp.maximum(ior, 1.0 + 1e-4))
+        inv_eta2 = 1.0 / (ior * ior)
+        w_pl_diff = (albedo
+                     / jnp.maximum(1.0 - albedo * fdr[..., None], 1e-3)
+                     * ((1.0 - f_o_pl) * inv_eta2)[..., None])
+        is_pl = kind == PLASTIC
+        wo = jnp.where(is_pl[..., None],
+                       jnp.where(pl_spec[..., None], wo_mirr, wo_diff), wo)
+        weight = jnp.where(is_pl[..., None],
+                           jnp.where(pl_spec[..., None], one_c, w_pl_diff),
+                           weight)
+        pdf = jnp.where(is_pl,
+                        jnp.where(pl_spec, f_i_pl,
+                                  (1.0 - f_i_pl) * pdf_diff), pdf)
+        is_delta = is_delta | (is_pl & pl_spec)
 
-    wo = jnp.where(is_diff[..., None], wo_diff,
-                   jnp.where(is_rough[..., None], wo_rough,
-                             jnp.where(is_mirr[..., None], wo_mirr,
-                                       wo_diel)))
-    weight = jnp.where(is_diff[..., None], albedo,
-                       jnp.where(is_rough[..., None],
-                                 jnp.where(rough_ok[..., None], w_rough, 0.0),
-                                 jnp.where(is_mirr[..., None], w_mirr,
-                                           w_diel)))
-    pdf = jnp.where(is_diff, pdf_diff,
-                    jnp.where(is_rough, pdf_rough,
-                              jnp.where(is_mirr, 1.0, pdf_diel)))
-    is_delta = is_mirr | is_diel
-
-    # flip back to the geometric frame (dielectric already geometric)
-    wo = jnp.where(is_diel[..., None], wo, wo * sign3)
-    ok = jnp.where(is_diel, True, active)
+    # flip the local-frame lobes back to the geometric frame
+    wo = jnp.where(geom_frame[..., None], wo, wo * sign3)
+    ok = geom_frame | active
     weight = jnp.where(ok[..., None], weight, 0.0)
     pdf = jnp.where(ok, pdf, 0.0)
+
+    # --- rough dielectric: GGX half-vector, Fresnel reflect/refract
+    #     (geometric frame, two-sided by construction) ---
+    if has(ROUGH_DIELECTRIC):
+        alpha_rd = jnp.maximum(take_scalars(table.alpha, mat_idx), 1e-3)
+        m_rd = _ggx_sample(alpha_rd, sample2)      # upper hemisphere
+        wim = jnp.sum(wi * m_rd, axis=-1)
+        f_rd, cos_t_rd, eta_rel_rd = fresnel_dielectric(wim, ior)
+        rd_reflect = sample1 < f_rd
+        wo_rd_refl = _reflect(wi, m_rd)
+        inv_eta_rd = 1.0 / eta_rel_rd
+        wo_rd_refr = (m_rd * (wim * inv_eta_rd + cos_t_rd)[..., None]
+                      - wi * inv_eta_rd[..., None])
+        wo_rd = jnp.where(rd_reflect[..., None], wo_rd_refl, wo_rd_refr)
+        g_rd = (_ggx_g1(wi * jnp.sign(wi[..., 2:3]), alpha_rd)
+                * _ggx_g1(wo_rd * jnp.sign(wo_rd[..., 2:3]), alpha_rd))
+        # D-sampling weight (Walter eq. 41): G |wi.m| / (|cos_i| m_z)
+        w_rd_s = (g_rd * jnp.abs(wim)
+                  / jnp.maximum(jnp.abs(wi[..., 2])
+                                * jnp.maximum(m_rd[..., 2], 1e-6), 1e-6))
+        w_rd_s = jnp.where(rd_reflect, w_rd_s,
+                           w_rd_s / (eta_rel_rd * eta_rel_rd))
+        # hemisphere consistency: reflected stays, refracted crosses
+        rd_ok = jnp.where(rd_reflect, wo_rd[..., 2] * wi[..., 2] > 0.0,
+                          wo_rd[..., 2] * wi[..., 2] < 0.0)
+        w_rd = jnp.where((rd_ok & (jnp.abs(wim) > 1e-6))[..., None],
+                         w_rd_s[..., None] * one_c, 0.0)
+        pdf_d_rd = _ggx_ndf(m_rd, alpha_rd) * m_rd[..., 2]
+        wom_rd = jnp.sum(wo_rd * m_rd, axis=-1)
+        jac_rd = jnp.where(
+            rd_reflect, 1.0 / jnp.maximum(4.0 * jnp.abs(wom_rd), 1e-6),
+            eta_rel_rd ** 2 * jnp.abs(wom_rd)
+            / jnp.maximum((wim + eta_rel_rd * wom_rd) ** 2, 1e-8))
+        pdf_rd = (pdf_d_rd * jnp.where(rd_reflect, f_rd, 1.0 - f_rd)
+                  * jac_rd)
+        is_rd = kind == ROUGH_DIELECTRIC
+        wo = jnp.where(is_rd[..., None], wo_rd, wo)
+        weight = jnp.where(is_rd[..., None], w_rd, weight)
+        pdf = jnp.where(is_rd, pdf_rd, pdf)
+
+    # --- null: invisible pass-through (delta transmission) ---
+    if has(NULL_BSDF):
+        is_null = kind == NULL_BSDF
+        wo = jnp.where(is_null[..., None], -wi, wo)
+        weight = jnp.where(is_null[..., None], one_c, weight)
+        pdf = jnp.where(is_null, 1.0, pdf)
+        is_delta = is_delta | is_null
+
+    # mask pass-through overrides everything
+    if any_mask:
+        wo = jnp.where(passthrough[..., None], -wi, wo)
+        weight = jnp.where(passthrough[..., None], one_c, weight)
+        pdf = jnp.where(passthrough, 1.0 - opac, pdf * opac)
+        is_delta = is_delta | passthrough
     return wo, weight, pdf, is_delta
 
 

@@ -80,6 +80,82 @@ def env_pdf_direction(env, env_to_world, d_world):
 
 
 # ---------------------------------------------------------------------------
+# Delta position emitters: spot / projector
+# ---------------------------------------------------------------------------
+
+
+class SpotLight(NamedTuple):
+    """Spot light with optional texture projection.
+
+    Covers the reference's `spot.cpp` (cone with linear falloff between
+    `cos_beam` and `cos_cutoff`, optional texture) and `projector.cpp`
+    (perspective texture projection: set cos_beam == cos_cutoff for a hard
+    frustum edge and attach a texture). One static NamedTuple per light —
+    the scene holds a tuple, so the integrator unrolls them branch-free.
+    """
+    position: jnp.ndarray     # (3,)
+    direction: jnp.ndarray    # (3,) unit, beam axis
+    frame_x: jnp.ndarray      # (3,) beam-local frame for texture uv
+    frame_y: jnp.ndarray      # (3,)
+    intensity: jnp.ndarray    # (C,) radiant intensity at beam center
+    cos_cutoff: jnp.ndarray   # () outer cone angle cosine (0 outside)
+    cos_beam: jnp.ndarray     # () inner cone angle cosine (1 inside)
+    texture: jnp.ndarray = None  # (Th, Tw, 3) | None — projected pattern
+
+
+def make_spot(position, direction, intensity, cutoff_angle_deg=20.0,
+              beam_width_deg=None, texture=None) -> SpotLight:
+    import numpy as np
+    d = np.asarray(direction, np.float32)
+    d = d / np.linalg.norm(d)
+    up = (np.array([0.0, 0.0, 1.0], np.float32)
+          if abs(d[2]) < 0.999 else np.array([1.0, 0.0, 0.0], np.float32))
+    fx = np.cross(up, d)
+    fx = fx / np.linalg.norm(fx)
+    fy = np.cross(d, fx)
+    if beam_width_deg is None:
+        beam_width_deg = cutoff_angle_deg * 0.75  # reference spot default
+    tex = None if texture is None else jnp.asarray(texture, jnp.float32)
+    return SpotLight(
+        jnp.asarray(position, jnp.float32), jnp.asarray(d),
+        jnp.asarray(fx), jnp.asarray(fy),
+        jnp.atleast_1d(jnp.asarray(intensity, jnp.float32)),
+        jnp.asarray(np.cos(np.deg2rad(cutoff_angle_deg)), jnp.float32),
+        jnp.asarray(np.cos(np.deg2rad(beam_width_deg)), jnp.float32),
+        tex)
+
+
+def spot_falloff(light: SpotLight, d_out):
+    """Angular falloff * texture toward world direction `d_out` (from the
+    light). Returns (..., C)."""
+    cos_t = jnp.sum(d_out * light.direction, axis=-1)
+    ramp = ((cos_t - light.cos_cutoff)
+            / jnp.maximum(light.cos_beam - light.cos_cutoff, 1e-6))
+    falloff = jnp.clip(ramp, 0.0, 1.0)
+    falloff = jnp.where(cos_t <= light.cos_cutoff, 0.0, falloff)
+    falloff = jnp.where(cos_t >= light.cos_beam, 1.0, falloff)
+    out = falloff[..., None] * light.intensity
+    if light.texture is not None:
+        # perspective uv in the beam frame, spanned by the cutoff angle
+        x = jnp.sum(d_out * light.frame_x, axis=-1)
+        y = jnp.sum(d_out * light.frame_y, axis=-1)
+        z = jnp.maximum(cos_t, 1e-6)
+        tan_half = jnp.sqrt(jnp.maximum(
+            1.0 - light.cos_cutoff ** 2, 1e-12)) / jnp.maximum(
+                light.cos_cutoff, 1e-6)
+        u = 0.5 * (x / (z * tan_half) + 1.0)
+        v = 0.5 * (y / (z * tan_half) + 1.0)
+        th, tw = light.texture.shape[:2]
+        xi = jnp.clip((u * tw).astype(jnp.int32), 0, tw - 1)
+        yi = jnp.clip((v * th).astype(jnp.int32), 0, th - 1)
+        texel = light.texture.reshape(-1, light.texture.shape[-1])[
+            yi * tw + xi]
+        inside = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+        out = out * jnp.where(inside[..., None], texel, 0.0)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Area emitters (shape-attached)
 # ---------------------------------------------------------------------------
 

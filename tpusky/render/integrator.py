@@ -92,7 +92,8 @@ class PathState(NamedTuple):
 
 
 def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
-                 rr_depth: int, mode: str, wavelengths, vma_axes=()):
+                 rr_depth: int, mode: str, wavelengths, vma_axes=(),
+                 kinds=None):
     """Estimate radiance along primary rays o, d -> (N, C).
 
     max_depth counts path vertices like the reference (-1 handled by the
@@ -192,7 +193,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             pdf_e_detached = sg(pdf_e)
             wo_local = frame.to_local(d_e)
             f_val, pdf_b = bsdf_mod.eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_local, wavelengths)
+                scene.bsdfs, mat_idx, wi_local, wo_local, wavelengths,
+                kinds=kinds)
             offset_p = p + jnp.sign(dot(ng, d_e))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -220,7 +222,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 L_a = jnp.mean(L_a, axis=-1, keepdims=True)
             wo_a = frame.to_local(d_a)
             f_a, pdf_b_a = bsdf_mod.eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_a, wavelengths)
+                scene.bsdfs, mat_idx, wi_local, wo_a, wavelengths,
+                kinds=kinds)
             off_a = p + jnp.sign(dot(ng, d_a))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -246,7 +249,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             d_l = to_l / dist_l[..., None]
             wo_l = frame.to_local(d_l)
             f_l, _ = bsdf_mod.eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths)
+                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
+                kinds=kinds)
             off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -267,7 +271,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             d_b = jnp.broadcast_to(d_l, p.shape)
             wo_l = frame.to_local(d_b)
             f_l, _ = bsdf_mod.eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths)
+                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
+                kinds=kinds)
             off_l = p + jnp.sign(dot(ng, d_b))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -281,12 +286,34 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             contrib_l = state.throughput * f_l * E_l
             result = result + jnp.where((active & ~occ_l)[..., None],
                                         contrib_l, 0.0)
+        for light in scene.spot_lights:   # spot / projector (`spot.cpp`)
+            to_l = light.position - p
+            dist2_l = jnp.sum(to_l * to_l, axis=-1)
+            dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
+            d_l = to_l / dist_l[..., None]
+            falloff = em.spot_falloff(light, -d_l)
+            wo_l = frame.to_local(d_l)
+            f_l, _ = bsdf_mod.eval_pdf(
+                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
+                kinds=kinds)
+            off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
+                _SHADOW_EPS * jnp.maximum(
+                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+            occ_l = ray_test(scene.shapes, off_l, d_l, dist_l * (1 - 1e-3))
+            if scene.mesh is not None:
+                occ_l = occ_l | mesh_test(scene.mesh, off_l, d_l,
+                                          dist_l * (1 - 1e-3))
+            I_l = (falloff if wavelengths is None
+                   else jnp.mean(falloff, axis=-1, keepdims=True))
+            contrib_l = state.throughput * f_l * I_l / dist2_l[..., None]
+            result = result + jnp.where((active & ~occ_l)[..., None],
+                                        contrib_l, 0.0)
 
         # ---- BSDF sampling for the next bounce ----
         u_bsdf = sg(smp.next(3 * depth + 1, 3))
         wo_local, weight, pdf_b, is_delta = bsdf_mod.sample(
             scene.bsdfs, mat_idx, wi_local, u_bsdf[..., :2],
-            u_bsdf[..., 2], wavelengths)
+            u_bsdf[..., 2], wavelengths, kinds=kinds)
         wo_local = sg(wo_local)
         d_next = frame.to_world(wo_local)
         throughput = state.throughput * weight
@@ -372,7 +399,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
 
 def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
                        max_depth, rr_depth, mode, row0, n_rows, vma_axes=(),
-                       sampler_kind="independent"):
+                       sampler_kind="independent", kinds=None):
     """Render `spp_chunk` of `spp` samples for a block of film rows.
 
     Returns an accumulation block (n_rows, W, C+1). RNG is keyed on the
@@ -408,12 +435,13 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
         wavelengths, wl_weight = spec_mod.sample_rgb_spectrum(shifted)
         spec_radiance = _path_sample(scene, o, d, smp, max_depth,
                                      rr_depth, mode, wavelengths,
-                                     vma_axes=vma_axes)
+                                     vma_axes=vma_axes, kinds=kinds)
         radiance = spec_mod.spectrum_to_srgb(spec_radiance * wl_weight,
                                              wavelengths)
     else:
         radiance = _path_sample(scene, o, d, smp, max_depth,
-                                rr_depth, mode, None, vma_axes=vma_axes)
+                                rr_depth, mode, None, vma_axes=vma_axes,
+                                kinds=kinds)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
 
     block_film = film_mod.Film(n_rows, w, film_cfg.n_channels,
@@ -425,7 +453,7 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
 
 def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
                 mode, row0, n_rows, vma_axes=(), max_lanes=(1 << 20),
-                sampler_kind="independent"):
+                sampler_kind="independent", kinds=None):
     """Render a block of film rows -> (n_rows, W, C+1).
 
     Bounds the live wavefront to `max_lanes` lanes by scanning over spp
@@ -442,13 +470,13 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
     if n_chunks == 1:
         return _render_rows_chunk(scene, sensor, film_cfg, key, spp, 0, spp,
                                   max_depth, rr_depth, mode, row0, n_rows,
-                                  vma_axes, sampler_kind)
+                                  vma_axes, sampler_kind, kinds)
 
     def chunk(accum, ci):
         a = _render_rows_chunk(scene, sensor, film_cfg, key, spp,
                                ci * spp_chunk, spp_chunk, max_depth,
                                rr_depth, mode, row0, n_rows, vma_axes,
-                               sampler_kind)
+                               sampler_kind, kinds)
         return accum + a, None
 
     init = jnp.zeros((n_rows, w, film_cfg.n_channels + 1))
@@ -460,12 +488,54 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
 
 @partial(jax.jit,
          static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
-                          "mode", "sampler_kind"))
+                          "mode", "sampler_kind", "kinds"))
 def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
-                 mode, sampler_kind="independent"):
+                 mode, sampler_kind="independent", kinds=None):
     return render_rows(scene, sensor, film_cfg, key, spp, max_depth,
                        rr_depth, mode, 0, film_cfg.height,
-                       sampler_kind=sampler_kind)
+                       sampler_kind=sampler_kind, kinds=kinds)
+
+
+@partial(jax.jit,
+         static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
+                          "mode", "sampler_kind", "kinds"))
+def _render_moments_impl(scene, sensor, film_cfg, key, spp, max_depth,
+                         rr_depth, mode, sampler_kind="independent",
+                         kinds=None):
+    h, w = film_cfg.height, film_cfg.width
+    n = h * w * spp
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    pixel = lane // spp
+    sample_idx = lane % spp
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+    smp = _SamplerCtx(sampler_kind, key, pixel, sample_idx, spp)
+    u_pos = smp.next(10_000, 2)
+    uv = jnp.stack([(px + u_pos[:, 0]) / w, (py + u_pos[:, 1]) / h], -1)
+    o, d = sensors_mod.sample_ray(sensor, uv)
+    radiance = _path_sample(scene, o, d, smp, max_depth, rr_depth, mode,
+                            None, kinds=kinds)
+    radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
+    both = jnp.concatenate([radiance, radiance * radiance], axis=-1)
+    film2 = film_mod.Film(h, w, 2 * film_cfg.n_channels, "box")
+    accum = film_mod.splat(film2, jnp.stack([px + u_pos[:, 0],
+                                             py + u_pos[:, 1]], -1), both)
+    img = film_mod.develop(accum)
+    c = film_cfg.n_channels
+    return img[..., :c], img[..., c:]
+
+
+def render_moments(scene: Scene, sensor, film: film_mod.Film, key,
+                   spp: int = 16, max_depth: int = 2, rr_depth: int = 1000,
+                   mode: str = "rgb", sampler_kind: str = "independent"):
+    """Mean image + per-pixel second moment E[x^2] (the reference's
+    `moment.cpp` integrator, used to build the Z-test reference data in
+    `test_renders.py:159`). Variance = m2 - mean^2. The mean is bitwise
+    identical to `render(...)` at the same seed/spp (same RNG stream)."""
+    return _render_moments_impl(scene, sensor, film,
+                                jax.random.fold_in(key, 0), spp, max_depth,
+                                rr_depth, mode, sampler_kind,
+                                kinds=bsdf_mod.table_kinds(scene.bsdfs))
 
 
 def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
@@ -478,10 +548,11 @@ def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
     spp, raise `passes` to bound the wavefront size; pass results are
     averaged through the film weights.
     """
+    kinds = bsdf_mod.table_kinds(scene.bsdfs)
     accum = None
     for p in range(passes):
         pass_key = jax.random.fold_in(key, p)
         a = _render_impl(scene, sensor, film, pass_key, spp // passes,
-                         max_depth, rr_depth, mode, sampler_kind)
+                         max_depth, rr_depth, mode, sampler_kind, kinds)
         accum = a if accum is None else accum + a
     return film_mod.develop(accum)

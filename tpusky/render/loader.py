@@ -184,9 +184,27 @@ class SceneBundle:
     def render(self, seed: int = 0, spp: Optional[int] = None,
                env_params=None):
         scene = self.build_scene(env_params)
+        key = jax.random.PRNGKey(seed)
+        spp = spp or self.spp
+        if self.integrator == "aov":
+            from .aov import render_aovs
+            return render_aovs(scene, self.sensor, self.film.height,
+                               self.film.width)
+        if self.integrator == "moment":
+            return integrator_mod.render_moments(
+                scene, self.sensor, self.film, key, spp=spp,
+                max_depth=self.max_depth, rr_depth=self.rr_depth,
+                mode=self.mode, sampler_kind=self.sampler_kind)
+        if self.integrator == "ptracer":
+            from .ptracer import render_ptracer
+            n_particles = self.film.height * self.film.width * spp
+            return render_ptracer(scene, self.sensor, self.film, key,
+                                  n_particles=n_particles,
+                                  max_depth=self.max_depth,
+                                  sampler_kind=self.sampler_kind)
         return integrator_mod.render(
-            scene, self.sensor, self.film, jax.random.PRNGKey(seed),
-            spp=spp or self.spp, max_depth=self.max_depth,
+            scene, self.sensor, self.film, key,
+            spp=spp, max_depth=self.max_depth,
             rr_depth=self.rr_depth, mode=self.mode,
             sampler_kind=self.sampler_kind)
 
@@ -221,19 +239,30 @@ _CONDUCTOR_IOR = {
 
 
 def _build_bsdf(desc, mode):
-    """-> material dict {kind, rgb, spec, twosided, alpha, eta, k, ior}."""
-    from .bsdf import CONDUCTOR, DIELECTRIC, DIFFUSE, ROUGH_CONDUCTOR
+    """-> material dict {kind, rgb, spec, twosided, alpha, eta, k, ior,
+    opacity}."""
+    from .bsdf import (CONDUCTOR, DIELECTRIC, DIFFUSE, NULL_BSDF, PLASTIC,
+                       ROUGH_CONDUCTOR, ROUGH_DIELECTRIC)
     twosided = False
-    if desc.get("type") == "twosided":
-        twosided = True
+    opacity = 1.0
+    while desc.get("type") in ("twosided", "mask"):
+        if desc.get("type") == "twosided":
+            twosided = True
+        else:  # mask wrapper (`mask.cpp`): scalar opacity + nested BSDF
+            op = desc.get("opacity", 0.5)
+            opacity = float(np.mean(spectrum_to_channels(op, "rgb")))
         inner = [v for v in desc.values() if isinstance(v, dict)
-                 and v.get("type") not in (None, "twosided")]
-        desc = inner[0] if inner else {"type": "diffuse"}
+                 and v.get("type") not in (None, "twosided", "mask")]
+        nested = [v for v in desc.values() if isinstance(v, dict)
+                  and v.get("type") in ("twosided", "mask")]
+        desc = (inner[0] if inner else
+                nested[0] if nested else {"type": "diffuse"})
     t = desc.get("type", "diffuse")
     mat = dict(kind=DIFFUSE, rgb=np.full(3, 0.5), spec=np.full(11, 0.5),
                twosided=twosided, alpha=0.1,
                eta=np.array(_CONDUCTOR_IOR["Au"][0]),
-               k=np.array(_CONDUCTOR_IOR["Au"][1]), ior=1.5046)
+               k=np.array(_CONDUCTOR_IOR["Au"][1]), ior=1.5046,
+               opacity=opacity)
     if t == "diffuse":
         refl = desc.get("reflectance", 0.5)
         mat["rgb"] = spectrum_to_channels(refl, "rgb")
@@ -250,16 +279,80 @@ def _build_bsdf(desc, mode):
         tint = desc.get("specular_reflectance", 1.0)
         mat["rgb"] = spectrum_to_channels(tint, "rgb")
         mat["spec"] = spectrum_to_channels(tint, "spectral")
-    elif t == "dielectric":
-        mat["kind"] = DIELECTRIC
+    elif t in ("dielectric", "roughdielectric"):
+        mat["kind"] = DIELECTRIC if t == "dielectric" else ROUGH_DIELECTRIC
         int_ior = float(desc.get("int_ior", 1.5046))
         ext_ior = float(desc.get("ext_ior", 1.000277))
         mat["ior"] = int_ior / ext_ior
+        mat["alpha"] = float(desc.get("alpha", 0.1))
         mat["rgb"] = np.ones(3)
         mat["spec"] = np.ones(11)
+    elif t == "plastic":
+        mat["kind"] = PLASTIC
+        refl = desc.get("diffuse_reflectance", 0.5)
+        mat["rgb"] = spectrum_to_channels(refl, "rgb")
+        mat["spec"] = spectrum_to_channels(refl, "spectral")
+        int_ior = float(desc.get("int_ior", 1.49))
+        ext_ior = float(desc.get("ext_ior", 1.000277))
+        mat["ior"] = int_ior / ext_ior
+    elif t == "null":
+        mat["kind"] = NULL_BSDF
     else:
         raise ValueError(f"unsupported bsdf {t!r}")
     return mat
+
+
+def _build_sensor(sensor_desc, w, h):
+    """Construct a sensor pytree from a Mitsuba-style description."""
+    st = sensor_desc["type"]
+    to_world = _parse_to_world(sensor_desc.get("to_world"))
+    if st == "thinlens":
+        from .sensors import ThinLens
+        fov = float(sensor_desc.get("fov", 45.0))
+        return ThinLens(jnp.asarray(to_world),
+                        jnp.asarray(fov, jnp.float32),
+                        jnp.asarray(w / h, jnp.float32),
+                        jnp.asarray(float(sensor_desc.get(
+                            "aperture_radius", 0.1)), jnp.float32),
+                        jnp.asarray(float(sensor_desc.get(
+                            "focus_distance", 5.0)), jnp.float32))
+    if st == "perspective":
+        fov = float(sensor_desc.get("fov", 45.0))
+        return Perspective(jnp.asarray(to_world),
+                           jnp.asarray(fov, jnp.float32),
+                           jnp.asarray(w / h, jnp.float32))
+    if st == "orthographic":
+        return Orthographic(jnp.asarray(to_world), jnp.float32(1.0))
+    if st == "distant":
+        from .sensors import make_distant
+        return make_distant(
+            sensor_desc.get("direction", tuple(-to_world[:3, 2])),
+            center=sensor_desc.get("center", (0.0, 0.0, 0.0)),
+            radius=float(sensor_desc.get("radius", 1.0)),
+            extent=sensor_desc.get("extent"))
+    if st == "radiancemeter":
+        from .sensors import RadianceMeter
+        o = np.asarray(sensor_desc.get("origin", to_world[:3, 3]),
+                       np.float32)
+        dr = np.asarray(sensor_desc.get("direction", to_world[:3, 2]),
+                        np.float32)
+        return RadianceMeter(jnp.asarray(o),
+                             jnp.asarray(dr / np.linalg.norm(dr)))
+    if st == "irradiancemeter":
+        from .sensors import make_irradiancemeter
+        return make_irradiancemeter(
+            sensor_desc.get("origin", tuple(to_world[:3, 3])),
+            sensor_desc.get("normal", tuple(to_world[:3, 2])),
+            float(sensor_desc.get("half_extent", 1.0)))
+    if st == "batch":
+        from .sensors import Batch
+        subs = [v for v in sensor_desc.values() if isinstance(v, dict)
+                and v.get("type") in ("perspective", "orthographic",
+                                      "spherical", "thinlens", "distant",
+                                      "radiancemeter", "irradiancemeter")]
+        k = max(len(subs), 1)
+        return Batch(tuple(_build_sensor(s, w // k, h) for s in subs))
+    return make_spherical(tuple(to_world[:3, 3]))
 
 
 def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
@@ -270,15 +363,18 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     sensor_desc = None
     env_desc = None
     shapes, materials, areas, meshes = [], [], [], []
-    point_lights, directional_lights = [], []
+    point_lights, directional_lights, spot_lights = [], [], []
+    dir_areas = {}   # shape list index -> radiance (directionalarea)
 
+    _SENSORS = ("perspective", "orthographic", "spherical", "thinlens",
+                "distant", "radiancemeter", "irradiancemeter", "batch")
     for key, value in d.items():
         if key == "type" or not isinstance(value, dict):
             continue
         t = value.get("type")
-        if t in ("path", "direct", "depth", "aov"):
+        if t in ("path", "direct", "depth", "aov", "moment", "ptracer"):
             integrator = value
-        elif t in ("perspective", "orthographic", "spherical", "thinlens"):
+        elif t in _SENSORS:
             sensor_desc = value
         elif t in ("sunsky", "constant", "envmap"):
             env_desc = value
@@ -298,18 +394,53 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             directional_lights.append(np.concatenate([
                 np.asarray(value.get("direction", [0, 0, -1]), np.float32),
                 spectrum_to_channels(value.get("irradiance", 1.0), "rgb")]))
+        elif t in ("spot", "projector"):
+            from .emitters import make_spot
+            tex = value.get("texture")
+            if isinstance(tex, dict):   # inline bitmap only
+                tex = np.asarray(tex.get("bitmap"), np.float32)
+            to_world = value.get("to_world")
+            if to_world is not None:
+                m = _parse_to_world(to_world)
+                position = m[:3, 3]
+                direction = m[:3, 2]
+            else:
+                position = value.get("position", [0, 0, 0])
+                direction = value.get("direction", [0, 0, -1])
+            if t == "projector":
+                fov = float(value.get("fov", 45.0))
+                spot_lights.append(make_spot(
+                    position, direction,
+                    spectrum_to_channels(value.get("irradiance", 1.0),
+                                         "rgb"),
+                    cutoff_angle_deg=fov / 2.0, beam_width_deg=fov / 2.0,
+                    texture=tex))
+            else:
+                cutoff = float(value.get("cutoff_angle", 20.0))
+                spot_lights.append(make_spot(
+                    position, direction,
+                    spectrum_to_channels(value.get("intensity", 1.0),
+                                         "rgb"),
+                    cutoff_angle_deg=cutoff,
+                    beam_width_deg=float(value.get("beam_width",
+                                                   cutoff * 0.75)),
+                    texture=tex))
         elif t in _SHAPE_KINDS:
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             mat = _build_bsdf(bsdf_desc, mode)
             emitter = value.get("emitter")
+            is_dir_area = (emitter or {}).get("type") == "directionalarea"
             radiance = (spectrum_to_channels(emitter["radiance"], "rgb")
                         if emitter else np.zeros(3))
             shapes.append(dict(kind=_SHAPE_KINDS[t],
                                to_world=_parse_to_world(value.get("to_world")),
                                bsdf_idx=len(materials),
-                               emitter_idx=len(areas) if emitter else -1))
+                               emitter_idx=(len(areas) if emitter
+                                            and not is_dir_area else -1)))
             materials.append(mat)
-            if emitter:
+            if is_dir_area:
+                dir_areas[len(shapes) - 1] = radiance
+            elif emitter:
                 areas.append(radiance)
         else:
             custom = _PLUGIN_REGISTRY.get("any", {}).get(t)
@@ -335,27 +466,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                                                          "independent"),
                                         "independent")
 
-    st = sensor_desc["type"]
-    to_world = _parse_to_world(sensor_desc.get("to_world"))
-    if st == "thinlens":
-        from .sensors import ThinLens
-        fov = float(sensor_desc.get("fov", 45.0))
-        sensor = ThinLens(jnp.asarray(to_world),
-                          jnp.asarray(fov, jnp.float32),
-                          jnp.asarray(w / h, jnp.float32),
-                          jnp.asarray(float(sensor_desc.get(
-                              "aperture_radius", 0.1)), jnp.float32),
-                          jnp.asarray(float(sensor_desc.get(
-                              "focus_distance", 5.0)), jnp.float32))
-    elif st == "perspective":
-        fov = float(sensor_desc.get("fov", 45.0))
-        sensor = Perspective(jnp.asarray(to_world),
-                             jnp.asarray(fov, jnp.float32),
-                             jnp.asarray(w / h, jnp.float32))
-    elif st == "orthographic":
-        sensor = Orthographic(jnp.asarray(to_world), jnp.float32(1.0))
-    else:
-        sensor = make_spherical(tuple(to_world[:3, 3]))
+    sensor = _build_sensor(sensor_desc, w, h)
 
     # ---- environment emitter ----
     env_kind, env_params = None, None
@@ -391,6 +502,11 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
 
     if not materials:
         materials = [_build_bsdf({"type": "diffuse"}, mode)]
+    dir_area_radiance = None
+    if dir_areas:
+        dir_area_radiance = np.zeros((max(len(shapes), 1), 3), np.float32)
+        for si, rad in dir_areas.items():
+            dir_area_radiance[si] = rad
     scene_static = make_scene(
         shapes=shapes,
         bsdf_albedos=[m["rgb"] for m in materials],
@@ -401,9 +517,12 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_etas=[m["eta"] for m in materials],
         bsdf_ks=[m["k"] for m in materials],
         bsdf_iors=[m["ior"] for m in materials],
+        bsdf_opacities=[m["opacity"] for m in materials],
         area_radiance=area_radiance,
         point_lights=point_lights or None,
         directional_lights=directional_lights or None,
+        spot_lights=tuple(spot_lights),
+        dir_area_radiance=dir_area_radiance,
         meshes=meshes or None,
         env=None)
 

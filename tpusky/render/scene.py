@@ -31,6 +31,11 @@ class Scene(NamedTuple):
     point_lights: jnp.ndarray = None         # (Np, 6) [position, intensity]
     directional_lights: jnp.ndarray = None   # (Nd, 6) [direction, irradiance]
     mesh: Any = None                         # MeshTable | None
+    spot_lights: tuple = ()                  # tuple of emitters.SpotLight
+    dir_area_radiance: jnp.ndarray = None    # (n_shapes, C) directionalarea
+                                             # radiance (delta in direction;
+                                             # only the ptracer sees these,
+                                             # cf. `directionalarea.cpp`)
 
 
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
@@ -38,7 +43,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                bsdf_twosided=None, bsdf_spectral_albedos=None,
                point_lights=None, directional_lights=None, bsdf_kinds=None,
                bsdf_alphas=None, bsdf_etas=None, bsdf_ks=None,
-               bsdf_iors=None, meshes=None) -> Scene:
+               bsdf_iors=None, meshes=None, spot_lights=(),
+               dir_area_radiance=None, bsdf_opacities=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -53,7 +59,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
     bsdfs = make_material_table(
         kinds=bsdf_kinds, albedos=np.asarray(bsdf_albedos, np.float32),
         twosided=bsdf_twosided, spectral_albedos=bsdf_spectral_albedos,
-        alphas=bsdf_alphas, etas=bsdf_etas, ks=bsdf_ks, iors=bsdf_iors)
+        alphas=bsdf_alphas, etas=bsdf_etas, ks=bsdf_ks, iors=bsdf_iors,
+        opacities=bsdf_opacities)
     if area_radiance is None:
         area_radiance = np.zeros((len(shapes), n_channels), np.float32)
     if env_to_world is None:
@@ -76,9 +83,12 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
     if meshes:
         from .mesh import make_mesh_table
         mesh_table = make_mesh_table(meshes)
+    if dir_area_radiance is None:
+        dir_area_radiance = np.zeros((len(shapes), n_channels), np.float32)
     return Scene(table, bsdfs, env, jnp.asarray(env_to_world, jnp.float32),
                  jnp.asarray(area_radiance, jnp.float32),
                  jnp.asarray(center, jnp.float32),
                  jnp.asarray(radius * (1.0 + 1e-3), jnp.float32),
                  jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl),
-                 mesh_table)
+                 mesh_table, tuple(spot_lights),
+                 jnp.asarray(dir_area_radiance, jnp.float32))

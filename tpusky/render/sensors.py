@@ -119,6 +119,122 @@ def orthographic_ray(sensor: Orthographic, uv):
     return o, d
 
 
+class Distant(NamedTuple):
+    """Parallel rays from outside the scene along a fixed direction
+    (reference `src/sensors/distant.cpp`): film coordinates map to a
+    world-aligned square of half-extent `extent` perpendicular to the
+    direction, pushed back beyond the scene bounding sphere."""
+    direction: jnp.ndarray    # (3,) unit, pointing INTO the scene
+    frame_x: jnp.ndarray      # (3,) film-plane basis
+    frame_y: jnp.ndarray      # (3,)
+    center: jnp.ndarray       # (3,) scene bsphere center
+    radius: jnp.ndarray       # () bsphere radius (ray origins at 2r back)
+    extent: jnp.ndarray       # () half-extent of the film square
+
+
+def make_distant(direction, center=(0.0, 0.0, 0.0), radius=1.0,
+                 extent=None) -> Distant:
+    d = np.asarray(direction, np.float32)
+    d = d / np.linalg.norm(d)
+    up = (np.array([0.0, 0.0, 1.0], np.float32)
+          if abs(d[2]) < 0.999 else np.array([1.0, 0.0, 0.0], np.float32))
+    fx = np.cross(up, d)
+    fx = fx / np.linalg.norm(fx)
+    fy = np.cross(d, fx)
+    if extent is None:
+        extent = float(radius)
+    return Distant(jnp.asarray(d), jnp.asarray(fx), jnp.asarray(fy),
+                   jnp.asarray(center, jnp.float32),
+                   jnp.asarray(radius, jnp.float32),
+                   jnp.asarray(extent, jnp.float32))
+
+
+def distant_ray(sensor: Distant, uv):
+    x = (2.0 * uv[..., 0] - 1.0) * sensor.extent
+    y = (1.0 - 2.0 * uv[..., 1]) * sensor.extent
+    base = (sensor.center - 2.0 * sensor.radius * sensor.direction)
+    o = (base + x[..., None] * sensor.frame_x
+         + y[..., None] * sensor.frame_y)
+    d = jnp.broadcast_to(sensor.direction, o.shape)
+    return o, d
+
+
+class RadianceMeter(NamedTuple):
+    """Single-ray radiance probe (reference `src/sensors/radiancemeter.cpp`):
+    every film sample traces the same (origin, direction) ray."""
+    origin: jnp.ndarray       # (3,)
+    direction: jnp.ndarray    # (3,) unit
+
+
+def radiancemeter_ray(sensor: RadianceMeter, uv):
+    shape = uv.shape[:-1] + (3,)
+    return (jnp.broadcast_to(sensor.origin, shape),
+            jnp.broadcast_to(sensor.direction, shape))
+
+
+class IrradianceMeter(NamedTuple):
+    """Surface irradiance probe (reference `src/sensors/irradiancemeter.cpp`):
+    film u,v samples a point on a rectangle patch, the lens sample picks a
+    cosine-weighted hemisphere direction about its normal; the measured
+    quantity integrates L cos(theta) — cosine and hemisphere-pdf cancel up
+    to the pi factor, which is folded into the ray weight by callers."""
+    origin: jnp.ndarray       # (3,) patch center
+    frame_x: jnp.ndarray      # (3,) patch basis (half-extent included)
+    frame_y: jnp.ndarray      # (3,)
+    normal: jnp.ndarray       # (3,) unit
+
+
+def make_irradiancemeter(origin, normal, half_extent=1.0) -> IrradianceMeter:
+    n = np.asarray(normal, np.float32)
+    n = n / np.linalg.norm(n)
+    up = (np.array([0.0, 0.0, 1.0], np.float32)
+          if abs(n[2]) < 0.999 else np.array([1.0, 0.0, 0.0], np.float32))
+    fx = np.cross(up, n)
+    fx = fx / np.linalg.norm(fx)
+    fy = np.cross(n, fx)
+    return IrradianceMeter(jnp.asarray(origin, jnp.float32),
+                           jnp.asarray(fx * half_extent),
+                           jnp.asarray(fy * half_extent),
+                           jnp.asarray(n))
+
+
+def irradiancemeter_ray(sensor: IrradianceMeter, uv, lens_uv):
+    from ..ops.warp import square_to_cosine_hemisphere
+    x = 2.0 * uv[..., 0] - 1.0
+    y = 2.0 * uv[..., 1] - 1.0
+    o = (sensor.origin + x[..., None] * sensor.frame_x
+         + y[..., None] * sensor.frame_y)
+    d_local = square_to_cosine_hemisphere(lens_uv)
+    fx = sensor.frame_x / jnp.linalg.norm(sensor.frame_x)
+    fy = sensor.frame_y / jnp.linalg.norm(sensor.frame_y)
+    d = (d_local[..., 0:1] * fx + d_local[..., 1:2] * fy
+         + d_local[..., 2:3] * sensor.normal)
+    return o, d
+
+
+class Batch(NamedTuple):
+    """Side-by-side composition of sub-sensors over the film's width
+    (reference `src/sensors/batch.cpp`): film column block i is rendered by
+    sub-sensor i. Sub-sensors must be of homogeneous pytree structure per
+    entry (any mix of types is fine — dispatch is static)."""
+    sensors: tuple            # static tuple of sensor pytrees
+
+
+def batch_ray(sensor: Batch, uv, lens_uv=None):
+    k = len(sensor.sensors)
+    seg = jnp.clip((uv[..., 0] * k).astype(jnp.int32), 0, k - 1)
+    u_local = uv[..., 0] * k - seg.astype(uv.dtype)
+    uv_local = jnp.stack([u_local, uv[..., 1]], axis=-1)
+    o = jnp.zeros(uv.shape[:-1] + (3,))
+    d = jnp.zeros(uv.shape[:-1] + (3,))
+    for i, sub in enumerate(sensor.sensors):
+        oi, di = sample_ray(sub, uv_local, lens_uv)
+        sel = (seg == i)[..., None]
+        o = jnp.where(sel, oi, o)
+        d = jnp.where(sel, di, d)
+    return o, d
+
+
 def sample_ray(sensor, uv, lens_uv=None):
     """Dispatch on the sensor pytree type (static under jit)."""
     if isinstance(sensor, ThinLens):
@@ -131,4 +247,14 @@ def sample_ray(sensor, uv, lens_uv=None):
         return spherical_ray(sensor, uv)
     if isinstance(sensor, Orthographic):
         return orthographic_ray(sensor, uv)
+    if isinstance(sensor, Distant):
+        return distant_ray(sensor, uv)
+    if isinstance(sensor, RadianceMeter):
+        return radiancemeter_ray(sensor, uv)
+    if isinstance(sensor, IrradianceMeter):
+        if lens_uv is None:
+            lens_uv = jnp.full(uv.shape, 0.5)
+        return irradiancemeter_ray(sensor, uv, lens_uv)
+    if isinstance(sensor, Batch):
+        return batch_ray(sensor, uv, lens_uv)
     raise TypeError(f"unknown sensor {type(sensor)}")

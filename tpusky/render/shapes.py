@@ -19,7 +19,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.math import dot, normalize
+from ..ops.math import dot, mat3_apply, mat3_apply_t, normalize
 
 SPHERE, RECTANGLE, DISK, CUBE = 0, 1, 2, 3
 
@@ -128,17 +128,28 @@ def sample_position(table: ShapeTable, shape_idx, u2):
     return p_world, n_world, inv_area
 
 
+def _mat3_rows(m, v, transpose=False):
+    """Batched (..., 3, 3) x (..., 3) with explicit VPU arithmetic (no
+    MXU bf16 truncation — see ops/math.py mat3_apply)."""
+    a = m[..., :3, :3]
+    if transpose:
+        return (v[..., 0:1] * a[..., 0, :] + v[..., 1:2] * a[..., 1, :]
+                + v[..., 2:3] * a[..., 2, :])
+    return (v[..., 0:1] * a[..., :, 0] + v[..., 1:2] * a[..., :, 1]
+            + v[..., 2:3] * a[..., :, 2])
+
+
 def _xform_point(m, p):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], p) + m[..., :3, 3]
+    return _mat3_rows(m, p) + m[..., :3, 3]
 
 
 def _xform_vector(m, v):
-    return jnp.einsum("...ij,...j->...i", m[..., :3, :3], v)
+    return _mat3_rows(m, v)
 
 
 def _xform_normal(m_inv, n):
     """Normals transform by the inverse-transpose of the linear part."""
-    return jnp.einsum("...ji,...j->...i", m_inv[..., :3, :3], n)
+    return _mat3_rows(m_inv, n, transpose=True)
 
 
 def _intersect_local(kind, o, d):
@@ -236,12 +247,13 @@ def ray_intersect(shapes: ShapeTable, o, d, maxt=jnp.inf):
     for s in range(n_shapes):
         m = shapes.to_object[s]              # (4, 4) static slice
         lin = m[:3, :3]
-        o_l = o @ lin.T + m[:3, 3]
-        d_l = d @ lin.T
+        # VPU-exact transforms: `@` would hit the MXU in bf16 (ops/math.py)
+        o_l = mat3_apply(lin, o) + m[:3, 3]
+        d_l = mat3_apply(lin, d)
         t, n_l, uv, hit = _intersect_one(shapes.kind[s], o_l, d_l)
         # world normal: inverse-transpose of the object-to-world linear
         # part == to_object's linear part, transposed contraction
-        n_w = n_l @ lin
+        n_w = mat3_apply_t(lin, n_l)
         closer = hit & (t < best_t) & (t < maxt)
         best_t = jnp.where(closer, t, best_t)
         best_n = jnp.where(closer[..., None], n_w, best_n)
@@ -262,8 +274,8 @@ def ray_test(shapes: ShapeTable, o, d, maxt):
     for s in range(n_shapes):
         m = shapes.to_object[s]
         lin = m[:3, :3]
-        o_l = o @ lin.T + m[:3, 3]
-        d_l = d @ lin.T
+        o_l = mat3_apply(lin, o) + m[:3, 3]
+        d_l = mat3_apply(lin, d)
         t, _, _, hit = _intersect_one(shapes.kind[s], o_l, d_l)
         occluded = occluded | (hit & (t < maxt))
     return occluded
