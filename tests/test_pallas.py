@@ -40,3 +40,47 @@ def test_pallas_sun_disc_and_horizon():
     out = np.array(sunsky_eval_rgb_pallas(state, d, interpret=True))
     assert out[0].min() > 1.0       # bright sun disc
     assert np.all(out[1] == 0.0)    # nothing below the horizon
+
+
+def test_eval_dispatches_to_fused_kernel(monkeypatch):
+    """model.eval's TPU fast path: custom_vjp primal = pallas kernel
+    (interpret on CPU), backward = exact jnp vjp."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import tpusky as ts
+    import tpusky.ops.pallas.sunsky_kernel as K
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+
+    monkeypatch.setattr(M, "_pallas_available", lambda: True)
+    orig = K.sunsky_eval_rgb_pallas
+    monkeypatch.setattr(K, "sunsky_eval_rgb_pallas",
+                        lambda s, d: orig(s, d, interpret=True))
+
+    tables = load_tables("rgb")
+    params = ts.make_params(turbidity=4.2, albedo=0.25,
+                            sun_direction=[0.3, 0.2, 0.93])
+    env = M.precompute(tables, params, "rgb")
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    fused = M.eval(env, d)
+    ref = M._eval_rgb_jnp(env, d)
+    err = np.abs(np.asarray(fused) - np.asarray(ref)) / (
+        np.abs(np.asarray(ref)) + 1e-3)
+    assert err.max() < 1e-3, err.max()
+
+    # gradient w.r.t. turbidity routes through the jnp backward: identical
+    def loss(t, use_fused):
+        if not use_fused:
+            monkeypatch.setattr(M, "_pallas_available", lambda: False)
+        p = ts.make_params(turbidity=t, albedo=0.25,
+                           sun_direction=[0.3, 0.2, 0.93])
+        return M.eval(M.precompute(tables, p, "rgb"), d).sum()
+
+    g_fused = float(jax.grad(lambda t: loss(t, True))(jnp.float32(4.2)))
+    monkeypatch.setattr(M, "_pallas_available", lambda: False)
+    g_jnp = float(jax.grad(lambda t: loss(t, False))(jnp.float32(4.2)))
+    assert abs(g_fused - g_jnp) / max(abs(g_jnp), 1e-9) < 1e-6

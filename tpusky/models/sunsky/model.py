@@ -354,12 +354,72 @@ def _hit_sun_mask(state, cos_theta, gamma):
     return jnp.cos(gamma) >= jnp.cos(state.params.sun_half_aperture)
 
 
+def _eval_rgb_jnp(state: SunskyState, d):
+    """Pure-jnp RGB radiance (..., 3); reference path and AD backward."""
+    cos_theta = d[..., 2]
+    gamma = unit_angle(state.sun_frame_n, d)
+    below = cos_theta < 0.0
+    cos_theta_c = jnp.maximum(cos_theta, 0.0)
+    p = state.params
+    sky = eval_sky_rgb(state, cos_theta_c, gamma)
+    sun = eval_sun_rgb(state, cos_theta_c, gamma)
+    hit_sun = _hit_sun_mask(state, cos_theta_c, gamma)
+    res = (p.sky_scale * sky
+           + jnp.where(hit_sun[..., None],
+                       p.sun_scale * sun * area_ratio(p.sun_half_aperture)
+                       * C.SPEC_TO_RGB_SUN_CONV, 0.0))
+    res = res * C.CIE_Y_NORMALIZATION
+    return jnp.where(below[..., None], 0.0, res)
+
+
+@jax.custom_vjp
+def _eval_rgb_fused(state: SunskyState, d):
+    """Fused Pallas primal (TPU): one VMEM-resident kernel instead of the
+    XLA fusion chain — measured 2.45x the jnp eval's throughput (697 vs
+    284 M evals/s at 2M lanes). Backward falls back to the jnp formula so
+    gradients are exact (Pallas kernels are not differentiated)."""
+    from ...ops.pallas.sunsky_kernel import sunsky_eval_rgb_pallas
+    return sunsky_eval_rgb_pallas(state, d)
+
+
+def _eval_rgb_fused_fwd(state, d):
+    return _eval_rgb_fused(state, d), (state, d)
+
+
+def _eval_rgb_fused_bwd(res, ct):
+    state, d = res
+    _, vjp = jax.vjp(_eval_rgb_jnp, state, d)
+    return vjp(ct)
+
+
+_eval_rgb_fused.defvjp(_eval_rgb_fused_fwd, _eval_rgb_fused_bwd)
+
+
+def _pallas_available() -> bool:
+    """Use the fused kernel on real TPU backends; CPU keeps the jnp path
+    (Mosaic-interpret would be slower; tests cover both)."""
+    import os
+    if os.environ.get("TPUSKY_DISABLE_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def eval(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
     """Emitted radiance along local direction d (pointing at the sky).
 
     RGB mode -> (..., 3) linear sRGB; spectral mode -> (..., W) with
     ``wavelengths`` (..., W) in nm.
     """
+    if mode == "rgb":
+        if wavelengths is None and _pallas_available():
+            flat = d.reshape(-1, 3)
+            out = _eval_rgb_fused(state, flat)
+            return out.reshape(d.shape[:-1] + (3,))
+        return _eval_rgb_jnp(state, d)
+
     cos_theta = d[..., 2]
     gamma = unit_angle(state.sun_frame_n, d)
     # The formulas are only valid above the horizon; the output is masked
@@ -368,19 +428,6 @@ def eval(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
     # clamp the formula input. The clamp is the identity on valid lanes.
     below = cos_theta < 0.0
     cos_theta_c = jnp.maximum(cos_theta, 0.0)
-
-    if mode == "rgb":
-        p = state.params
-        sky = eval_sky_rgb(state, cos_theta_c, gamma)
-        sun = eval_sun_rgb(state, cos_theta_c, gamma)
-        hit_sun = _hit_sun_mask(state, cos_theta_c, gamma)
-        res = (p.sky_scale * sky
-               + jnp.where(hit_sun[..., None],
-                           p.sun_scale * sun * area_ratio(p.sun_half_aperture)
-                           * C.SPEC_TO_RGB_SUN_CONV, 0.0))
-        res = res * C.CIE_Y_NORMALIZATION
-        return jnp.where(below[..., None], 0.0, res)
-
     assert wavelengths is not None, "spectral eval needs wavelengths"
     res = eval_spectral(state, cos_theta_c, gamma, wavelengths)
     return jnp.where(below[..., None], 0.0, res)

@@ -31,6 +31,15 @@ _N_SEG = C.N_SUN_SEGMENTS          # 45
 _SUN_F = 3 * 4 * 6                 # 72 flattened rgb sun coefs per segment
 
 
+def _asin01(t):
+    """asin for t in [0, 1] via Abramowitz & Stegun 4.4.46 (|err| <= 2e-8,
+    f32-grade). Mosaic TPU has no asin/acos/atan2 primitives."""
+    p = (1.5707963050 + t * (-0.2145988016 + t * (0.0889789874 + t * (
+        -0.0501743046 + t * (0.0308918810 + t * (-0.0170881256 + t * (
+            0.0066700901 + t * -0.0012624911)))))))
+    return 0.5 * jnp.pi - jnp.sqrt(jnp.maximum(1.0 - t, 0.0)) * p
+
+
 def _sunsky_rgb_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref,
                        out_ref):
     """d (3, B) -> radiance (3, B).
@@ -61,16 +70,20 @@ def _sunsky_rgb_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref,
     sy = jnp.where(dot_sd >= 0.0, sun_ny, -sun_ny)
     sz = jnp.where(dot_sd >= 0.0, sun_nz, -sun_nz)
     diff2 = (dx - sx) ** 2 + (dy - sy) ** 2 + (dz - sz) ** 2
-    half_chord = 0.5 * jnp.sqrt(diff2)
-    temp = 2.0 * jnp.arcsin(jnp.clip(half_chord, -1.0, 1.0))
+    half_chord = jnp.clip(0.5 * jnp.sqrt(diff2), 0.0, 1.0)
+    temp = 2.0 * _asin01(half_chord)
     gamma = jnp.where(dot_sd >= 0.0, temp, jnp.pi - temp)
 
     cos_gamma = jnp.cos(gamma)
     cos_gamma_sqr = cos_gamma * cos_gamma
 
     # ---- sun segment + powers ----
-    elevation = 0.5 * jnp.pi - jnp.arccos(jnp.clip(cos_theta_c, -1.0, 1.0))
-    pos_f = jnp.cbrt(2.0 * elevation / jnp.pi) * _N_SEG
+    # elevation = pi/2 - acos(c) = asin(c), c >= 0 here
+    elevation = _asin01(jnp.clip(cos_theta_c, 0.0, 1.0))
+    # cbrt(x) = exp(log(x)/3) for x > 0 (no cbrt primitive in Mosaic);
+    # elevation >= 0 here, guard the log at 0
+    rel_el = jnp.maximum(2.0 * elevation / jnp.pi, 1e-30)
+    pos_f = jnp.exp(jnp.log(rel_el) * (1.0 / 3.0)) * _N_SEG
     pos = jnp.clip(pos_f.astype(jnp.int32), 0, _N_SEG - 1)
     break_x = 0.5 * jnp.pi * (pos.astype(jnp.float32) / _N_SEG) ** 3
     x = jnp.maximum(elevation - break_x, 0.0)

@@ -186,10 +186,11 @@ class SceneBundle:
         scene = self.build_scene(env_params)
         key = jax.random.PRNGKey(seed)
         spp = spp or self.spp
-        if self.integrator == "aov":
+        if self.integrator in ("aov", "depth"):
             from .aov import render_aovs
-            return render_aovs(scene, self.sensor, self.film.height,
+            aovs = render_aovs(scene, self.sensor, self.film.height,
                                self.film.width)
+            return aovs["depth"] if self.integrator == "depth" else aovs
         if self.integrator == "moment":
             return integrator_mod.render_moments(
                 scene, self.sensor, self.film, key, spp=spp,
