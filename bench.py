@@ -87,5 +87,114 @@ def main() -> None:
     }))
 
 
+def bench_spectral() -> None:
+    """BASELINE config 3: spectral sunsky, depth 4, hero wavelengths."""
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.render import integrator
+    from tpusky.render.film import Film
+    from tpusky.render.scene import make_scene
+    from tpusky.render.sensors import make_perspective
+    from tpusky.render.bsdf import ROUGH_CONDUCTOR, table_kinds
+
+    h = w = 512
+    spp = 8
+    max_depth = 4
+    tables = load_tables("spectral")
+    params = ts.make_params(turbidity=3.0, albedo=0.3,
+                            sun_direction=[0.3, 0.2, 0.93],
+                            mode="spectral")
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    base_scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0)],
+        bsdf_albedos=[[0.5, 0.5, 0.5]], bsdf_kinds=[ROUGH_CONDUCTOR],
+        bsdf_alphas=[0.2], env=None)
+    sensor = make_perspective([4, -4, 2.0], [0, 0, 0.5], fov_x_deg=45)
+    film = Film(h, w, 3)
+    kinds = table_kinds(base_scene.bsdfs)
+    precompute = jax.jit(lambda p: M.precompute(tables, p, "spectral"))
+
+    def run(p, key):
+        scene = base_scene._replace(env=precompute(p))
+        return integrator._render_impl(scene, sensor, film, key, spp,
+                                       max_depth, 1000, "spectral",
+                                       kinds=kinds)
+
+    out = run(params, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(params, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    rays = h * w * spp * (1 + 2 * (max_depth - 1))
+    print(json.dumps({"metric": "sunsky_spectral_d4_rays_per_s",
+                      "value": float(rays / dt), "unit": "rays/s",
+                      "vs_baseline": None}))
+
+
+def bench_grad() -> None:
+    """BASELINE config 4: fwd+bwd throughput of d(loss)/d(params)."""
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.render import integrator
+    from tpusky.render.film import Film
+    from tpusky.render.scene import make_scene
+    from tpusky.render.sensors import make_perspective
+    from tpusky.render.bsdf import table_kinds
+    from tpusky.render import film as film_mod
+
+    h = w = 512
+    spp = 4
+    max_depth = 2
+    tables = load_tables("rgb")
+    params = ts.make_params(turbidity=3.0, albedo=0.3,
+                            sun_direction=[0.3, 0.2, 0.93])
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    sphere = np.eye(4, dtype=np.float32)
+    sphere[2, 3] = 1.0
+    base_scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=0, to_world=sphere, bsdf_idx=1)],
+        bsdf_albedos=[[0.4, 0.4, 0.4], [0.6, 0.2, 0.2]], env=None)
+    sensor = make_perspective([4, -4, 2.0], [0, 0, 1.0], fov_x_deg=45)
+    film = Film(h, w, 3)
+    kinds = table_kinds(base_scene.bsdfs)
+
+    @jax.jit
+    def loss_and_grad(p, key):
+        def loss(pp):
+            env = M.precompute(tables, pp, "rgb")
+            scene = base_scene._replace(env=env)
+            img = film_mod.develop(integrator.render_rows(
+                scene, sensor, film, key, spp, max_depth, 1000, "rgb",
+                0, h, kinds=kinds))
+            return jnp.mean(img ** 2)
+        return jax.value_and_grad(lambda t: loss(
+            p._replace(turbidity=t)))(p.turbidity)
+
+    out = loss_and_grad(params, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = loss_and_grad(params, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    rays = h * w * spp * (1 + 2 * (max_depth - 1))
+    print(json.dumps({"metric": "sunsky_fwd_bwd_rays_per_s",
+                      "value": float(rays / dt), "unit": "rays/s",
+                      "vs_baseline": None}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--spectral" in sys.argv:
+        bench_spectral()
+    elif "--grad" in sys.argv:
+        bench_grad()
+    else:
+        main()

@@ -84,3 +84,46 @@ def test_eval_dispatches_to_fused_kernel(monkeypatch):
     monkeypatch.setattr(M, "_pallas_available", lambda: False)
     g_jnp = float(jax.grad(lambda t: loss(t, False))(jnp.float32(4.2)))
     assert abs(g_fused - g_jnp) / max(abs(g_jnp), 1e-9) < 1e-6
+
+
+def test_fused_hit_and_nee_kernels_match_jnp():
+    """The hit (eval+pdf) and NEE (sample+pdf+eval) kernels match the jnp
+    reference functions in interpret mode."""
+    import jax.numpy as jnp
+    import numpy as np
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.ops.pallas.sunsky_kernel import (sunsky_hit_rgb_pallas,
+                                                 sunsky_nee_rgb_pallas)
+
+    tables = load_tables("rgb")
+    env = M.precompute(tables, ts.make_params(
+        turbidity=3.8, albedo=0.3, sun_direction=[0.3, 0.2, 0.93]), "rgb")
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(4096, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    rad_k, pdf_k = sunsky_hit_rgb_pallas(env, d, interpret=True)
+    rad_j = M._eval_rgb_jnp(env, d)
+    pdf_j = M.pdf_direction(env, d)
+    assert np.max(np.abs(np.asarray(rad_k) - np.asarray(rad_j))
+                  / (np.abs(np.asarray(rad_j)) + 1e-3)) < 1e-4
+    assert np.max(np.abs(np.asarray(pdf_k) - np.asarray(pdf_j))
+                  / (np.abs(np.asarray(pdf_j)) + 1e-3)) < 1e-3
+
+    u2 = jnp.asarray(rng.random((4096, 2), dtype=np.float32))
+    d_k, rad_k2, pdf_k2 = sunsky_nee_rgb_pallas(env, u2, interpret=True)
+    d_j, pdf_j2 = M.sample_direction(env, u2)
+    assert np.max(np.abs(np.asarray(d_k) - np.asarray(d_j))) < 1e-5
+    assert np.max(np.abs(np.asarray(pdf_k2) - np.asarray(pdf_j2))
+                  / (np.abs(np.asarray(pdf_j2)) + 1e-3)) < 1e-3
+    # fused radiance evaluated at the kernel's own direction. NEE samples
+    # concentrate on the sun disc whose limb-darkening sqrt amplifies the
+    # polynomial-asin error at the very limb -> per-lane tail ~5e-3 there,
+    # median far below; all golden thresholds are >= 1e-2.
+    rad_j2 = M._eval_rgb_jnp(env, d_k)
+    rel = (np.abs(np.asarray(rad_k2) - np.asarray(rad_j2))
+           / (np.abs(np.asarray(rad_j2)) + 1e-3))
+    assert np.median(rel) < 1e-4, np.median(rel)
+    assert rel.max() < 1e-2, rel.max()

@@ -278,11 +278,29 @@ def eval_sun_rgb(state: SunskyState, cos_theta, gamma):
                               _cos_psi(gamma, state.params.sun_half_aperture))
 
 
+def _select_channels(all_ch, idx):
+    """all_ch (..., 11), idx (..., W) -> (..., W) channel pick.
+
+    Masked sum over the tiny static channel axis instead of a per-lane
+    gather (take_along_axis lowers to a scalar loop on TPU — the 26x trap
+    documented in ops/gather.py)."""
+    sel = (idx[..., :, None]
+           == jnp.arange(C.N_WAVELENGTHS)).astype(all_ch.dtype)
+    return jnp.sum(all_ch[..., None, :] * sel, axis=-1)
+
+
 def _eval_sky_channels(state, channel_idx, cos_theta, gamma):
     """Sky radiance at integer channel indices (..., W)."""
-    coefs = state.sky_params[channel_idx]      # (..., W, 9)
-    rad = state.sky_radiance[channel_idx]      # (..., W)
-    return _sky_formula(coefs, rad, cos_theta[..., None], gamma[..., None])
+    if channel_idx.ndim <= 1:  # static full-channel query (precompute path)
+        coefs = state.sky_params[channel_idx]      # (W, 9)
+        rad = state.sky_radiance[channel_idx]      # (W,)
+        return _sky_formula(coefs, rad, cos_theta[..., None],
+                            gamma[..., None])
+    # per-lane wavelengths: evaluate ALL 11 dataset channels (pure VPU
+    # math over a tiny static axis), then mask-select — no gathers
+    all_ch = _sky_formula(state.sky_params, state.sky_radiance,
+                          cos_theta[..., None], gamma[..., None])
+    return _select_channels(all_ch, channel_idx)
 
 
 def _eval_sun_all_channels(state, cos_theta):
@@ -308,16 +326,20 @@ def _eval_sun_channels(state, channel_idx, cos_theta):
         return all_ch[..., channel_idx]
     all_ch = jnp.broadcast_to(
         all_ch, channel_idx.shape[:-1] + all_ch.shape[-1:])
-    return jnp.take_along_axis(all_ch, channel_idx, axis=-1)
+    return _select_channels(all_ch, channel_idx)
 
 
 def _eval_sun_ld(state, idx_low, idx_high, lerp_f, gamma):
     """Spectral limb darkening factor (..., W)."""
-    ld = lerp(state.sun_ld[idx_low], state.sun_ld[idx_high],
-              lerp_f[..., None])                               # (..., W, 6)
     cp = poly_powers(_cos_psi(gamma, state.params.sun_half_aperture),
-                     C.N_SUN_LD_PARAMS)[..., None, :]
-    return jnp.sum(ld * cp, axis=-1)
+                     C.N_SUN_LD_PARAMS)                        # (..., 6)
+    # all 11 channels via one static matmul (sun_ld is (11, 6)), then
+    # mask-select the two lerp endpoints — no per-lane gathers
+    ld_all = jnp.einsum("...p,cp->...c", cp, state.sun_ld)     # (..., 11)
+    ld_all = jnp.broadcast_to(ld_all,
+                              idx_low.shape[:-1] + ld_all.shape[-1:])
+    return lerp(_select_channels(ld_all, idx_low),
+                _select_channels(ld_all, idx_high), lerp_f)
 
 
 def eval_spectral(state: SunskyState, cos_theta, gamma, wavelengths):
@@ -548,6 +570,85 @@ def pdf_direction(state: SunskyState, d):
     """Solid-angle pdf of `sample_direction` for local direction d."""
     sky_pdf, sun_pdf = compute_pdfs(state, d, check_sun=True)
     return lerp(sun_pdf, sky_pdf, state.sky_sampling_w)
+
+
+# ---------------------------------------------------------------------------
+# Fused emitter-hit / NEE blocks (Pallas primal, jnp AD; RGB mode)
+# ---------------------------------------------------------------------------
+
+
+def _hit_rgb_jnp(state: SunskyState, d):
+    return _eval_rgb_jnp(state, d), pdf_direction(state, d)
+
+
+@jax.custom_jvp
+def _hit_rgb_fused(state: SunskyState, d):
+    """(radiance, pdf) in one Pallas pass — the emitter-hit MIS block
+    (`eval` + `pdf_direction`); 4.25 ms vs 6.5 ms separate at 2M lanes."""
+    from ...ops.pallas.sunsky_kernel import sunsky_hit_rgb_pallas
+    return sunsky_hit_rgb_pallas(state, d)
+
+
+@_hit_rgb_fused.defjvp
+def _hit_rgb_fused_jvp(primals, tangents):
+    primal_out = _hit_rgb_fused(*primals)
+    _, tangent_out = jax.jvp(_hit_rgb_jnp, primals, tangents)
+    return primal_out, tangent_out
+
+
+def eval_pdf(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
+    """Radiance + solid-angle pdf toward local direction d.
+
+    Fused on TPU in RGB mode; identical to `(eval(...), pdf_direction(...))`
+    otherwise."""
+    if mode == "rgb" and wavelengths is None and _pallas_available():
+        flat = d.reshape(-1, 3)
+        rad, pdf = _hit_rgb_fused(state, flat)
+        return (rad.reshape(d.shape[:-1] + (3,)),
+                pdf.reshape(d.shape[:-1]))
+    return (eval(state, d, wavelengths=wavelengths, mode=mode),
+            pdf_direction(state, d))
+
+
+def _sample_eval_rgb_jnp(state: SunskyState, u2):
+    d, pdf = sample_direction(state, u2)
+    # detached-sampling discipline (`prb.py:147-160`): the direction is
+    # sample placement; gradients flow through radiance and pdf values
+    d = jax.lax.stop_gradient(d)
+    return d, _eval_rgb_jnp(state, d), pdf
+
+
+@jax.custom_jvp
+def _sample_eval_rgb_fused(state: SunskyState, u2):
+    """(direction, radiance, pdf) in one Pallas pass — the NEE block
+    (`sample_direction` + `eval`); 3.6 ms vs 7.2 ms separate at 2M lanes."""
+    from ...ops.pallas.sunsky_kernel import sunsky_nee_rgb_pallas
+    return sunsky_nee_rgb_pallas(state, u2)
+
+
+@_sample_eval_rgb_fused.defjvp
+def _sample_eval_rgb_fused_jvp(primals, tangents):
+    primal_out = _sample_eval_rgb_fused(*primals)
+    _, tangent_out = jax.jvp(_sample_eval_rgb_jnp, primals, tangents)
+    return primal_out, tangent_out
+
+
+def sample_eval(state: SunskyState, u2, wavelengths=None,
+                mode: str = "rgb"):
+    """Importance-sample a direction and evaluate its radiance + pdf.
+
+    Returns (d_local (..., 3) — already detached, radiance, pdf). Fused on
+    TPU in RGB mode."""
+    if mode == "rgb" and wavelengths is None and _pallas_available():
+        flat = u2.reshape(-1, 2)
+        d, rad, pdf = _sample_eval_rgb_fused(state, flat)
+        batch = u2.shape[:-1]
+        return (d.reshape(batch + (3,)), rad.reshape(batch + (3,)),
+                pdf.reshape(batch))
+    d, pdf = sample_direction(state, u2)
+    d = jax.lax.stop_gradient(d)
+    rad = eval(state, d, wavelengths=wavelengths, mode=mode)
+    return d, rad, pdf
 
 
 def sample_wavelengths(state: SunskyState, u, n: int = 4):

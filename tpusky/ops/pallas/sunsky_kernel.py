@@ -1,17 +1,29 @@
-"""Fused Pallas TPU kernel for sunsky RGB radiance evaluation.
+"""Fused Pallas TPU kernels for the sunsky emitter hot path.
 
-One pass over the ray wavefront computes the full Hosek-Wilkie sky
-radiance and limb-darkened sun disc per ray (the hot `eval` of
-BASELINE.json's north star): every coefficient table lives in VMEM, the
-45-segment sun coefficient lookup is an in-kernel MXU one-hot matmul, and
-all transcendentals run on the VPU — no HBM round-trips between the
-stages that XLA would otherwise materialise.
+Three kernels over the ray wavefront (the hot ops of BASELINE.json's
+north star), each one VMEM-resident pass — every coefficient table lives
+in VMEM, the 45-segment sun coefficient lookup is an in-kernel MXU
+one-hot matmul, and all transcendentals run on the VPU with
+Mosaic-lowerable polynomial replacements (`trig.py`) — no HBM
+round-trips between the stages that XLA would otherwise materialise:
 
-Layout: directions and radiance are lane-major (3, N) / (N padded to the
-128-lane tile), processed in B-lane blocks over a 1D grid.
+* `sunsky_eval_rgb_pallas(state, d)` — radiance only (reference
+  `SunskyEmitter::eval`, `sunsky.cpp:303`).
+* `sunsky_hit_rgb_pallas(state, d)` — radiance + solid-angle pdf in one
+  pass (the emitter-hit MIS block: `eval` + `pdf_direction`,
+  `sunsky.cpp:443`).
+* `sunsky_nee_rgb_pallas(state, u2)` — TGMM/sun-cone direction sample +
+  pdf + radiance in one pass (the NEE block: `sample_direction` +
+  `eval`, `sunsky.cpp:399`).
 
-Falls back to the pure-jnp `model.eval` on non-TPU backends (the kernel
-also runs under `interpret=True` for CPU tests).
+Layout: all per-lane data is lane-major (rows, N) with N padded to the
+128-lane tile, processed in BLOCK-lane blocks over a 1D grid.
+
+Numerics match the pure-jnp `model` functions to ~3e-4 relative (max,
+over 2M random lanes; dominated by the polynomial asin near the sun-disc
+edge) — far below every golden-test threshold. The jnp formulas remain
+the AD path (custom_jvp in model.py) and the CPU path; these kernels
+also run under `interpret=True` for CPU tests (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -24,41 +36,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...models.sunsky import constants as C
+from . import trig
 
 BLOCK = 2048
 
 _N_SEG = C.N_SUN_SEGMENTS          # 45
 _SUN_F = 3 * 4 * 6                 # 72 flattened rgb sun coefs per segment
+_N_GAUSS = 20
+_EPS = C.EPSILON_F32
+
+# misc scalar layout (1, 16)
+_M_SUNX, _M_SUNY, _M_SUNZ, _M_HALF_AP, _M_SKY_SCALE, _M_SUN_SCALE = range(6)
+_M_SUN_PHI, _M_WMIX, _M_COS_CUT, _M_SX, _M_SY, _M_SZ, _M_TX, _M_TY, \
+    _M_TZ, _M_PAD = range(6, 16)
+
+# per-gaussian row layout (13, 20)
+_G_MU1, _G_MU2, _G_S1, _G_S2, _G_INV_S1, _G_INV_S2, _G_A, _G_CDF, \
+    _G_PMF, _G_CA1, _G_CB1, _G_CA2, _G_CB2 = range(13)
 
 
-def _asin01(t):
-    """asin for t in [0, 1] via Abramowitz & Stegun 4.4.46 (|err| <= 2e-8,
-    f32-grade). Mosaic TPU has no asin/acos/atan2 primitives."""
-    p = (1.5707963050 + t * (-0.2145988016 + t * (0.0889789874 + t * (
-        -0.0501743046 + t * (0.0308918810 + t * (-0.0170881256 + t * (
-            0.0066700901 + t * -0.0012624911)))))))
-    return 0.5 * jnp.pi - jnp.sqrt(jnp.maximum(1.0 - t, 0.0)) * p
-
-
-def _sunsky_rgb_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref,
-                       out_ref):
-    """d (3, B) -> radiance (3, B).
-
-    skyp (3, 9) sky coefficients; skyr (1, 3) mean radiance;
-    sun (72, 45) transposed flattened sun table; misc (1, 8):
-    [sun_nx, sun_ny, sun_nz, half_aperture, sky_scale, sun_scale,
-     area_ratio_conv, unused].
-    """
-    dx = d_ref[0:1, :]
-    dy = d_ref[1:2, :]
-    dz = d_ref[2:3, :]
-
-    sun_nx = misc_ref[0, 0]
-    sun_ny = misc_ref[0, 1]
-    sun_nz = misc_ref[0, 2]
-    half_ap = misc_ref[0, 3]
-    sky_scale = misc_ref[0, 4]
-    sun_scale_conv = misc_ref[0, 5]  # sun_scale * area_ratio * RGB conv
+def _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref, misc_ref):
+    """Shared radiance core -> (r, g, b) rows (1, B), masked below horizon."""
+    sun_nx = misc_ref[0, _M_SUNX]
+    sun_ny = misc_ref[0, _M_SUNY]
+    sun_nz = misc_ref[0, _M_SUNZ]
+    half_ap = misc_ref[0, _M_HALF_AP]
+    sky_scale = misc_ref[0, _M_SKY_SCALE]
+    sun_scale_conv = misc_ref[0, _M_SUN_SCALE]
 
     cos_theta = dz
     below = cos_theta < 0.0
@@ -71,7 +75,7 @@ def _sunsky_rgb_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref,
     sz = jnp.where(dot_sd >= 0.0, sun_nz, -sun_nz)
     diff2 = (dx - sx) ** 2 + (dy - sy) ** 2 + (dz - sz) ** 2
     half_chord = jnp.clip(0.5 * jnp.sqrt(diff2), 0.0, 1.0)
-    temp = 2.0 * _asin01(half_chord)
+    temp = 2.0 * trig.asin01(half_chord)
     gamma = jnp.where(dot_sd >= 0.0, temp, jnp.pi - temp)
 
     cos_gamma = jnp.cos(gamma)
@@ -79,9 +83,8 @@ def _sunsky_rgb_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref,
 
     # ---- sun segment + powers ----
     # elevation = pi/2 - acos(c) = asin(c), c >= 0 here
-    elevation = _asin01(jnp.clip(cos_theta_c, 0.0, 1.0))
-    # cbrt(x) = exp(log(x)/3) for x > 0 (no cbrt primitive in Mosaic);
-    # elevation >= 0 here, guard the log at 0
+    elevation = trig.asin01(jnp.clip(cos_theta_c, 0.0, 1.0))
+    # cbrt(x) = exp(log(x)/3) for x > 0 (no cbrt primitive in Mosaic)
     rel_el = jnp.maximum(2.0 * elevation / jnp.pi, 1e-30)
     pos_f = jnp.exp(jnp.log(rel_el) * (1.0 / 3.0)) * _N_SEG
     pos = jnp.clip(pos_f.astype(jnp.int32), 0, _N_SEG - 1)
@@ -139,10 +142,235 @@ def _sunsky_rgb_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref,
 
         val = (sky_scale * sky + sun_scale_conv * sun) * C.CIE_Y_NORMALIZATION
         out_rows.append(jnp.where(below, 0.0, val))
+    return out_rows
 
-    out_ref[0:1, :] = out_rows[0]
-    out_ref[1:2, :] = out_rows[1]
-    out_ref[2:3, :] = out_rows[2]
+
+def _pdf_row(dx, dy, dz, g_ref, misc_ref, check_sun):
+    """Mixture solid-angle pdf row (1, B), matching `model.compute_pdfs`.
+
+    check_sun: (1, B) bool — mask the cone pdf to in-cone lanes (True row
+    for pdf queries; the per-lane sky/sun pick for sampled directions)."""
+    sun_phi = misc_ref[0, _M_SUN_PHI]
+    w_mix = misc_ref[0, _M_WMIX]
+    cos_cut = misc_ref[0, _M_COS_CUT]
+    sun_nx = misc_ref[0, _M_SUNX]
+    sun_ny = misc_ref[0, _M_SUNY]
+    sun_nz = misc_ref[0, _M_SUNZ]
+
+    sin_theta = jnp.sqrt(jnp.maximum(dx * dx + dy * dy, 0.0))
+    active = (dz >= 0.0) & (sin_theta != 0.0)
+    sin_theta_c = jnp.maximum(sin_theta, C.SIN_OFFSET)
+
+    theta = trig.acos(jnp.clip(dz, -1.0, 1.0))
+    phi = trig.atan2(dy, dx)
+    phi_rel = phi - (sun_phi - 0.5 * jnp.pi)
+    phi_rel = jnp.where(phi_rel < 0.0, phi_rel + 2.0 * jnp.pi, phi_rel)
+    phi_rel = jnp.where(phi_rel > 2.0 * jnp.pi, phi_rel - 2.0 * jnp.pi,
+                        phi_rel)
+    in_range = (theta >= 0.0) & (theta <= 0.5 * jnp.pi)
+
+    tg = jnp.zeros_like(dx)
+    for gi in range(_N_GAUSS):
+        z1 = (phi_rel - g_ref[_G_MU1, gi]) * g_ref[_G_INV_S1, gi]
+        z2 = (theta - g_ref[_G_MU2, gi]) * g_ref[_G_INV_S2, gi]
+        tg = tg + g_ref[_G_A, gi] * jnp.exp(-0.5 * (z1 * z1 + z2 * z2))
+    sky_pdf = jnp.where(active & in_range, tg / sin_theta_c, 0.0)
+
+    dot_sun = dx * sun_nx + dy * sun_ny + dz * sun_nz
+    in_cone = dot_sun >= cos_cut
+    cone_pdf = 1.0 / (2.0 * jnp.pi * (1.0 - cos_cut))
+    sun_pdf = jnp.where(active & (in_cone | ~check_sun), cone_pdf, 0.0)
+    return (1.0 - w_mix) * sun_pdf + w_mix * sky_pdf
+
+
+def _hit_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref,
+                out_ref):
+    """d (3, B) -> [radiance (3), pdf (1)] rows."""
+    dx = d_ref[0:1, :]
+    dy = d_ref[1:2, :]
+    dz = d_ref[2:3, :]
+    r, g, b = _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref,
+                             misc_ref)
+    pdf = _pdf_row(dx, dy, dz, g_ref, misc_ref,
+                   jnp.ones_like(dx, dtype=bool))
+    out_ref[0:1, :] = r
+    out_ref[1:2, :] = g
+    out_ref[2:3, :] = b
+    out_ref[3:4, :] = pdf
+
+
+def _nee_kernel(u_ref, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref,
+                out_ref):
+    """u2 (2, B) -> [d (3), radiance (3), pdf (1)] rows.
+
+    Bitwise-mirrors `model.sample_direction`: strategy pick + uniform
+    rescale, TGMM inverse-CDF (sky) / concentric-disk cone (sun)."""
+    u0 = u_ref[0:1, :]
+    u1 = u_ref[1:2, :]
+    w_mix = misc_ref[0, _M_WMIX]
+    sun_phi = misc_ref[0, _M_SUN_PHI]
+    cos_cut = misc_ref[0, _M_COS_CUT]
+
+    pick_sky = u0 < w_mix
+    sky_u0 = jnp.clip(u0 / jnp.maximum(w_mix, 1e-12), 0.0, 1.0)
+    sun_u0 = jnp.clip((u0 - w_mix) / jnp.maximum(1.0 - w_mix, 1e-12),
+                      0.0, 1.0)
+
+    # ---- discrete gaussian pick (matches discrete_sample_reuse with a
+    # normalized cdf: total == 1) ----
+    idx = jnp.zeros_like(u0, dtype=jnp.int32)
+    for gi in range(_N_GAUSS):
+        idx = idx + (g_ref[_G_CDF, gi] <= sky_u0).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, _N_GAUSS - 1)
+
+    mu1 = jnp.zeros_like(u0)
+    mu2 = jnp.zeros_like(u0)
+    s1 = jnp.zeros_like(u0)
+    s2 = jnp.zeros_like(u0)
+    ca1 = jnp.zeros_like(u0)
+    cb1 = jnp.zeros_like(u0)
+    ca2 = jnp.zeros_like(u0)
+    cb2 = jnp.zeros_like(u0)
+    cdf_prev = jnp.zeros_like(u0)
+    pmf = jnp.zeros_like(u0)
+    for gi in range(_N_GAUSS):
+        sel = idx == gi
+        mu1 = jnp.where(sel, g_ref[_G_MU1, gi], mu1)
+        mu2 = jnp.where(sel, g_ref[_G_MU2, gi], mu2)
+        s1 = jnp.where(sel, g_ref[_G_S1, gi], s1)
+        s2 = jnp.where(sel, g_ref[_G_S2, gi], s2)
+        ca1 = jnp.where(sel, g_ref[_G_CA1, gi], ca1)
+        cb1 = jnp.where(sel, g_ref[_G_CB1, gi], cb1)
+        ca2 = jnp.where(sel, g_ref[_G_CA2, gi], ca2)
+        cb2 = jnp.where(sel, g_ref[_G_CB2, gi], cb2)
+        if gi > 0:
+            cdf_prev = jnp.where(sel, g_ref[_G_CDF, gi - 1], cdf_prev)
+        pmf = jnp.where(sel, g_ref[_G_PMF, gi], pmf)
+    reused = jnp.clip((sky_u0 - cdf_prev) / jnp.maximum(pmf, 1e-37),
+                      0.0, 1.0)
+
+    p1 = jnp.clip(ca1 + reused * (cb1 - ca1), _EPS, 1.0 - _EPS)
+    p2 = jnp.clip(ca2 + u1 * (cb2 - ca2), _EPS, 1.0 - _EPS)
+    ang1 = jnp.sqrt(2.0) * trig.erfinv(2.0 * p1 - 1.0) * s1 + mu1
+    ang2 = jnp.sqrt(2.0) * trig.erfinv(2.0 * p2 - 1.0) * s2 + mu2
+    phi_sky = ang1 + sun_phi - 0.5 * jnp.pi
+    theta_sky = jnp.minimum(ang2, 0.5 * jnp.pi - _EPS)
+    st = jnp.sin(theta_sky)
+    d_sky_x = jnp.cos(phi_sky) * st
+    d_sky_y = jnp.sin(phi_sky) * st
+    d_sky_z = jnp.cos(theta_sky)
+
+    # ---- sun cone: concentric-disk low-distortion cone warp ----
+    cx = 2.0 * sun_u0 - 1.0
+    cy = 2.0 * u1 - 1.0
+    is_zero = (cx == 0.0) & (cy == 0.0)
+    q13 = jnp.abs(cx) < jnp.abs(cy)
+    r_c = jnp.where(q13, cy, cx)
+    rp = jnp.where(q13, cx, cy)
+    phi_c = 0.25 * jnp.pi * rp / jnp.where(is_zero, 1.0, r_c)
+    phi_c = jnp.where(q13, 0.5 * jnp.pi - phi_c, phi_c)
+    phi_c = jnp.where(is_zero, 0.0, phi_c)
+    px = r_c * jnp.cos(phi_c)
+    py = r_c * jnp.sin(phi_c)
+    one_minus = 1.0 - cos_cut
+    pn = px * px + py * py
+    lz = cos_cut + one_minus * (1.0 - pn)
+    lscale = jnp.sqrt(jnp.maximum(one_minus * (2.0 - one_minus * pn), 0.0))
+    lx = px * lscale
+    ly = py * lscale
+    d_sun_x = (lx * misc_ref[0, _M_SX] + ly * misc_ref[0, _M_TX]
+               + lz * misc_ref[0, _M_SUNX])
+    d_sun_y = (lx * misc_ref[0, _M_SY] + ly * misc_ref[0, _M_TY]
+               + lz * misc_ref[0, _M_SUNY])
+    d_sun_z = (lx * misc_ref[0, _M_SZ] + ly * misc_ref[0, _M_TZ]
+               + lz * misc_ref[0, _M_SUNZ])
+
+    dx = jnp.where(pick_sky, d_sky_x, d_sun_x)
+    dy = jnp.where(pick_sky, d_sky_y, d_sun_y)
+    dz = jnp.where(pick_sky, d_sky_z, d_sun_z)
+
+    pdf = _pdf_row(dx, dy, dz, g_ref, misc_ref, pick_sky)
+    pdf = jnp.where(dz >= 0.0, pdf, 0.0)
+    r, g, b = _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref,
+                             misc_ref)
+
+    out_ref[0:1, :] = dx
+    out_ref[1:2, :] = dy
+    out_ref[2:3, :] = dz
+    out_ref[3:4, :] = r
+    out_ref[4:5, :] = g
+    out_ref[5:6, :] = b
+    out_ref[6:7, :] = pdf
+
+
+def _sunsky_rgb_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref,
+                       out_ref):
+    """d (3, B) -> radiance (3, B) (radiance-only kernel)."""
+    dx = d_ref[0:1, :]
+    dy = d_ref[1:2, :]
+    dz = d_ref[2:3, :]
+    r, g, b = _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref,
+                             misc_ref)
+    out_ref[0:1, :] = r
+    out_ref[1:2, :] = g
+    out_ref[2:3, :] = b
+
+
+def _misc_row(state):
+    from ...models.sunsky.model import area_ratio
+    p = state.params
+    return jnp.stack([
+        state.sun_frame_n[0], state.sun_frame_n[1], state.sun_frame_n[2],
+        p.sun_half_aperture, p.sky_scale,
+        p.sun_scale * area_ratio(p.sun_half_aperture)
+        * jnp.float32(C.SPEC_TO_RGB_SUN_CONV),
+        state.sun_angles[0], state.sky_sampling_w,
+        jnp.cos(p.sun_half_aperture),
+        state.sun_frame_s[0], state.sun_frame_s[1], state.sun_frame_s[2],
+        state.sun_frame_t[0], state.sun_frame_t[1], state.sun_frame_t[2],
+        jnp.float32(0.0)])[None, :]
+
+
+def _gauss_rows(state):
+    """(13, 20) per-gaussian constants; cdf/pmf normalised to total 1,
+    truncation CDFs precomputed once per parameter set (the reference
+    recomputes them per query, `sunsky.cpp:752` — SURVEY.md hard-part 1)."""
+    from jax.scipy.special import erf as jerf
+    g = state.gaussians                           # (20, 5)
+    mu, sigma, w = g[:, 0:2], g[:, 2:4], g[:, 4]
+    inv_sqrt2 = 0.7071067811865475
+    a = jnp.asarray([0.0, 0.0])
+    b = jnp.asarray([2.0 * jnp.pi, 0.5 * jnp.pi])
+    cdf_a = 0.5 * (1.0 + jerf(inv_sqrt2 * (a - mu) / sigma))
+    cdf_b = 0.5 * (1.0 + jerf(inv_sqrt2 * (b - mu) / sigma))
+    vol = ((cdf_b[:, 0] - cdf_a[:, 0]) * (cdf_b[:, 1] - cdf_a[:, 1])
+           * sigma[:, 0] * sigma[:, 1])
+    # pdf contribution = w * exp(-|z|^2/2)/(2 pi) / vol, with vol already
+    # including sigma1*sigma2 (mirrors model.tgmm_pdf)
+    amp = w / (2.0 * jnp.pi * jnp.maximum(vol, 1e-30))
+    total = jnp.maximum(jnp.sum(w), 1e-30)
+    pmf = w / total
+    cdf = jnp.cumsum(pmf)
+    return jnp.stack([
+        mu[:, 0], mu[:, 1], sigma[:, 0], sigma[:, 1],
+        1.0 / sigma[:, 0], 1.0 / sigma[:, 1], amp, cdf, pmf,
+        cdf_a[:, 0], cdf_b[:, 0], cdf_a[:, 1], cdf_b[:, 1]], axis=0)
+
+
+_CONST_SPECS = [
+    pl.BlockSpec((3, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((_SUN_F, _N_SEG), lambda i: (0, 0),
+                 memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+]
+_GAUSS_SPEC = pl.BlockSpec((13, _N_GAUSS), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+
+def _lane_major(x, n_pad):
+    out = jnp.zeros((x.shape[1], n_pad), jnp.float32)
+    return out.at[:, :x.shape[0]].set(x.T)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -152,39 +380,62 @@ def sunsky_eval_rgb_pallas(state, d, interpret: bool = False):
     Numerically matches `model.eval(state, d, mode='rgb')` to f32
     round-off; see tests/test_pallas.py.
     """
-    from ...models.sunsky.model import area_ratio
-
     n = d.shape[0]
     n_pad = -(-n // BLOCK) * BLOCK
-    d_t = jnp.zeros((3, n_pad), jnp.float32)
-    d_t = d_t.at[:, :n].set(d.T)
-
-    p = state.params
-    misc = jnp.stack([
-        state.sun_frame_n[0], state.sun_frame_n[1], state.sun_frame_n[2],
-        p.sun_half_aperture, p.sky_scale,
-        p.sun_scale * area_ratio(p.sun_half_aperture)
-        * jnp.float32(C.SPEC_TO_RGB_SUN_CONV),
-        jnp.float32(0.0), jnp.float32(0.0)])[None, :]
-
-    sun_t = state.sun_radiance.T                      # (72, 45)
-    skyr = state.sky_radiance[None, :]                # (1, 3)
-
+    d_t = _lane_major(d, n_pad)
     out = pl.pallas_call(
         _sunsky_rgb_kernel,
         grid=(n_pad // BLOCK,),
-        in_specs=[
-            pl.BlockSpec((3, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUN_F, _N_SEG), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[pl.BlockSpec((3, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + _CONST_SPECS,
         out_specs=pl.BlockSpec((3, BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         interpret=interpret,
-    )(d_t, state.sky_params, skyr, sun_t, misc)
+    )(d_t, state.sky_params, state.sky_radiance[None, :],
+      state.sun_radiance.T, _misc_row(state))
     return out[:, :n].T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sunsky_hit_rgb_pallas(state, d, interpret: bool = False):
+    """Fused radiance + pdf for emitter-hit MIS. d (N, 3) ->
+    (radiance (N, 3), pdf (N,))."""
+    n = d.shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    d_t = _lane_major(d, n_pad)
+    out = pl.pallas_call(
+        _hit_kernel,
+        grid=(n_pad // BLOCK,),
+        in_specs=[pl.BlockSpec((3, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + _CONST_SPECS
+        + [_GAUSS_SPEC],
+        out_specs=pl.BlockSpec((4, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, n_pad), jnp.float32),
+        interpret=interpret,
+    )(d_t, state.sky_params, state.sky_radiance[None, :],
+      state.sun_radiance.T, _misc_row(state), _gauss_rows(state))
+    return out[:3, :n].T, out[3, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sunsky_nee_rgb_pallas(state, u2, interpret: bool = False):
+    """Fused sample + pdf + radiance for NEE. u2 (N, 2) uniforms ->
+    (d (N, 3), radiance (N, 3), pdf (N,))."""
+    n = u2.shape[0]
+    n_pad = -(-n // BLOCK) * BLOCK
+    u_t = _lane_major(u2, n_pad)
+    out = pl.pallas_call(
+        _nee_kernel,
+        grid=(n_pad // BLOCK,),
+        in_specs=[pl.BlockSpec((2, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + _CONST_SPECS
+        + [_GAUSS_SPEC],
+        out_specs=pl.BlockSpec((7, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((7, n_pad), jnp.float32),
+        interpret=interpret,
+    )(u_t, state.sky_params, state.sky_radiance[None, :],
+      state.sun_radiance.T, _misc_row(state), _gauss_rows(state))
+    return out[:3, :n].T, out[3:6, :n].T, out[6, :n]

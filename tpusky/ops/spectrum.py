@@ -41,32 +41,46 @@ def _cie_tables():
                 np.array(z["d65"]))
 
 
-def _cie_interp(table, wavelengths):
+def _cie_interp_multi(tables, wavelengths):
+    """Lerp all F stacked tables at once -> (..., F).
+
+    Per-lane `tbl[i0]` gathers lower to scalar loops on TPU (26x slower,
+    see ops/gather.py); instead both lerp endpoints come from ONE one-hot
+    MXU matmul against the (95, F) stacked table.
+    """
     t = ((wavelengths - CIE_MIN) * ((CIE_SAMPLES - 1) / (CIE_MAX - CIE_MIN)))
     active = (wavelengths >= CIE_MIN) & (wavelengths <= CIE_MAX)
     i0 = jnp.clip(t.astype(jnp.int32), 0, CIE_SAMPLES - 2)
-    w1 = t - i0
-    tbl = jnp.asarray(table)
-    val = (1.0 - w1) * tbl[i0] + w1 * tbl[i0 + 1]
-    return jnp.where(active, val, 0.0)
+    w1 = (t - i0)[..., None]
+    tbl = jnp.asarray(tables)                       # (95, F)
+    onehot = (i0[..., None]
+              == jnp.arange(CIE_SAMPLES - 1)).astype(wavelengths.dtype)
+    # lerp of adjacent rows == one matmul against pre-lerped pairs:
+    # val = (1-w) tbl[i0] + w tbl[i0+1]
+    import jax
+    lo = jnp.einsum("...k,kf->...f", onehot, tbl[:-1],
+                    precision=jax.lax.Precision.HIGHEST)
+    hi = jnp.einsum("...k,kf->...f", onehot, tbl[1:],
+                    precision=jax.lax.Precision.HIGHEST)
+    val = (1.0 - w1) * lo + w1 * hi
+    return jnp.where(active[..., None], val, 0.0)
 
 
 def cie1931_xyz(wavelengths):
     """CIE XYZ color-matching values at the given wavelengths -> (..., 3)."""
     x, y, z, _ = _cie_tables()
-    return jnp.stack([_cie_interp(x, wavelengths),
-                      _cie_interp(y, wavelengths),
-                      _cie_interp(z, wavelengths)], axis=-1)
+    return _cie_interp_multi(np.stack([x, y, z], -1), wavelengths)
 
 
 def cie1931_y(wavelengths):
     _, y, _, _ = _cie_tables()
-    return _cie_interp(y, wavelengths)
+    return _cie_interp_multi(y[:, None], wavelengths)[..., 0]
 
 
 def cie_d65(wavelengths):
     *_, d65 = _cie_tables()
-    return _cie_interp(d65, wavelengths) * CIE_D65_NORMALIZATION
+    return (_cie_interp_multi(d65[:, None], wavelengths)[..., 0]
+            * CIE_D65_NORMALIZATION)
 
 
 def luminance_rgb(rgb):

@@ -106,8 +106,13 @@ def _reflectance(table: MaterialTable, mat_idx, wavelengths):
     norm = jnp.clip((wavelengths - 320.0) / 40.0, 0.0, 10.0)
     lo = jnp.clip(jnp.floor(norm).astype(jnp.int32), 0, 9)
     t = norm - lo
-    v_lo = jnp.take_along_axis(spec, lo, axis=-1)
-    v_hi = jnp.take_along_axis(spec, lo + 1, axis=-1)
+    # mask-select over the tiny static channel axis — take_along_axis is
+    # a per-lane gather = scalar loop on TPU (see ops/gather.py)
+    ids = jnp.arange(spec.shape[-1])
+    sel_lo = (lo[..., :, None] == ids).astype(spec.dtype)
+    sel_hi = (lo[..., :, None] + 1 == ids).astype(spec.dtype)
+    v_lo = jnp.sum(spec[..., None, :] * sel_lo, axis=-1)
+    v_hi = jnp.sum(spec[..., None, :] * sel_hi, axis=-1)
     return (1.0 - t) * v_lo + t * v_hi
 
 

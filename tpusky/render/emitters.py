@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..models.sunsky import model as sunsky
@@ -65,6 +66,36 @@ def env_sample_direction(env, env_to_world, sample2):
         d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local)
         return d_world, pdf
     raise TypeError(f"unknown environment {type(env)}")
+
+
+def env_eval_pdf(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
+    """(radiance, solid-angle pdf) toward d_world in one call — fused into
+    a single Pallas pass for sunsky RGB (the emitter-hit MIS block)."""
+    if isinstance(env, sunsky.SunskyState):
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        return sunsky.eval_pdf(env, d_local, wavelengths=wavelengths,
+                               mode=mode)
+    return (env_eval(env, d_world, env_to_world, wavelengths=wavelengths,
+                     mode=mode),
+            env_pdf_direction(env, env_to_world, d_world))
+
+
+def env_sample_eval(env, env_to_world, sample2, wavelengths=None,
+                    mode="rgb"):
+    """Importance-sample a world direction AND evaluate its radiance +
+    pdf — the NEE block, fused into one Pallas pass for sunsky RGB.
+    The returned direction is detached (sample placement)."""
+    if isinstance(env, sunsky.SunskyState):
+        d_local, rad, pdf = sunsky.sample_eval(env, sample2,
+                                               wavelengths=wavelengths,
+                                               mode=mode)
+        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local)
+        return jnp.asarray(jax.lax.stop_gradient(d_world)), rad, pdf
+    d_world, pdf = env_sample_direction(env, env_to_world, sample2)
+    d_world = jnp.asarray(jax.lax.stop_gradient(d_world))
+    rad = env_eval(env, d_world, env_to_world, wavelengths=wavelengths,
+                   mode=mode)
+    return d_world, rad, pdf
 
 
 def env_pdf_direction(env, env_to_world, d_world):

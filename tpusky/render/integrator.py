@@ -140,11 +140,15 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
 
         # ---- emitter hit (environment): MIS vs previous BSDF sample ----
         escaped = state.active & ~hit
-        env_L = _env_radiance(scene, state.d, wavelengths, mode)
-        em_pdf = jnp.where(
-            state.prev_bsdf_delta, 0.0,
-            em.env_pdf_direction(scene.env, scene.env_to_world, state.d)
-            if scene.env is not None else 0.0)
+        if scene.env is not None:
+            # one fused pass computes radiance AND pdf (Pallas on TPU)
+            env_L, em_pdf_raw = em.env_eval_pdf(scene.env, state.d,
+                                                scene.env_to_world,
+                                                wavelengths, mode)
+            em_pdf = jnp.where(state.prev_bsdf_delta, 0.0, em_pdf_raw)
+        else:
+            env_L = _env_radiance(scene, state.d, wavelengths, mode)
+            em_pdf = jnp.zeros_like(state.prev_bsdf_pdf)
         # MIS weights are detached, mirroring the reference's
         # detached-sampling AD discipline (`prb.py:147-160`)
         mis_em = _mis_weight(state.prev_bsdf_pdf, sg(em_pdf))
@@ -187,9 +191,10 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         # ---- next-event estimation toward the environment ----
         if scene.env is not None:
             u_nee = sg(smp.next(3 * depth + 0, 2))
-            d_e, pdf_e = em.env_sample_direction(scene.env,
-                                                 scene.env_to_world, u_nee)
-            d_e = sg(d_e)
+            # fused sample + radiance + pdf (one Pallas pass on TPU);
+            # d_e comes back detached (sample placement)
+            d_e, L_e, pdf_e = em.env_sample_eval(
+                scene.env, scene.env_to_world, u_nee, wavelengths, mode)
             pdf_e_detached = sg(pdf_e)
             wo_local = frame.to_local(d_e)
             f_val, pdf_b = bsdf_mod.eval_pdf(
@@ -203,7 +208,6 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             if scene.mesh is not None:
                 occluded = occluded | mesh_test(scene.mesh, offset_p, d_e,
                                                 jnp.full((n,), jnp.inf))
-            L_e = _env_radiance(scene, d_e, wavelengths, mode)
             mis_nee = _mis_weight(pdf_e_detached, sg(pdf_b))
             contrib = (state.throughput * f_val * L_e
                        * (mis_nee / jnp.maximum(pdf_e_detached, 1e-20))
@@ -370,11 +374,14 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         shape_idx = jnp.where(use_mesh, -2, shape_idx)
         hit = hit | hitm
     escaped = state.active & ~hit
-    env_L = _env_radiance(scene, state.d, wavelengths, mode)
-    em_pdf = jnp.where(
-        state.prev_bsdf_delta, 0.0,
-        em.env_pdf_direction(scene.env, scene.env_to_world, state.d)
-        if scene.env is not None else 0.0)
+    if scene.env is not None:
+        env_L, em_pdf_raw = em.env_eval_pdf(scene.env, state.d,
+                                            scene.env_to_world,
+                                            wavelengths, mode)
+        em_pdf = jnp.where(state.prev_bsdf_delta, 0.0, em_pdf_raw)
+    else:
+        env_L = _env_radiance(scene, state.d, wavelengths, mode)
+        em_pdf = jnp.zeros_like(state.prev_bsdf_pdf)
     mis_em = _mis_weight(state.prev_bsdf_pdf, sg(em_pdf))
     result = state.result + jnp.where(
         escaped[..., None], state.throughput * env_L * mis_em[..., None],
