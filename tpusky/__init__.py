@@ -28,6 +28,18 @@ from .models.sunsky.model import (SunskyParams, SunskyState, make_params,
 from .models.sunsky.tables import load_tables
 from .utils.io import read_exr, write_exr
 
+
+def load_dict(d, mode="rgb"):
+    """``mi.load_dict`` equivalent (lazy import keeps sky-only use light)."""
+    from .render.loader import load_dict as _ld
+    return _ld(d, mode=mode)
+
+
+def load_file(path, mode="rgb", parameters=None):
+    """``mi.load_file`` equivalent: Mitsuba XML or JSON scene file."""
+    from .render.xml_loader import load_file as _lf
+    return _lf(path, mode=mode, parameters=parameters)
+
 __version__ = "0.1.0"
 
 

@@ -47,11 +47,16 @@ def cmd_render(args) -> int:
     from .render.loader import load_dict
     from .utils.io import write_exr
 
-    with open(args.scene) as f:
-        desc = _decode_transforms(json.load(f))
-
     t0 = time.time()
-    bundle = load_dict(desc, mode=args.mode)
+    if args.scene.endswith(".xml"):
+        from .render.xml_loader import xml_to_dict
+        overrides = dict(kv.split("=", 1) for kv in (args.define or []))
+        bundle = load_dict(xml_to_dict(args.scene, overrides),
+                           mode=args.mode)
+    else:
+        with open(args.scene) as f:
+            desc = _decode_transforms(json.load(f))
+        bundle = load_dict(desc, mode=args.mode)
     img = np.asarray(bundle.render(seed=args.seed, spp=args.spp))
     dt = time.time() - t0
     h, w, _ = img.shape
@@ -89,8 +94,11 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tpusky")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    rp = sub.add_parser("render", help="render a JSON scene description")
+    rp = sub.add_parser("render",
+                        help="render a JSON or Mitsuba-XML scene file")
     rp.add_argument("scene")
+    rp.add_argument("-D", "--define", action="append", metavar="KEY=VALUE",
+                    help="override a scene $parameter (XML scenes)")
     rp.add_argument("-o", "--output", default=None, help="output EXR path")
     rp.add_argument("--png", default=None, help="also write a tonemapped PNG")
     rp.add_argument("--spp", type=int, default=None)

@@ -1,0 +1,135 @@
+"""RGB -> smooth reflectance-spectrum upsampling (Jakob & Hanika 2019).
+
+The reference converts RGB scene inputs into plausible smooth spectra with
+the precomputed ``rgb2spec`` coefficient tables (reference:
+``src/render/srgb.cpp:14-38``, ``ext/rgb2spec``).  The model is a sigmoid
+over a quadratic polynomial in wavelength:
+
+    S(lambda) = s(c0 * x^2 + c1 * x + c2),   s(t) = 1/2 + t / (2 sqrt(1+t^2))
+
+with ``x`` the wavelength normalised to [0, 1] over the CIE range.  Instead
+of shipping the 64^3 lookup table, we solve the tiny 3-parameter fit
+directly at scene-build time (host-side NumPy Gauss-Newton, a few dozen
+colours per scene at most).  The round-trip error for in-gamut sRGB colours
+is < 1e-4, tighter than the table's trilinear interpolation.
+
+Fitting happens once per material at load time and is therefore outside the
+jit-compiled render path; the resulting 11-point spectra (320..720 nm, the
+sunsky dataset grid) are baked into the material table like every other
+spectrum.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_LAM_MIN, _LAM_MAX = 360.0, 830.0
+
+_cached = None
+
+
+def _solver_tables():
+    """(A, basis, lam) where rgb = A @ S(lam) for reflectance S under D65."""
+    global _cached
+    if _cached is not None:
+        return _cached
+    path = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                        "data", "cie1931.npz")
+    with np.load(path) as z:
+        wl = z["wavelengths"].astype(np.float64)
+        xyz = np.stack([z["x"], z["y"], z["z"]], 0).astype(np.float64)
+        d65 = z["d65"].astype(np.float64)
+    lam = np.arange(_LAM_MIN, _LAM_MAX + 1e-6, 5.0)
+    cmf = np.stack([np.interp(lam, wl, xyz[i]) for i in range(3)], 0)
+    ill = np.interp(lam, wl, d65)
+    # XYZ of a reflectance spectrum under D65, normalised so S=1 -> Y=1.
+    w = cmf * ill
+    w /= (cmf[1] * ill).sum()
+    # CIE XYZ -> linear sRGB (same matrix as ops.spectrum.xyz_to_srgb).
+    m = np.array([[3.240479, -1.537150, -0.498535],
+                  [-0.969256, 1.875991, 0.041556],
+                  [0.055648, -0.204043, 1.057311]])
+    a = m @ w                                # (3, N): rgb = a @ S
+    x = (lam - _LAM_MIN) / (_LAM_MAX - _LAM_MIN)
+    basis = np.stack([x * x, x, np.ones_like(x)], -1)   # (N, 3)
+    _cached = (a, basis, lam)
+    return _cached
+
+
+def _sigmoid(t):
+    return 0.5 + 0.5 * t / np.sqrt(1.0 + t * t)
+
+
+def _dsigmoid(t):
+    return 0.5 / (1.0 + t * t) ** 1.5
+
+
+def fit_sigmoid_coeffs(rgb, iters: int = 64):
+    """Fit (c0, c1, c2) per colour so the sigmoid-polynomial spectrum
+    integrates back (CMF x D65) to ``rgb``.  rgb: (..., 3) in [0, 1]."""
+    a, basis, _ = _solver_tables()
+    rgb = np.atleast_2d(np.asarray(rgb, np.float64))     # (M, 3)
+    m = np.clip(rgb.mean(-1), 1e-4, 1.0 - 1e-4)
+    t0 = (2.0 * m - 1.0) / np.sqrt(np.clip(1.0 - (2.0 * m - 1.0) ** 2,
+                                           1e-12, None))
+    c = np.zeros((rgb.shape[0], 3))
+    c[:, 2] = t0                                         # flat-spectrum init
+    lm = np.full(rgb.shape[0], 1e-4)                     # LM damping
+    err = None
+    for _ in range(iters):
+        p = c @ basis.T                                  # (M, N)
+        r = _sigmoid(p) @ a.T - rgb                      # (M, 3) residual
+        err = (r * r).sum(-1)
+        jac = (a[None, :, :] * _dsigmoid(p)[:, None, :]) @ basis  # (M,3,3)
+        jtj = np.einsum('mij,mik->mjk', jac, jac)
+        jtr = np.einsum('mij,mi->mj', jac, r)
+        jtj += lm[:, None, None] * np.eye(3)
+        try:
+            delta = np.linalg.solve(jtj, jtr[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            delta = np.linalg.lstsq(jtj.reshape(-1, 3),
+                                    jtr.reshape(-1, 1), rcond=None)[0].T
+        c_new = c - delta
+        p_new = c_new @ basis.T
+        r_new = _sigmoid(p_new) @ a.T - rgb
+        err_new = (r_new * r_new).sum(-1)
+        improved = err_new <= err
+        c = np.where(improved[:, None], c_new, c)
+        lm = np.where(improved, lm * 0.5, lm * 4.0)
+        if err_new.max() < 1e-16:
+            break
+    return c
+
+
+def eval_sigmoid_spectrum(coeffs, wavelengths):
+    """Evaluate fitted spectra at ``wavelengths`` (nm). -> (M, W)."""
+    coeffs = np.atleast_2d(coeffs)
+    x = (np.asarray(wavelengths, np.float64) - _LAM_MIN) \
+        / (_LAM_MAX - _LAM_MIN)
+    basis = np.stack([x * x, x, np.ones_like(x)], -1)
+    return _sigmoid(coeffs @ basis.T)
+
+
+def upsample_rgb(rgb, wavelengths):
+    """RGB (..., 3) -> reflectance spectrum at ``wavelengths``.
+
+    Values may exceed 1 (emitters): the chroma is fitted on rgb/scale with
+    ``scale = max(rgb, 1)`` and the spectrum rescaled, mirroring the
+    reference's unbounded-spectrum path (``srgb.cpp``
+    ``srgb_model_fetch``+scale handling in the srgb plugin).
+    """
+    rgb = np.atleast_2d(np.asarray(rgb, np.float64))
+    scale = np.maximum(rgb.max(-1), 1.0)
+    coeffs = fit_sigmoid_coeffs(rgb / scale[:, None])
+    spec = eval_sigmoid_spectrum(coeffs, wavelengths) * scale[:, None]
+    return spec
+
+
+def rgb_of_spectrum(spectrum, wavelengths):
+    """Integrate a spectrum back to linear sRGB (test helper)."""
+    a, _, lam = _solver_tables()
+    s = np.interp(lam, np.asarray(wavelengths, np.float64),
+                  np.atleast_1d(np.asarray(spectrum, np.float64)))
+    return a @ s

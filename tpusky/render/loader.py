@@ -79,17 +79,22 @@ def spectrum_to_channels(value, mode: str) -> np.ndarray:
         arr = np.asarray(value, np.float64)
         if mode == "rgb":
             return np.broadcast_to(arr, (3,)).copy()
-        return np.full(11, arr.mean())  # rgb given in spectral mode
+        # rgb given in spectral mode: sigmoid-polynomial upsampling, the
+        # reference's rgb2spec path (`src/render/srgb.cpp:14`)
+        from ..ops.rgb2spec import upsample_rgb
+        return upsample_rgb(np.broadcast_to(arr, (3,)), wl)[0]
     if isinstance(value, dict):
         t = value["type"]
         if t == "uniform":
             return np.full(3 if mode == "rgb" else 11,
                            float(value.get("value", 1.0)))
         if t == "rgb":
-            arr = np.asarray(value["value"], np.float64)
+            arr = np.broadcast_to(np.asarray(value["value"], np.float64),
+                                  (3,))
             if mode == "rgb":
-                return arr
-            return np.full(11, arr.mean())
+                return arr.copy()
+            from ..ops.rgb2spec import upsample_rgb
+            return upsample_rgb(arr, wl)[0]
         if t == "irregular":
             w = _parse_number_list(value["wavelengths"])
             v = _parse_number_list(value["values"])
@@ -215,13 +220,44 @@ class SceneBundle:
 # ---------------------------------------------------------------------------
 
 
+def _one_transform(op: str, arg) -> np.ndarray:
+    if op == "translate":
+        return T.translate(arg)
+    if op == "scale":
+        return T.scale(arg)
+    if op == "rotate":
+        if isinstance(arg, dict):
+            return T.rotate(arg["axis"], float(arg["angle"]))
+        arg = np.asarray(arg, np.float64)
+        return T.rotate(arg[:3], float(arg[3]))
+    if op == "look_at":
+        return T.look_at(arg["origin"], arg["target"],
+                         arg.get("up", (0, 0, 1)))
+    if op == "matrix":
+        return np.asarray(arg, np.float32).reshape(4, 4)
+    raise ValueError(f"unsupported transform op {op!r}")
+
+
 def _parse_to_world(v) -> np.ndarray:
+    """4x4 from: None, (4,4) array, {'type': 'look_at', ...},
+    {'look_at': {...}}, {'matrix': ...}, or a sequential chain
+    {'transforms': [{op: arg}, ...]} (applied first-to-last, i.e. the last
+    entry acts last in world space — the reference's `<transform>` XML
+    semantics, `src/core/xml.cpp` transform tag handling)."""
     if v is None:
         return np.eye(4, dtype=np.float32)
-    if isinstance(v, dict):  # {'type': 'look_at'/'translate'/... } chains
-        t = v.get("type")
-        if t == "look_at":
+    if isinstance(v, dict):
+        if v.get("type") == "look_at":
             return T.look_at(v["origin"], v["target"], v.get("up", (0, 0, 1)))
+        if "transforms" in v:
+            m = np.eye(4, dtype=np.float32)
+            for step in v["transforms"]:
+                (op, arg), = step.items()
+                m = _one_transform(op, arg).astype(np.float32) @ m
+            return m
+        if len(v) == 1:
+            (op, arg), = v.items()
+            return _one_transform(op, arg).astype(np.float32)
         raise ValueError(f"unsupported transform dict {v}")
     arr = np.asarray(v, np.float32)
     assert arr.shape == (4, 4), arr.shape
@@ -443,6 +479,12 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 dir_areas[len(shapes) - 1] = radiance
             elif emitter:
                 areas.append(radiance)
+        elif t in ("diffuse", "conductor", "roughconductor", "dielectric",
+                   "roughdielectric", "plastic", "null", "mask", "twosided",
+                   "box", "gaussian", "tent", "lanczos", "mitchell"):
+            # standalone BSDF/rfilter declaration (XML `id=` + `<ref>`
+            # pattern, `xml.cpp`): shapes hold resolved copies, nothing to do
+            continue
         else:
             custom = _PLUGIN_REGISTRY.get("any", {}).get(t)
             if custom is None:
