@@ -109,6 +109,7 @@ void exr_predict(const uint8_t* in, uint8_t* out, int64_t n) {
 struct ObjMesh {
     std::vector<float> positions;   // 3 * n_vertices
     std::vector<float> normals;     // 3 * n_vertices (zeros if absent)
+    std::vector<float> uvs;         // 2 * n_vertices (zeros if absent)
     std::vector<int32_t> indices;   // 3 * n_triangles
 };
 
@@ -121,7 +122,9 @@ int obj_parse(const char* path) {
     if (!f) return -1;
     auto* mesh = new ObjMesh();
     std::vector<float> vnormals;
+    std::vector<float> vtex;
     std::vector<int32_t> nindices;
+    std::vector<int32_t> tindices;
     char line[1024];
     while (fgets(line, sizeof(line), f)) {
         if (line[0] == 'v' && line[1] == ' ') {
@@ -138,25 +141,33 @@ int obj_parse(const char* path) {
                 vnormals.push_back(y);
                 vnormals.push_back(z);
             }
+        } else if (line[0] == 'v' && line[1] == 't') {
+            float u, v;
+            if (sscanf(line + 3, "%f %f", &u, &v) == 2) {
+                vtex.push_back(u);
+                vtex.push_back(v);
+            }
         } else if (line[0] == 'f' && line[1] == ' ') {
             // parse up to 8 vertices per face, fan-triangulate
-            int32_t vi[8], ni[8];
+            int32_t vi[8], ni[8], ti[8];
             int count = 0;
             char* p = line + 2;
             while (*p && count < 8) {
                 while (*p == ' ') ++p;
                 if (*p == '\n' || *p == '\r' || *p == '\0') break;
                 long v = strtol(p, &p, 10);
-                long n = 0;
+                long n = 0, t = 0;
                 if (*p == '/') {
                     ++p;
-                    if (*p != '/') strtol(p, &p, 10);  // texcoord, ignored
+                    if (*p != '/') t = strtol(p, &p, 10);  // texcoord
                     if (*p == '/') { ++p; n = strtol(p, &p, 10); }
                 }
                 vi[count] = (int32_t)(v > 0 ? v - 1
                             : (long)mesh->positions.size() / 3 + v);
                 ni[count] = (int32_t)(n > 0 ? n - 1
                             : (n < 0 ? (long)vnormals.size() / 3 + n : -1));
+                ti[count] = (int32_t)(t > 0 ? t - 1
+                            : (t < 0 ? (long)vtex.size() / 2 + t : -1));
                 ++count;
             }
             for (int k = 2; k < count; ++k) {
@@ -166,6 +177,9 @@ int obj_parse(const char* path) {
                 nindices.push_back(ni[0]);
                 nindices.push_back(ni[k - 1]);
                 nindices.push_back(ni[k]);
+                tindices.push_back(ti[0]);
+                tindices.push_back(ti[k - 1]);
+                tindices.push_back(ti[k]);
             }
         }
     }
@@ -180,6 +194,18 @@ int obj_parse(const char* path) {
                 mesh->normals[3 * v + 0] = vnormals[3 * n + 0];
                 mesh->normals[3 * v + 1] = vnormals[3 * n + 1];
                 mesh->normals[3 * v + 2] = vnormals[3 * n + 2];
+            }
+        }
+    }
+    // per-vertex uvs aligned with positions (first texcoord wins)
+    mesh->uvs.assign(mesh->positions.size() / 3 * 2, 0.0f);
+    if (!vtex.empty()) {
+        for (size_t i = 0; i < mesh->indices.size(); ++i) {
+            int32_t v = mesh->indices[i];
+            int32_t t = tindices[i];
+            if (t >= 0 && (size_t)(2 * t + 1) < vtex.size()) {
+                mesh->uvs[2 * v + 0] = vtex[2 * t + 0];
+                mesh->uvs[2 * v + 1] = vtex[2 * t + 1];
             }
         }
     }
@@ -201,6 +227,12 @@ void obj_copy(float* positions, float* normals, int32_t* indices) {
            g_last_mesh->normals.size() * sizeof(float));
     memcpy(indices, g_last_mesh->indices.data(),
            g_last_mesh->indices.size() * sizeof(int32_t));
+}
+
+void obj_copy_uvs(float* uvs) {
+    if (!g_last_mesh) return;
+    memcpy(uvs, g_last_mesh->uvs.data(),
+           g_last_mesh->uvs.size() * sizeof(float));
 }
 
 void obj_free() {

@@ -114,3 +114,44 @@ def test_furnace_diffuse():
     """Diffuse unit-albedo sphere in a white furnace -> 1 at high depth."""
     img = _furnace(B.DIFFUSE, max_depth=24, spp=256)
     assert 0.95 < img.mean() < 1.05, img.mean()
+
+
+def test_furnace_thindielectric():
+    """Thin glass sheet material on a sphere in a white furnace: the
+    reflect/transmit split conserves energy exactly (both lobes delta)."""
+    img = _furnace(B.THIN_DIELECTRIC, max_depth=16, spp=64)
+    assert 0.97 < img.mean() < 1.03, img.mean()
+
+
+def test_furnace_rough_plastic():
+    """Unit-albedo rough plastic in a white furnace: close to 1 (small loss
+    from single-scattering GGX energy at this roughness)."""
+    img = _furnace(B.ROUGH_PLASTIC, alpha=0.25, max_depth=24, spp=256)
+    assert 0.9 < img.mean() <= 1.05, img.mean()
+
+
+def test_rough_plastic_sample_pdf_chi2():
+    """Rough-plastic combined lobe: sample histogram matches eval_pdf."""
+    table = _table(B.ROUGH_PLASTIC, alpha=0.4)
+    wi = jnp.asarray([0.3, -0.2, 0.93])
+    wi = wi / jnp.linalg.norm(wi)
+
+    def sample_fn(key, n):
+        k1, k2 = jax.random.split(key)
+        u2 = jax.random.uniform(k1, (n, 2))
+        u1 = jax.random.uniform(k2, (n,))
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        wo, w, pdf, _ = B.sample(table, jnp.zeros((n,), jnp.int32), wi_b,
+                                 u2, u1, None)
+        return wo
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        _, pdf = B.eval_pdf(table, jnp.zeros((n,), jnp.int32), wi_b, d)
+        return pdf
+
+    p, ok, info = chi2_test(sample_fn, pdf_fn, key=jax.random.PRNGKey(3),
+                            sample_count=1_000_000, res_phi=64, res_cos=32,
+                            cos_range=(0.0, 1.0), ires=16)
+    assert ok, f"chi2 p={p} {info}"

@@ -47,9 +47,20 @@ def test_obj_loader():
     obj = "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 4 3\n"
     path = "/tmp/tpusky_quad.obj"
     open(path, "w").write(obj)
-    pos, nrm, idx = load_obj(path)
+    pos, nrm, idx, uv = load_obj(path)
     assert pos.shape == (4, 3)
     assert idx.shape == (2, 3)  # quad fan-triangulated
+    assert uv.shape == (4, 2)
+
+
+def test_obj_loader_uvs():
+    obj = ("v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+           "vt 0 0\nvt 1 0\nvt 0 1\n"
+           "f 1/1 2/2 3/3\n")
+    path = "/tmp/tpusky_tri_uv.obj"
+    open(path, "w").write(obj)
+    pos, nrm, idx, uv = load_obj(path)
+    assert np.allclose(uv, [[0, 0], [1, 0], [0, 1]]), uv
 
 
 def test_render_mesh_scene():

@@ -15,6 +15,11 @@ Supported kinds:
                     internal-scattering compensation (`plastic.cpp`)
   5 roughdielectric GGX microfacet glass, reflect+refract (`roughdielectric.cpp`)
   6 null            invisible pass-through (`null.cpp`; delta transmission)
+  7 thindielectric  thin glass sheet: delta reflect / straight-through
+                    transmit with multiple-internal-bounce reflectance
+                    R* = 2F/(1+F) (`thindielectric.cpp`)
+  8 roughplastic    GGX dielectric coat over a Lambertian base, both lobes
+                    rough/non-delta (`roughplastic.cpp`)
 
 Any material additionally carries an `opacity` in [0, 1]: lanes pass
 through unscattered with probability 1-opacity — the flattened equivalent
@@ -40,6 +45,7 @@ from ..ops.math import safe_sqrt
 
 DIFFUSE, ROUGH_CONDUCTOR, CONDUCTOR, DIELECTRIC = 0, 1, 2, 3
 PLASTIC, ROUGH_DIELECTRIC, NULL_BSDF = 4, 5, 6
+THIN_DIELECTRIC, ROUGH_PLASTIC = 7, 8
 
 
 class MaterialTable(NamedTuple):
@@ -52,6 +58,7 @@ class MaterialTable(NamedTuple):
     k: jnp.ndarray            # (M, 3) conductor IOR (imaginary part)
     ior: jnp.ndarray          # (M,) dielectric relative IOR (int/ext)
     opacity: jnp.ndarray = None  # (M,) mask opacity (1 = opaque)
+    tex_idx: jnp.ndarray = None  # (M,) int32 texture index (-1 = constant)
 
 
 # legacy alias used throughout the renderer
@@ -61,7 +68,7 @@ DiffuseTable = MaterialTable
 def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                         twosided=None, spectral_albedos=None, alphas=None,
                         etas=None, ks=None, iors=None,
-                        opacities=None) -> MaterialTable:
+                        opacities=None, tex_indices=None) -> MaterialTable:
     import numpy as np
     a = np.atleast_2d(np.asarray(albedos, np.float32))
     m = a.shape[0]
@@ -82,13 +89,15 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
             else np.asarray(iors, np.float32))
     opacities = (np.ones((m,), np.float32) if opacities is None
                  else np.asarray(opacities, np.float32))
+    tex_indices = (np.full((m,), -1, np.int32) if tex_indices is None
+                   else np.asarray(tex_indices, np.int32))
     return MaterialTable(jnp.asarray(kinds), jnp.asarray(a),
                          jnp.asarray(ts),
                          jnp.asarray(np.asarray(spectral_albedos,
                                                 np.float32)),
                          jnp.asarray(alphas), jnp.asarray(etas),
                          jnp.asarray(ks), jnp.asarray(iors),
-                         jnp.asarray(opacities))
+                         jnp.asarray(opacities), jnp.asarray(tex_indices))
 
 
 def make_diffuse_table(albedos, twosided=None,
@@ -114,6 +123,18 @@ def _reflectance(table: MaterialTable, mat_idx, wavelengths):
     v_lo = jnp.sum(spec[..., None, :] * sel_lo, axis=-1)
     v_hi = jnp.sum(spec[..., None, :] * sel_hi, axis=-1)
     return (1.0 - t) * v_lo + t * v_hi
+
+
+def _apply_tex(albedo, refl_tex):
+    """Override per-lane reflectance with a texture lookup where present.
+
+    refl_tex: None, or (value (..., C), has (...,)) from
+    `texture.eval_texture` — the flattened equivalent of the reference's
+    nested `Texture` objects inside BSDF plugins."""
+    if refl_tex is None:
+        return albedo
+    val, has = refl_tex
+    return jnp.where(has[..., None], val, albedo)
 
 
 def _flip_sign(wi, twosided):
@@ -202,6 +223,36 @@ def fresnel_diffuse_reflectance(inv_eta):
             + 0.0636 / jnp.maximum(inv_eta, 1e-4))
 
 
+def _rough_plastic_eval(albedo, alpha, ior, wi_l, wo_l):
+    """Rough plastic (GGX dielectric coat + internally-scattered Lambertian
+    base, `roughplastic.cpp`): -> (value = f*cos_o (..., C), pdf).
+
+    Directions in the (twosided-flipped) local frame, upper hemisphere."""
+    cos_i = jnp.maximum(wi_l[..., 2], 0.0)
+    cos_o = jnp.maximum(wo_l[..., 2], 0.0)
+    alpha = jnp.maximum(alpha, 1e-3)
+    m = wi_l + wo_l
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    d_ndf = _ggx_ndf(m, alpha)
+    g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_l, alpha)
+    wim = jnp.sum(wi_l * m, axis=-1)
+    f_spec, _, _ = fresnel_dielectric(jnp.maximum(wim, 0.0), ior)
+    spec = f_spec * d_ndf * g / (4.0 * jnp.maximum(cos_i, 1e-6))
+
+    f_i, _, _ = fresnel_dielectric(cos_i, ior)
+    f_o, _, _ = fresnel_dielectric(cos_o, ior)
+    fdr = fresnel_diffuse_reflectance(1.0 / jnp.maximum(ior, 1.0 + 1e-4))
+    inv_eta2 = 1.0 / (ior * ior)
+    diff = (albedo / jnp.maximum(1.0 - albedo * fdr[..., None], 1e-3)
+            * ((1.0 - f_i) * (1.0 - f_o) * inv_eta2
+               * warp.INV_PI * cos_o)[..., None])
+    value = spec[..., None] + diff
+    # lobe choice in `sample`: specular with probability F(cos_i)
+    pdf_spec = d_ndf * m[..., 2] / jnp.maximum(4.0 * jnp.abs(wim), 1e-6)
+    pdf = f_i * pdf_spec + (1.0 - f_i) * warp.INV_PI * cos_o
+    return value, pdf
+
+
 def _tint(table, mat_idx, wavelengths, n_chan_ref):
     """Specular tint: RGB uses the albedo column; spectral uses the
     interpolated spectrum."""
@@ -229,13 +280,14 @@ def table_kinds(table: MaterialTable):
 
 
 def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
-             kinds=None):
+             kinds=None, refl_tex=None):
     """(f * cos(theta_o), pdf) over the non-delta lobes.
 
     Delta materials contribute 0 here (their throughput only arrives via
     `sample`), matching how the reference's NEE skips Delta BSDFs.
     `kinds`: optional static descriptor from `table_kinds` — lobes not in
-    it are skipped entirely.
+    it are skipped entirely. `refl_tex`: optional per-lane textured
+    reflectance override (value, has) from `texture.eval_texture`.
     """
     present, any_mask = kinds if kinds is not None else (None, True)
 
@@ -256,8 +308,9 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
     pdf = jnp.zeros(cos_i.shape)
 
     # --- diffuse lobe ---
-    if has(DIFFUSE) or has(PLASTIC):
-        albedo = _reflectance(table, mat_idx, wavelengths)
+    if has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC):
+        albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                            refl_tex)
     if has(DIFFUSE):
         diff_val = albedo * (warp.INV_PI
                              * jnp.maximum(cos_o, 0.0))[..., None]
@@ -293,8 +346,16 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
         value = jnp.where(is_rough[..., None], rough_val, value)
         pdf = jnp.where(is_rough, rough_pdf, pdf)
 
-    if has(PLASTIC) or has(ROUGH_DIELECTRIC):
+    if has(PLASTIC) or has(ROUGH_DIELECTRIC) or has(ROUGH_PLASTIC):
         ior = take_scalars(table.ior, mat_idx)
+
+    # --- rough plastic: GGX coat + Lambertian base (both non-delta) ---
+    if has(ROUGH_PLASTIC):
+        alpha = take_scalars(table.alpha, mat_idx)
+        rp_val, rp_pdf = _rough_plastic_eval(albedo, alpha, ior, wi_l, wo_l)
+        is_rp = kind == ROUGH_PLASTIC
+        value = jnp.where(is_rp[..., None], rp_val, value)
+        pdf = jnp.where(is_rp, rp_pdf, pdf)
 
     # --- smooth plastic: Fresnel-weighted Lambertian base
     #     (specular coat is a delta lobe -> only via `sample`) ---
@@ -374,13 +435,14 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
 
 
 def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
-           wavelengths=None, kinds=None):
+           wavelengths=None, kinds=None, refl_tex=None):
     """Sample an outgoing direction.
 
     Returns (wo, weight, pdf, is_delta). `sample1` drives discrete lobe
     choices (dielectric reflect/refract, mask pass-through). `kinds`:
     optional static descriptor from `table_kinds` — absent lobes are
-    skipped at trace time.
+    skipped at trace time. `refl_tex`: optional per-lane textured
+    reflectance override (value, has).
     """
     present, any_mask = kinds if kinds is not None else (None, True)
 
@@ -412,10 +474,11 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
     geom_frame = jnp.zeros(cos_i.shape, bool)   # lobes w/o twosided flip
 
     # --- diffuse: cosine hemisphere ---
-    if has(DIFFUSE) or has(PLASTIC):
+    if has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC):
         wo_diff = warp.square_to_cosine_hemisphere(sample2)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
-        albedo = _reflectance(table, mat_idx, wavelengths)
+        albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                            refl_tex)
     if has(DIFFUSE):
         is_diff = kind == DIFFUSE
         wo = jnp.where(is_diff[..., None], wo_diff, wo)
@@ -476,8 +539,30 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
         pdf = jnp.where(is_mirr, 1.0, pdf)
         is_delta = is_delta | is_mirr
 
-    if has(DIELECTRIC) or has(PLASTIC) or has(ROUGH_DIELECTRIC):
+    if (has(DIELECTRIC) or has(PLASTIC) or has(ROUGH_DIELECTRIC)
+            or has(THIN_DIELECTRIC) or has(ROUGH_PLASTIC)):
         ior = take_scalars(table.ior, mat_idx)
+
+    # --- rough plastic: pick coat vs base by F(cos_i), weight = f*cos/pdf
+    #     via the shared eval (`roughplastic.cpp` sampling scheme) ---
+    if has(ROUGH_PLASTIC):
+        alpha_rp = take_scalars(table.alpha, mat_idx)
+        f_i_rp, _, _ = fresnel_dielectric(cos_i, ior)
+        rp_spec = sample1 < f_i_rp
+        # re-fold sample1 so the GGX angles stay decorrelated from the
+        # lobe choice (same renormalisation trick as the mask wrapper)
+        m_rp = _ggx_sample(jnp.maximum(alpha_rp, 1e-3), sample2)
+        wo_rp = jnp.where(rp_spec[..., None], _reflect(wi_l, m_rp), wo_diff)
+        rp_val, rp_pdf = _rough_plastic_eval(albedo, alpha_rp, ior,
+                                             wi_l, wo_rp)
+        rp_ok = (wo_rp[..., 2] > 0.0) & (rp_pdf > 1e-12)
+        w_rp = jnp.where(rp_ok[..., None],
+                         rp_val / jnp.maximum(rp_pdf, 1e-12)[..., None],
+                         0.0)
+        is_rp = kind == ROUGH_PLASTIC
+        wo = jnp.where(is_rp[..., None], wo_rp, wo)
+        weight = jnp.where(is_rp[..., None], w_rp, weight)
+        pdf = jnp.where(is_rp, rp_pdf, pdf)
 
     # --- smooth dielectric: reflect or refract by Fresnel (delta) ---
     if has(DIELECTRIC):
@@ -569,6 +654,23 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
         wo = jnp.where(is_rd[..., None], wo_rd, wo)
         weight = jnp.where(is_rd[..., None], w_rd, weight)
         pdf = jnp.where(is_rd, pdf_rd, pdf)
+
+    # --- thin dielectric: delta reflect / straight-through transmit with
+    #     the multi-internal-bounce reflectance R* = 2F/(1+F)
+    #     (`thindielectric.cpp`) — two-sided by construction ---
+    if has(THIN_DIELECTRIC):
+        f_td, _, _ = fresnel_dielectric(jnp.abs(wi[..., 2]), ior)
+        r_star = jnp.where(f_td < 1.0, 2.0 * f_td / (1.0 + f_td), 1.0)
+        td_reflect = sample1 < r_star
+        wo_td_refl = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]],
+                               axis=-1)
+        wo_td = jnp.where(td_reflect[..., None], wo_td_refl, -wi)
+        is_td = kind == THIN_DIELECTRIC
+        wo = jnp.where(is_td[..., None], wo_td, wo)
+        weight = jnp.where(is_td[..., None], one_c, weight)
+        pdf = jnp.where(is_td, jnp.where(td_reflect, r_star, 1.0 - r_star),
+                        pdf)
+        is_delta = is_delta | is_td
 
     # --- null: invisible pass-through (delta transmission) ---
     if has(NULL_BSDF):

@@ -137,6 +137,11 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             shape_idx = jnp.where(use_mesh, -2, shape_idx)
             hit = hit | hitm
             mesh_mat = (use_mesh, matm)
+            if scene.textures is not None:
+                from .mesh import mesh_interp_uv
+                uv = jnp.where(use_mesh[..., None],
+                               mesh_interp_uv(scene.mesh, _tri, _b1, _b2),
+                               uv)
 
         # ---- emitter hit (environment): MIS vs previous BSDF sample ----
         escaped = state.active & ~hit
@@ -188,6 +193,15 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         if mesh_mat is not None:
             mat_idx = jnp.where(mesh_mat[0], mesh_mat[1], mat_idx)
 
+        # per-lane textured reflectance, evaluated once per bounce and
+        # shared by every BSDF query at this vertex
+        refl_tex = None
+        if scene.textures is not None:
+            from .texture import eval_texture
+            tex_idx = take_ints(scene.bsdfs.tex_idx, mat_idx)
+            refl_tex = eval_texture(scene.textures, tex_idx, uv,
+                                    wavelengths)
+
         # ---- next-event estimation toward the environment ----
         if scene.env is not None:
             u_nee = sg(smp.next(3 * depth + 0, 2))
@@ -199,7 +213,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             wo_local = frame.to_local(d_e)
             f_val, pdf_b = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_local, wavelengths,
-                kinds=kinds)
+                kinds=kinds, refl_tex=refl_tex)
             offset_p = p + jnp.sign(dot(ng, d_e))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -227,7 +241,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             wo_a = frame.to_local(d_a)
             f_a, pdf_b_a = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_a, wavelengths,
-                kinds=kinds)
+                kinds=kinds, refl_tex=refl_tex)
             off_a = p + jnp.sign(dot(ng, d_a))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -254,7 +268,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             wo_l = frame.to_local(d_l)
             f_l, _ = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
-                kinds=kinds)
+                kinds=kinds, refl_tex=refl_tex)
             off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -276,7 +290,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             wo_l = frame.to_local(d_b)
             f_l, _ = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
-                kinds=kinds)
+                kinds=kinds, refl_tex=refl_tex)
             off_l = p + jnp.sign(dot(ng, d_b))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -299,7 +313,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             wo_l = frame.to_local(d_l)
             f_l, _ = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
-                kinds=kinds)
+                kinds=kinds, refl_tex=refl_tex)
             off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
@@ -317,7 +331,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         u_bsdf = sg(smp.next(3 * depth + 1, 3))
         wo_local, weight, pdf_b, is_delta = bsdf_mod.sample(
             scene.bsdfs, mat_idx, wi_local, u_bsdf[..., :2],
-            u_bsdf[..., 2], wavelengths, kinds=kinds)
+            u_bsdf[..., 2], wavelengths, kinds=kinds, refl_tex=refl_tex)
         wo_local = sg(wo_local)
         d_next = frame.to_world(wo_local)
         throughput = state.throughput * weight

@@ -39,10 +39,10 @@ from .emitters import ConstantEnv
 from .film import Film
 from .scene import make_scene
 from .sensors import Orthographic, Perspective, make_spherical
-from .shapes import CUBE, DISK, RECTANGLE, SPHERE
+from .shapes import CUBE, CYLINDER, DISK, RECTANGLE, SPHERE
 
 _SHAPE_KINDS = {"rectangle": RECTANGLE, "sphere": SPHERE, "disk": DISK,
-                "cube": CUBE}
+                "cube": CUBE, "cylinder": CYLINDER}
 
 _PLUGIN_REGISTRY: Dict[str, Dict[str, Callable]] = {}
 
@@ -275,11 +275,91 @@ _CONDUCTOR_IOR = {
 }
 
 
-def _build_bsdf(desc, mode):
+def _parse_to_uv(v):
+    """3x3 uv transform from None / (3,3) array / {'scale': s|[sx,sy]} /
+    {'translate': [tx,ty]} / {'transforms': [...]} (the reference's
+    `to_uv` Transform3f property)."""
+    if v is None:
+        return None
+
+    def one(op, arg):
+        m = np.eye(3, dtype=np.float32)
+        if op == "scale":
+            s = np.broadcast_to(np.asarray(arg, np.float32), (2,)) \
+                if np.ndim(arg) else np.array([arg, arg], np.float32)
+            m[0, 0], m[1, 1] = float(np.atleast_1d(s)[0]), \
+                float(np.atleast_1d(s)[-1])
+        elif op == "translate":
+            t = np.atleast_1d(np.asarray(arg, np.float32))
+            m[0, 2], m[1, 2] = float(t[0]), float(t[-1])
+        elif op == "rotate":
+            a = np.deg2rad(float(arg))
+            m[0, 0] = m[1, 1] = np.cos(a)
+            m[0, 1], m[1, 0] = -np.sin(a), np.sin(a)
+        elif op == "matrix":
+            m = np.asarray(arg, np.float32).reshape(3, 3)
+        else:
+            raise ValueError(f"unsupported to_uv op {op!r}")
+        return m
+
+    if isinstance(v, dict):
+        if "transforms" in v:
+            m = np.eye(3, dtype=np.float32)
+            for step in v["transforms"]:
+                (op, arg), = step.items()
+                m = one(op, arg) @ m
+            return m
+        m = np.eye(3, dtype=np.float32)
+        for op, arg in v.items():
+            m = one(op, arg) @ m
+        return m
+    arr = np.asarray(v, np.float32)
+    return arr.reshape(3, 3)
+
+
+def _load_bitmap(desc):
+    """(H, W, 3) float32 linear image from an inline array or a file."""
+    if "data" in desc or "bitmap" in desc:
+        return np.asarray(desc.get("data", desc.get("bitmap")), np.float32)
+    fn = desc["filename"]
+    if fn.lower().endswith(".exr"):
+        from ..utils.io import read_exr
+        img, names = read_exr(fn)
+        return img[..., ::-1] if names[:3] == ["B", "G", "R"] else img
+    if fn.lower().endswith(".png"):
+        from ..utils.io import read_png
+        img = read_png(fn)
+        if not desc.get("raw", False):   # sRGB -> linear (`bitmap.cpp`)
+            img = np.where(img <= 0.04045, img / 12.92,
+                           ((img + 0.055) / 1.055) ** 2.4)
+        return img.astype(np.float32)
+    raise ValueError(f"unsupported bitmap format: {fn!r}")
+
+
+def _parse_texture(desc, textures):
+    """Append a texture description; return its index."""
+    t = desc["type"]
+    if t == "checkerboard":
+        textures.append(dict(
+            kind="checkerboard",
+            color0=spectrum_to_channels(desc.get("color0", 0.4), "rgb"),
+            color1=spectrum_to_channels(desc.get("color1", 0.2), "rgb"),
+            to_uv=_parse_to_uv(desc.get("to_uv"))))
+    elif t == "bitmap":
+        textures.append(dict(kind="bitmap", data=_load_bitmap(desc),
+                             to_uv=_parse_to_uv(desc.get("to_uv")),
+                             wrap=desc.get("wrap_mode", "repeat")))
+    else:
+        raise ValueError(f"unsupported texture type {t!r}")
+    return len(textures) - 1
+
+
+def _build_bsdf(desc, mode, textures=None):
     """-> material dict {kind, rgb, spec, twosided, alpha, eta, k, ior,
-    opacity}."""
+    opacity, tex_idx}."""
     from .bsdf import (CONDUCTOR, DIELECTRIC, DIFFUSE, NULL_BSDF, PLASTIC,
-                       ROUGH_CONDUCTOR, ROUGH_DIELECTRIC)
+                       ROUGH_CONDUCTOR, ROUGH_DIELECTRIC, ROUGH_PLASTIC,
+                       THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
     while desc.get("type") in ("twosided", "mask"):
@@ -299,11 +379,21 @@ def _build_bsdf(desc, mode):
                twosided=twosided, alpha=0.1,
                eta=np.array(_CONDUCTOR_IOR["Au"][0]),
                k=np.array(_CONDUCTOR_IOR["Au"][1]), ior=1.5046,
-               opacity=opacity)
+               opacity=opacity, tex_idx=-1)
+
+    def _refl(value):
+        """Constant spectrum or nested texture plugin."""
+        if (isinstance(value, dict)
+                and value.get("type") in ("checkerboard", "bitmap")):
+            if textures is None:
+                raise ValueError("textured reflectance not supported here")
+            mat["tex_idx"] = _parse_texture(value, textures)
+            return
+        mat["rgb"] = spectrum_to_channels(value, "rgb")
+        mat["spec"] = spectrum_to_channels(value, "spectral")
+
     if t == "diffuse":
-        refl = desc.get("reflectance", 0.5)
-        mat["rgb"] = spectrum_to_channels(refl, "rgb")
-        mat["spec"] = spectrum_to_channels(refl, "spectral")
+        _refl(desc.get("reflectance", 0.5))
     elif t in ("roughconductor", "conductor"):
         mat["kind"] = ROUGH_CONDUCTOR if t == "roughconductor" else CONDUCTOR
         material = desc.get("material", "Au")
@@ -316,22 +406,23 @@ def _build_bsdf(desc, mode):
         tint = desc.get("specular_reflectance", 1.0)
         mat["rgb"] = spectrum_to_channels(tint, "rgb")
         mat["spec"] = spectrum_to_channels(tint, "spectral")
-    elif t in ("dielectric", "roughdielectric"):
-        mat["kind"] = DIELECTRIC if t == "dielectric" else ROUGH_DIELECTRIC
+    elif t in ("dielectric", "roughdielectric", "thindielectric"):
+        mat["kind"] = {"dielectric": DIELECTRIC,
+                       "roughdielectric": ROUGH_DIELECTRIC,
+                       "thindielectric": THIN_DIELECTRIC}[t]
         int_ior = float(desc.get("int_ior", 1.5046))
         ext_ior = float(desc.get("ext_ior", 1.000277))
         mat["ior"] = int_ior / ext_ior
         mat["alpha"] = float(desc.get("alpha", 0.1))
         mat["rgb"] = np.ones(3)
         mat["spec"] = np.ones(11)
-    elif t == "plastic":
-        mat["kind"] = PLASTIC
-        refl = desc.get("diffuse_reflectance", 0.5)
-        mat["rgb"] = spectrum_to_channels(refl, "rgb")
-        mat["spec"] = spectrum_to_channels(refl, "spectral")
+    elif t in ("plastic", "roughplastic"):
+        mat["kind"] = PLASTIC if t == "plastic" else ROUGH_PLASTIC
+        _refl(desc.get("diffuse_reflectance", 0.5))
         int_ior = float(desc.get("int_ior", 1.49))
         ext_ior = float(desc.get("ext_ior", 1.000277))
         mat["ior"] = int_ior / ext_ior
+        mat["alpha"] = float(desc.get("alpha", 0.1))
     elif t == "null":
         mat["kind"] = NULL_BSDF
     else:
@@ -400,6 +491,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     sensor_desc = None
     env_desc = None
     shapes, materials, areas, meshes = [], [], [], []
+    textures = []
     point_lights, directional_lights, spot_lights = [], [], []
     dir_areas = {}   # shape list index -> radiance (directionalarea)
 
@@ -417,9 +509,11 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             env_desc = value
         elif t == "obj":
             from ..utils.native import load_obj
-            pos, nrm, idx = load_obj(value["filename"])
-            mat = _build_bsdf(value.get("bsdf", {"type": "diffuse"}), mode)
+            pos, nrm, idx, uvs = load_obj(value["filename"])
+            mat = _build_bsdf(value.get("bsdf", {"type": "diffuse"}), mode,
+                              textures)
             meshes.append(dict(positions=pos, normals=nrm, indices=idx,
+                               uvs=uvs,
                                to_world=_parse_to_world(value.get("to_world")),
                                bsdf_idx=len(materials)))
             materials.append(mat)
@@ -464,13 +558,34 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                     texture=tex))
         elif t in _SHAPE_KINDS:
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
-            mat = _build_bsdf(bsdf_desc, mode)
+            mat = _build_bsdf(bsdf_desc, mode, textures)
             emitter = value.get("emitter")
             is_dir_area = (emitter or {}).get("type") == "directionalarea"
             radiance = (spectrum_to_channels(emitter["radiance"], "rgb")
                         if emitter else np.zeros(3))
+            to_world = _parse_to_world(value.get("to_world"))
+            if t == "cylinder":
+                # `cylinder.cpp` props: endpoints p0/p1 + radius compose
+                # with to_world (canonical frame is z in [0,1], radius 1)
+                p0 = np.asarray(value.get("p0", [0, 0, 0]), np.float64)
+                p1 = np.asarray(value.get("p1", [0, 0, 1]), np.float64)
+                r = float(value.get("radius", 1.0))
+                axis = p1 - p0
+                length = np.linalg.norm(axis)
+                zl = axis / max(length, 1e-12)
+                up = (np.array([0.0, 0.0, 1.0]) if abs(zl[2]) < 0.9
+                      else np.array([1.0, 0.0, 0.0]))
+                xl = np.cross(up, zl)
+                xl /= np.linalg.norm(xl)
+                yl = np.cross(zl, xl)
+                frame = np.eye(4)
+                frame[:3, 0] = xl * r
+                frame[:3, 1] = yl * r
+                frame[:3, 2] = zl * length
+                frame[:3, 3] = p0
+                to_world = to_world @ frame.astype(np.float32)
             shapes.append(dict(kind=_SHAPE_KINDS[t],
-                               to_world=_parse_to_world(value.get("to_world")),
+                               to_world=to_world,
                                bsdf_idx=len(materials),
                                emitter_idx=(len(areas) if emitter
                                             and not is_dir_area else -1)))
@@ -561,6 +676,9 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_ks=[m["k"] for m in materials],
         bsdf_iors=[m["ior"] for m in materials],
         bsdf_opacities=[m["opacity"] for m in materials],
+        bsdf_tex_indices=[m["tex_idx"] for m in materials],
+        textures=textures or None,
+        spectral_textures=(mode == "spectral"),
         area_radiance=area_radiance,
         point_lights=point_lights or None,
         directional_lights=directional_lights or None,

@@ -33,12 +33,14 @@ class MeshTable(NamedTuple):
     n2: jnp.ndarray         # (T, 3)
     bsdf_idx: jnp.ndarray   # (T,) int32
     valid: jnp.ndarray      # (T,) bool (False on padding)
+    uv: jnp.ndarray = None  # (T, 3, 2) per-corner texture coordinates
 
 
 def make_mesh_table(meshes) -> MeshTable:
     """meshes: list of dicts {positions (V,3), indices (T,3),
-    normals (V,3) optional, to_world (4,4) optional, bsdf_idx int}."""
-    v0s, e1s, e2s, n0s, n1s, n2s, mats = [], [], [], [], [], [], []
+    normals (V,3) optional, uvs (V,2) optional, to_world (4,4) optional,
+    bsdf_idx int}."""
+    v0s, e1s, e2s, n0s, n1s, n2s, mats, uvs = [], [], [], [], [], [], [], []
     for m in meshes:
         pos = np.asarray(m["positions"], np.float32)
         idx = np.asarray(m["indices"], np.int32)
@@ -63,6 +65,10 @@ def make_mesh_table(meshes) -> MeshTable:
         n1s.append(tn[:, 1])
         n2s.append(tn[:, 2])
         mats.append(np.full((len(idx),), m.get("bsdf_idx", 0), np.int32))
+        uv_v = m.get("uvs")
+        uv_v = (np.zeros((len(pos), 2), np.float32) if uv_v is None
+                else np.asarray(uv_v, np.float32))
+        uvs.append(uv_v[idx])                 # (T, 3, 2)
 
     v0 = np.concatenate(v0s) if v0s else np.zeros((0, 3), np.float32)
     e1 = np.concatenate(e1s) if e1s else np.zeros((0, 3), np.float32)
@@ -71,6 +77,7 @@ def make_mesh_table(meshes) -> MeshTable:
     n1 = np.concatenate(n1s) if n1s else np.zeros((0, 3), np.float32)
     n2 = np.concatenate(n2s) if n2s else np.zeros((0, 3), np.float32)
     mat = np.concatenate(mats) if mats else np.zeros((0,), np.int32)
+    uv = np.concatenate(uvs) if uvs else np.zeros((0, 3, 2), np.float32)
 
     t = len(v0)
     pad = (-t) % _TILE
@@ -82,7 +89,9 @@ def make_mesh_table(meshes) -> MeshTable:
                      jnp.asarray(cat(n1)), jnp.asarray(cat(n2)),
                      jnp.asarray(np.concatenate(
                          [mat, np.zeros((pad,), np.int32)])),
-                     jnp.asarray(valid))
+                     jnp.asarray(valid),
+                     jnp.asarray(np.concatenate(
+                         [uv, np.zeros((pad, 3, 2), np.float32)])))
 
 
 def _tile_hits(mesh: MeshTable, tile: int, o, d):
@@ -111,6 +120,15 @@ def _tile_hits(mesh: MeshTable, tile: int, o, d):
     arg = jnp.argmin(t, axis=-1)
     take = lambda a: jnp.take_along_axis(a, arg[..., None], axis=-1)[..., 0]
     return take(t), take(b1), take(b2), arg, jnp.isfinite(take(t))
+
+
+def mesh_interp_uv(mesh: MeshTable, tri, b1, b2):
+    """Barycentric texture coordinates at a hit -> (..., 2)."""
+    tri_c = jnp.maximum(tri, 0)
+    corner = mesh.uv[tri_c]                   # (..., 3, 2)
+    return ((1.0 - b1 - b2)[..., None] * corner[..., 0, :]
+            + b1[..., None] * corner[..., 1, :]
+            + b2[..., None] * corner[..., 2, :])
 
 
 def mesh_intersect(mesh: MeshTable, o, d):

@@ -36,6 +36,7 @@ class Scene(NamedTuple):
                                              # radiance (delta in direction;
                                              # only the ptracer sees these,
                                              # cf. `directionalarea.cpp`)
+    textures: Any = None                     # texture.TextureTable | None
 
 
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
@@ -44,7 +45,9 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                point_lights=None, directional_lights=None, bsdf_kinds=None,
                bsdf_alphas=None, bsdf_etas=None, bsdf_ks=None,
                bsdf_iors=None, meshes=None, spot_lights=(),
-               dir_area_radiance=None, bsdf_opacities=None) -> Scene:
+               dir_area_radiance=None, bsdf_opacities=None,
+               bsdf_tex_indices=None, textures=None,
+               spectral_textures=False) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -60,7 +63,11 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
         kinds=bsdf_kinds, albedos=np.asarray(bsdf_albedos, np.float32),
         twosided=bsdf_twosided, spectral_albedos=bsdf_spectral_albedos,
         alphas=bsdf_alphas, etas=bsdf_etas, ks=bsdf_ks, iors=bsdf_iors,
-        opacities=bsdf_opacities)
+        opacities=bsdf_opacities, tex_indices=bsdf_tex_indices)
+    tex_table = None
+    if textures:
+        from .texture import make_texture_table
+        tex_table = make_texture_table(textures, spectral=spectral_textures)
     if area_radiance is None:
         area_radiance = np.zeros((len(shapes), n_channels), np.float32)
     if env_to_world is None:
@@ -91,4 +98,4 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                  jnp.asarray(radius * (1.0 + 1e-3), jnp.float32),
                  jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl),
                  mesh_table, tuple(spot_lights),
-                 jnp.asarray(dir_area_radiance, jnp.float32))
+                 jnp.asarray(dir_area_radiance, jnp.float32), tex_table)

@@ -10,7 +10,8 @@ Shapes are expressed by an affine object-to-world transform, so one
 (N, 4, 4) tensor describes each shape table.
 
 Shape kinds: 0=sphere (unit, local), 1=rectangle ([-1,1]^2 in z=0 plane),
-2=disk (unit radius in z=0 plane), 3=cube ([-1,1]^3).
+2=disk (unit radius in z=0 plane), 3=cube ([-1,1]^3), 4=cylinder (unit
+radius, z in [0,1], open-ended — reference `cylinder.cpp` canonical frame).
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.math import dot, mat3_apply, mat3_apply_t, normalize
 
-SPHERE, RECTANGLE, DISK, CUBE = 0, 1, 2, 3
+SPHERE, RECTANGLE, DISK, CUBE, CYLINDER = 0, 1, 2, 3, 4
 
 _RAY_EPS = 1e-4
 
@@ -52,6 +53,12 @@ def _world_area(kind: int, t2w) -> float:
     if kind == SPHERE:
         s = np.abs(np.linalg.det(lin)) ** (2.0 / 3.0)
         return 4.0 * float(np.pi) * s
+    if kind == CYLINDER:
+        # lateral area: average the azimuthal extremes of
+        # |dp/dphi x dp/dz| (exact under uniform scaling)
+        c02 = np.linalg.norm(np.cross(lin[:, 0], lin[:, 2]))
+        c12 = np.linalg.norm(np.cross(lin[:, 1], lin[:, 2]))
+        return float(np.pi) * (c02 + c12)
     # cube: 6 faces of area 4 each, averaged over the three face scalings
     c01 = np.linalg.norm(np.cross(lin[:, 0], lin[:, 1]))
     c12 = np.linalg.norm(np.cross(lin[:, 1], lin[:, 2]))
@@ -117,11 +124,20 @@ def sample_position(table: ShapeTable, shape_idx, u2):
     z = 1.0 - 2.0 * u2[..., 0]
     sr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     p_sph = jnp.stack([sr * jnp.cos(phi), sr * jnp.sin(phi), z], axis=-1)
+    # cylinder: uniform on the lateral surface
+    p_cyl = jnp.stack([jnp.cos(phi), jnp.sin(phi), u2[..., 0]], axis=-1)
+    n_cyl = jnp.stack([jnp.cos(phi), jnp.sin(phi),
+                       jnp.zeros_like(phi)], axis=-1)
 
     planar = (kind == RECTANGLE) | (kind == DISK)
-    p_local = jnp.where((kind == RECTANGLE)[..., None], p_rect,
-                        jnp.where((kind == DISK)[..., None], p_disk, p_sph))
-    n_local = jnp.where(planar[..., None], n_plane, p_sph)
+    p_local = jnp.select([(kind == RECTANGLE)[..., None],
+                          (kind == DISK)[..., None],
+                          (kind == CYLINDER)[..., None]],
+                         [p_rect, p_disk, p_cyl], p_sph)
+    n_local = jnp.select([planar[..., None],
+                          (kind == CYLINDER)[..., None]],
+                         [jnp.broadcast_to(n_plane, p_sph.shape), n_cyl],
+                         p_sph)
 
     p_world = _xform_point(t2w, p_local)
     n_world = normalize(_xform_normal(t2o, n_local))
@@ -193,6 +209,30 @@ def _intersect_local(kind, o, d):
     n_pl = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], o.dtype), p_pl.shape)
     uv_pl = 0.5 * (p_pl[..., :2] + 1.0)
 
+    # --- cylinder: x^2 + y^2 = 1, z in [0, 1], open-ended
+    a_cy = d[..., 0] ** 2 + d[..., 1] ** 2
+    b_cy = 2.0 * (o[..., 0] * d[..., 0] + o[..., 1] * d[..., 1])
+    c_cy = o[..., 0] ** 2 + o[..., 1] ** 2 - 1.0
+    disc_cy = b_cy * b_cy - 4.0 * a_cy * c_cy
+    sq_cy = jnp.sqrt(jnp.maximum(disc_cy, 0.0))
+    a_safe = jnp.where(a_cy == 0.0, 1.0, a_cy)
+    t0_cy = (-b_cy - sq_cy) / (2.0 * a_safe)
+    t1_cy = (-b_cy + sq_cy) / (2.0 * a_safe)
+
+    def _cy_valid(tc):
+        z = o[..., 2] + tc * d[..., 2]
+        return (tc > _RAY_EPS) & (z >= 0.0) & (z <= 1.0)
+
+    t_cyl = jnp.where(_cy_valid(t0_cy), t0_cy,
+                      jnp.where(_cy_valid(t1_cy), t1_cy, big))
+    t_cyl = jnp.where((disc_cy >= 0.0) & (a_cy > 0.0), t_cyl, big)
+    p_cyl = o + t_cyl[..., None] * d
+    n_cyl = jnp.stack([p_cyl[..., 0], p_cyl[..., 1],
+                       jnp.zeros_like(t_cyl)], axis=-1)
+    uv_cyl = jnp.stack([
+        jnp.arctan2(p_cyl[..., 1], p_cyl[..., 0]) / (2 * jnp.pi) + 0.5,
+        jnp.clip(p_cyl[..., 2], 0.0, 1.0)], axis=-1)
+
     # --- cube: slab test on [-1, 1]^3
     inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
     tl = (-1.0 - o) * inv_d
@@ -208,16 +248,19 @@ def _intersect_local(kind, o, d):
               * (jnp.arange(3) == axis[..., None]).astype(o.dtype))
     uv_cube = jnp.zeros_like(uv_pl)
 
-    t = jnp.select([kind == SPHERE, kind == RECTANGLE, kind == DISK],
-                   [t_sph, t_rect, t_disk], t_cube)
+    t = jnp.select([kind == SPHERE, kind == RECTANGLE, kind == DISK,
+                    kind == CYLINDER],
+                   [t_sph, t_rect, t_disk, t_cyl], t_cube)
     n = jnp.select([(kind == SPHERE)[..., None],
                     (kind == RECTANGLE)[..., None],
-                    (kind == DISK)[..., None]],
-                   [n_sph, n_pl, n_pl], n_cube)
+                    (kind == DISK)[..., None],
+                    (kind == CYLINDER)[..., None]],
+                   [n_sph, n_pl, n_pl, n_cyl], n_cube)
     uv = jnp.select([(kind == SPHERE)[..., None],
                      (kind == RECTANGLE)[..., None],
-                     (kind == DISK)[..., None]],
-                    [uv_sph, uv_pl, uv_pl], uv_cube)
+                     (kind == DISK)[..., None],
+                     (kind == CYLINDER)[..., None]],
+                    [uv_sph, uv_pl, uv_pl, uv_cyl], uv_cube)
     return t, n, uv, jnp.isfinite(t)
 
 

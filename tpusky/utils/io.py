@@ -228,3 +228,103 @@ def write_exr(path: str, image: np.ndarray, channel_names=None,
         for y0, blk in zip(range(0, h, lines_per_block), blocks):
             f.write(struct.pack("<2i", y0, len(blk)))
             f.write(blk)
+
+
+# ---------------------------------------------------------------------------
+# PNG (minimal reader/writer — reference `bitmap.cpp` PNG path, H16)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def read_png(path: str) -> np.ndarray:
+    """Read a PNG into float32 [0, 1], shape (H, W, C).
+
+    Supports bit depths 8/16, colour types 0 (gray), 2 (RGB), 4 (gray+A),
+    6 (RGBA), all five scanline filters; no interlacing, no palette.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"{path}: not a PNG file")
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk)
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            meta = (w, h, depth, color)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError(f"{path}: missing IHDR")
+    w, h, depth, color = meta
+    n_chan = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if n_chan is None or depth not in (8, 16):
+        raise ValueError(f"unsupported PNG colour type {color}/{depth}-bit")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = n_chan * depth // 8                    # bytes per pixel
+    stride = w * bpp
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros((stride,), np.uint8)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        off += 1 + stride
+        if ftype == 1:      # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:    # Up
+            line = (line.astype(np.uint16) + prev) % 256
+            line = line.astype(np.uint8)
+        elif ftype == 3:    # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((int(a) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        out[y] = line
+        prev = line
+    if depth == 8:
+        img = out.reshape(h, w, n_chan).astype(np.float32) / 255.0
+    else:
+        img = (out.reshape(h, w * n_chan * 2).view(">u2")
+               .reshape(h, w, n_chan).astype(np.float32) / 65535.0)
+    return img
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write a float [0,1] (H, W[, C]) image as 8-bit PNG (filter 0)."""
+    img = np.asarray(image)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+    raw = b"".join(b"\x00" + u8[y].tobytes() for y in range(h))
+
+    def chunk(ctype, payload):
+        return (struct.pack(">I", len(payload)) + ctype + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+    with open(path, "wb") as f:
+        f.write(_PNG_SIG)
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color,
+                                           0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))

@@ -36,6 +36,7 @@ def _lib():
     lib.obj_copy.argtypes = [ctypes.POINTER(ctypes.c_float),
                              ctypes.POINTER(ctypes.c_float),
                              ctypes.POINTER(ctypes.c_int32)]
+    lib.obj_copy_uvs.argtypes = [ctypes.POINTER(ctypes.c_float)]
     lib.pcg32_fill_float.argtypes = [ctypes.c_uint64, ctypes.c_uint64,
                                      ctypes.c_uint64,
                                      ctypes.POINTER(ctypes.c_float),
@@ -49,7 +50,8 @@ def have_native() -> bool:
 
 def load_obj(path: str):
     """Parse an OBJ file -> (positions (V,3) f32, normals (V,3) f32,
-    indices (T,3) i32). Uses the native parser when available."""
+    indices (T,3) i32, uvs (V,2) f32). Uses the native parser when
+    available."""
     lib = _lib()
     if lib is not None:
         if lib.obj_parse(path.encode()) != 0:
@@ -60,32 +62,48 @@ def load_obj(path: str):
         pos = np.zeros((nv.value, 3), np.float32)
         nrm = np.zeros((nv.value, 3), np.float32)
         idx = np.zeros((nt.value, 3), np.int32)
+        uv = np.zeros((nv.value, 2), np.float32)
         lib.obj_copy(pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                      nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                      idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        lib.obj_copy_uvs(uv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         lib.obj_free()
-        return pos, nrm, idx
+        return pos, nrm, idx, uv
     return _load_obj_py(path)
 
 
 def _load_obj_py(path: str):
-    """Pure-Python OBJ fallback (positions + fan-triangulated faces)."""
-    positions, faces = [], []
+    """Pure-Python OBJ fallback (positions, texcoords, fan-triangulated
+    faces; per-vertex uv/normal resolved first-wins like the native path)."""
+    positions, texcoords, faces, tfaces = [], [], [], []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 positions.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                texcoords.append([float(x) for x in line.split()[1:3]])
             elif line.startswith("f "):
-                verts = []
+                verts, tex = [], []
                 for tok in line.split()[1:]:
-                    v = tok.split("/")[0]
-                    i = int(v)
+                    parts = tok.split("/")
+                    i = int(parts[0])
                     verts.append(i - 1 if i > 0 else len(positions) + i)
+                    t = (int(parts[1]) if len(parts) > 1 and parts[1]
+                         else 0)
+                    tex.append(t - 1 if t > 0
+                               else (len(texcoords) + t if t < 0 else -1))
                 for k in range(2, len(verts)):
                     faces.append([verts[0], verts[k - 1], verts[k]])
+                    tfaces.append([tex[0], tex[k - 1], tex[k]])
     pos = np.asarray(positions, np.float32)
-    idx = np.asarray(faces, np.int32)
-    return pos, np.zeros_like(pos), idx
+    idx = np.asarray(faces, np.int32).reshape(-1, 3)
+    uv = np.zeros((len(positions), 2), np.float32)
+    if texcoords:
+        tc = np.asarray(texcoords, np.float32)
+        ti = np.asarray(tfaces, np.int32).reshape(-1, 3)
+        ok = ti >= 0
+        uv[idx[ok]] = tc[ti[ok]]
+    return pos, np.zeros_like(pos), idx, uv
 
 
 def pcg32_uniform(initstate: int, initseq: int, n: int, skip: int = 0):
