@@ -155,3 +155,91 @@ def test_rough_plastic_sample_pdf_chi2():
                             sample_count=1_000_000, res_phi=64, res_cos=32,
                             cos_range=(0.0, 1.0), ires=16)
     assert ok, f"chi2 p={p} {info}"
+
+
+def test_principled_sample_pdf_chi2():
+    """Principled with all three lobes active: histogram matches pdf."""
+    table = B.make_material_table(
+        kinds=[B.PRINCIPLED], albedos=[[0.8, 0.4, 0.2]], alphas=[0.5],
+        extras=[[0.3, 0.5, 0.4, 0.5, 0.8, 0.7, 0.2, 0.0]])
+    wi = jnp.asarray([0.3, -0.2, 0.93])
+    wi = wi / jnp.linalg.norm(wi)
+
+    def sample_fn(key, n):
+        k1, k2 = jax.random.split(key)
+        u2 = jax.random.uniform(k1, (n, 2))
+        u1 = jax.random.uniform(k2, (n,))
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        wo, w, pdf, _ = B.sample(table, jnp.zeros((n,), jnp.int32), wi_b,
+                                 u2, u1, None)
+        return wo
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        _, pdf = B.eval_pdf(table, jnp.zeros((n,), jnp.int32), wi_b, d)
+        return pdf
+
+    p, ok, info = chi2_test(sample_fn, pdf_fn, key=jax.random.PRNGKey(5),
+                            sample_count=1_000_000, res_phi=64, res_cos=32,
+                            cos_range=(0.0, 1.0), ires=16)
+    assert ok, f"chi2 p={p} {info}"
+
+
+def test_principled_metallic_vs_diffuse_limits():
+    """metallic=0, roughness=1, no coat reduces to ~Burley diffuse (finite,
+    reciprocal-ish); metallic=1 kills the diffuse lobe."""
+    wi = jnp.asarray([[0.0, 0.0, 1.0]])
+    wo = jnp.asarray([[0.6, 0.0, 0.8]])
+    mk = lambda met: B.make_material_table(
+        kinds=[B.PRINCIPLED], albedos=[[0.5, 0.5, 0.5]], alphas=[1.0],
+        extras=[[met, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]])
+    v0, _ = B.eval_pdf(mk(0.0), jnp.zeros((1,), jnp.int32), wi, wo)
+    v1, _ = B.eval_pdf(mk(1.0), jnp.zeros((1,), jnp.int32), wi, wo)
+    # diffuse part ~ albedo/pi * cos_o modulated by Burley retro factors
+    assert float(v0[0, 0]) > 0.5 / np.pi * 0.8 * 0.5
+    # specular=0 and metallic=1 -> Fresnel = base colour, tiny at alpha=1
+    assert float(v1[0, 0]) < float(v0[0, 0])
+
+
+def test_furnace_principled():
+    """Principled metallic sphere (base 1) in a white furnace: energy
+    bounded by 1, above 0.8 (single-scatter GGX loss)."""
+    img = _furnace_extra([1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                         alpha=0.4)
+    assert 0.8 < img.mean() <= 1.02, img.mean()
+
+
+def _furnace_extra(extra, alpha, spp=256, max_depth=12):
+    scene = make_scene(
+        shapes=[dict(kind=0, to_world=translate([0, 0, 0]), bsdf_idx=0)],
+        bsdf_albedos=[[1.0, 1.0, 1.0]],
+        bsdf_kinds=[B.PRINCIPLED],
+        bsdf_alphas=[alpha],
+        bsdf_extras=[extra],
+        env=ConstantEnv(jnp.asarray([1.0, 1.0, 1.0])))
+    sensor = make_perspective(origin=[0, -4, 0], target=[0, 0, 0],
+                              fov_x_deg=18)
+    return np.array(integrator.render(scene, sensor, Film(16, 16, 3),
+                                      jax.random.PRNGKey(0), spp=spp,
+                                      max_depth=max_depth))
+
+
+def test_principled_loader():
+    from tpusky.render.loader import load_dict
+    bundle = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": {"type": "look_at", "origin": [0, -4, 1],
+                                "target": [0, 0, 0], "up": [0, 0, 1]},
+                   "film": {"height": 16, "width": 16},
+                   "sampler": {"sample_count": 8}},
+        "env": {"type": "constant", "radiance": 1.0},
+        "ball": {"type": "sphere",
+                 "bsdf": {"type": "principled", "base_color": [0.7, 0.3, 0.2],
+                          "roughness": 0.3, "metallic": 0.8,
+                          "clearcoat": 1.0, "sheen": 0.5}},
+    })
+    img = np.asarray(bundle.render(seed=0))
+    assert np.isfinite(img).all() and img.max() > 0

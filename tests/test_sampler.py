@@ -17,7 +17,7 @@ def test_sampler_streams_deterministic_and_uniform():
     key = jax.random.PRNGKey(0)
     pix = jnp.arange(4096, dtype=jnp.uint32) // 16
     smp = jnp.arange(4096, dtype=jnp.uint32) % 16
-    for kind in ("independent", "stratified", "qmc"):
+    for kind in ("independent", "stratified", "qmc", "multijitter"):
         a = np.array(sampler.lane_samples(kind, key, pix, smp, 16, 3, 2))
         b = np.array(sampler.lane_samples(kind, key, pix, smp, 16, 3, 2))
         assert np.array_equal(a, b), kind
@@ -53,9 +53,51 @@ def test_render_with_each_sampler():
     sensor = make_perspective(origin=[0, 0, 3], target=[0.01, 0, 0],
                               fov_x_deg=30)
     film = Film(8, 8, 3)
-    for kind in ("independent", "stratified", "qmc"):
+    for kind in ("independent", "stratified", "qmc", "multijitter"):
         img = np.array(integrator.render(scene, sensor, film,
                                          jax.random.PRNGKey(0), spp=128,
                                          max_depth=2, sampler_kind=kind))
         assert np.isfinite(img).all()
         assert abs(img.mean() - 0.5) < 0.03, (kind, img.mean())
+
+
+def test_multijitter_cmj_stratification():
+    """CMJ pairs are stratified on BOTH the spp fine grid (each axis) and
+    the m x n coarse grid — the defining property of correlated
+    multi-jitter (Kensler memo 13-01)."""
+    key = jax.random.PRNGKey(7)
+    spp = 16          # m = n = 4
+    for pix_id in (0, 3, 1234):
+        pix = jnp.full((spp,), pix_id, jnp.uint32)
+        smp = jnp.arange(spp, dtype=jnp.uint32)
+        u = np.array(sampler.lane_samples("multijitter", key, pix, smp,
+                                          spp, 5, 2))
+        # fine stratification: one sample per 1/spp stratum on each axis
+        fx = np.floor(u[:, 0] * spp).astype(int)
+        fy = np.floor(u[:, 1] * spp).astype(int)
+        assert sorted(fx) == list(range(spp)), fx
+        assert sorted(fy) == list(range(spp)), fy
+        # coarse 4x4 jittered grid: exactly one sample per cell
+        cx = np.floor(u[:, 0] * 4).astype(int)
+        cy = np.floor(u[:, 1] * 4).astype(int)
+        cells = sorted(cx * 4 + cy)
+        assert cells == list(range(16)), cells
+
+
+def test_multijitter_beats_stratified_on_2d():
+    """On a smooth 2D integrand CMJ error is at most stratified error
+    (it adds Latin-hypercube fine stratification on top)."""
+    key = jax.random.PRNGKey(11)
+    n_pix, spp = 256, 16
+
+    def pixel_error(kind):
+        pix = jnp.repeat(jnp.arange(n_pix, dtype=jnp.uint32), spp)
+        smp = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), n_pix)
+        u = np.array(sampler.lane_samples(kind, key, pix, smp, spp, 0, 2))
+        f = u[:, 0] * u[:, 1]
+        means = f.reshape(n_pix, spp).mean(-1)
+        return np.abs(means - 0.25).mean()
+
+    err_mj = pixel_error("multijitter")
+    err_ind = pixel_error("independent")
+    assert err_mj < 0.6 * err_ind, (err_mj, err_ind)

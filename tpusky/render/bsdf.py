@@ -20,6 +20,12 @@ Supported kinds:
                     R* = 2F/(1+F) (`thindielectric.cpp`)
   8 roughplastic    GGX dielectric coat over a Lambertian base, both lobes
                     rough/non-delta (`roughplastic.cpp`)
+  9 principled      Disney BSDF (`principled.cpp`): retro-reflective
+                    diffuse + Schlick-Fresnel GGX specular + sheen +
+                    GTR1 clearcoat; reflection lobes only (spec_trans /
+                    anisotropic / flatness out of scope). Parameters live
+                    in the `extra` column: [metallic, specular, sheen,
+                    sheen_tint, clearcoat, clearcoat_gloss, spec_tint, -]
 
 Any material additionally carries an `opacity` in [0, 1]: lanes pass
 through unscattered with probability 1-opacity — the flattened equivalent
@@ -45,7 +51,7 @@ from ..ops.math import safe_sqrt
 
 DIFFUSE, ROUGH_CONDUCTOR, CONDUCTOR, DIELECTRIC = 0, 1, 2, 3
 PLASTIC, ROUGH_DIELECTRIC, NULL_BSDF = 4, 5, 6
-THIN_DIELECTRIC, ROUGH_PLASTIC = 7, 8
+THIN_DIELECTRIC, ROUGH_PLASTIC, PRINCIPLED = 7, 8, 9
 
 
 class MaterialTable(NamedTuple):
@@ -59,6 +65,7 @@ class MaterialTable(NamedTuple):
     ior: jnp.ndarray          # (M,) dielectric relative IOR (int/ext)
     opacity: jnp.ndarray = None  # (M,) mask opacity (1 = opaque)
     tex_idx: jnp.ndarray = None  # (M,) int32 texture index (-1 = constant)
+    extra: jnp.ndarray = None    # (M, 8) principled params (see kind 9)
 
 
 # legacy alias used throughout the renderer
@@ -68,7 +75,8 @@ DiffuseTable = MaterialTable
 def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                         twosided=None, spectral_albedos=None, alphas=None,
                         etas=None, ks=None, iors=None,
-                        opacities=None, tex_indices=None) -> MaterialTable:
+                        opacities=None, tex_indices=None,
+                        extras=None) -> MaterialTable:
     import numpy as np
     a = np.atleast_2d(np.asarray(albedos, np.float32))
     m = a.shape[0]
@@ -91,13 +99,19 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                  else np.asarray(opacities, np.float32))
     tex_indices = (np.full((m,), -1, np.int32) if tex_indices is None
                    else np.asarray(tex_indices, np.int32))
+    if extras is None:
+        extras = np.tile(np.array([0, 0.5, 0, 0, 0, 0, 0, 0], np.float32),
+                         (m, 1))
+    else:
+        extras = np.asarray(extras, np.float32).reshape(m, 8)
     return MaterialTable(jnp.asarray(kinds), jnp.asarray(a),
                          jnp.asarray(ts),
                          jnp.asarray(np.asarray(spectral_albedos,
                                                 np.float32)),
                          jnp.asarray(alphas), jnp.asarray(etas),
                          jnp.asarray(ks), jnp.asarray(iors),
-                         jnp.asarray(opacities), jnp.asarray(tex_indices))
+                         jnp.asarray(opacities), jnp.asarray(tex_indices),
+                         jnp.asarray(extras))
 
 
 def make_diffuse_table(albedos, twosided=None,
@@ -253,6 +267,96 @@ def _rough_plastic_eval(albedo, alpha, ior, wi_l, wo_l):
     return value, pdf
 
 
+def _schlick5(c):
+    m = jnp.clip(1.0 - c, 0.0, 1.0)
+    m2 = m * m
+    return m2 * m2 * m
+
+
+def _gtr1_ndf(cos_m, alpha):
+    """GTR1 NDF (the Disney clearcoat distribution)."""
+    a2 = alpha * alpha
+    denom = jnp.pi * jnp.log(jnp.maximum(a2, 1e-6)) \
+        * (1.0 + (a2 - 1.0) * cos_m * cos_m)
+    return jnp.where(cos_m > 0.0, (a2 - 1.0) / denom, 0.0)
+
+
+def _gtr1_sample(alpha, u):
+    a2 = jnp.maximum(alpha * alpha, 1e-6)
+    cos2 = (1.0 - jnp.power(a2, 1.0 - u[..., 0])) / (1.0 - a2)
+    cos_t = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_t = safe_sqrt(1.0 - cos2)
+    phi = 2.0 * jnp.pi * u[..., 1]
+    return jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                     axis=-1)
+
+
+def _principled_eval(base, rough, extra, wi_l, wo_l):
+    """Disney principled reflection lobes (`principled.cpp`; Burley 2012):
+    -> (value = f*cos_o (..., C), pdf). Upper-hemisphere local frame."""
+    metallic = extra[..., 0]
+    specular = extra[..., 1]
+    sheen = extra[..., 2]
+    sheen_tint = extra[..., 3]
+    clearcoat = extra[..., 4]
+    cc_gloss = extra[..., 5]
+    spec_tint = extra[..., 6]
+
+    cos_i = jnp.maximum(wi_l[..., 2], 1e-6)
+    cos_o = jnp.maximum(wo_l[..., 2], 0.0)
+    m = wi_l + wo_l
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    cos_d = jnp.sum(wi_l * m, axis=-1)            # half-vector angle
+
+    # luminance-normalised tint colour
+    lum = jnp.mean(base, axis=-1, keepdims=True)
+    c_tint = jnp.where(lum > 0.0, base / jnp.maximum(lum, 1e-6), 1.0)
+
+    # --- retro-reflective diffuse (Burley) ---
+    fd90 = 0.5 + 2.0 * rough * cos_d * cos_d
+    fd_i = 1.0 + (fd90 - 1.0) * _schlick5(cos_i)
+    fd_o = 1.0 + (fd90 - 1.0) * _schlick5(cos_o)
+    diff = (base * warp.INV_PI * (fd_i * fd_o * (1.0 - metallic)
+                                  * cos_o)[..., None])
+
+    # --- sheen (grazing retro lobe) ---
+    c_sheen = 1.0 + (c_tint - 1.0) * sheen_tint[..., None]
+    sheen_val = (c_sheen * (sheen * (1.0 - metallic) * _schlick5(cos_d)
+                            * cos_o)[..., None])
+
+    # --- main GGX specular with Schlick Fresnel ---
+    alpha = jnp.maximum(rough * rough, 1e-4)
+    d_ndf = _ggx_ndf(m, alpha)
+    g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_l, alpha)
+    f0_diel = (0.08 * specular)[..., None] \
+        * (1.0 + (c_tint - 1.0) * spec_tint[..., None])
+    c_spec0 = f0_diel + (base - f0_diel) * metallic[..., None]
+    f_spec = c_spec0 + (1.0 - c_spec0) * _schlick5(cos_d)[..., None]
+    spec = f_spec * (d_ndf * g / (4.0 * cos_i))[..., None]
+
+    # --- clearcoat: GTR1 D, fixed 0.04 F0, GGX G at alpha 0.25 ---
+    alpha_cc = 0.1 + (0.001 - 0.1) * cc_gloss
+    d_cc = _gtr1_ndf(m[..., 2], alpha_cc)
+    g_cc = _ggx_g1(wi_l, 0.25) * _ggx_g1(wo_l, 0.25)
+    f_cc = 0.04 + 0.96 * _schlick5(cos_d)
+    # Burley's 0.25*clearcoat*Gr*Fr*Dr is the f value; x cos_o here
+    cc = (0.25 * clearcoat * d_cc * g_cc * f_cc * cos_o)[..., None]
+
+    value = diff + sheen_val + spec + cc
+
+    # --- sampling pdf: mixture matching `sample`'s lobe choice ---
+    pdf_diff = warp.INV_PI * cos_o
+    pdf_spec = d_ndf * m[..., 2] / jnp.maximum(4.0 * jnp.abs(cos_d), 1e-6)
+    pdf_cc = d_cc * m[..., 2] / jnp.maximum(4.0 * jnp.abs(cos_d), 1e-6)
+    w_diff = 1.0 - metallic
+    w_spec = jnp.ones_like(metallic)
+    w_cc = 0.25 * clearcoat
+    w_sum = w_diff + w_spec + w_cc
+    pdf = (w_diff * pdf_diff + w_spec * pdf_spec + w_cc * pdf_cc) / w_sum
+    ok = (wi_l[..., 2] > 0.0) & (wo_l[..., 2] > 0.0)
+    return jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0)
+
+
 def _tint(table, mat_idx, wavelengths, n_chan_ref):
     """Specular tint: RGB uses the albedo column; spectral uses the
     interpolated spectrum."""
@@ -308,7 +412,8 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
     pdf = jnp.zeros(cos_i.shape)
 
     # --- diffuse lobe ---
-    if has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC):
+    if (has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC)
+            or has(PRINCIPLED)):
         albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
                             refl_tex)
     if has(DIFFUSE):
@@ -356,6 +461,16 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
         is_rp = kind == ROUGH_PLASTIC
         value = jnp.where(is_rp[..., None], rp_val, value)
         pdf = jnp.where(is_rp, rp_pdf, pdf)
+
+    # --- principled (Disney) ---
+    if has(PRINCIPLED):
+        rough_p = take_scalars(table.alpha, mat_idx)
+        extra_p = take_rows(table.extra, mat_idx)
+        pr_val, pr_pdf = _principled_eval(albedo, rough_p, extra_p,
+                                          wi_l, wo_l)
+        is_pr = kind == PRINCIPLED
+        value = jnp.where(is_pr[..., None], pr_val, value)
+        pdf = jnp.where(is_pr, pr_pdf, pdf)
 
     # --- smooth plastic: Fresnel-weighted Lambertian base
     #     (specular coat is a delta lobe -> only via `sample`) ---
@@ -474,7 +589,8 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
     geom_frame = jnp.zeros(cos_i.shape, bool)   # lobes w/o twosided flip
 
     # --- diffuse: cosine hemisphere ---
-    if has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC):
+    if (has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC)
+            or has(PRINCIPLED)):
         wo_diff = warp.square_to_cosine_hemisphere(sample2)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
         albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
@@ -542,6 +658,38 @@ def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
     if (has(DIELECTRIC) or has(PLASTIC) or has(ROUGH_DIELECTRIC)
             or has(THIN_DIELECTRIC) or has(ROUGH_PLASTIC)):
         ior = take_scalars(table.ior, mat_idx)
+
+    # --- principled: three-way lobe choice (diffuse / GGX / clearcoat)
+    #     with weight = f*cos/pdf via the shared eval ---
+    if has(PRINCIPLED):
+        rough_p = take_scalars(table.alpha, mat_idx)
+        extra_p = take_rows(table.extra, mat_idx)
+        metallic_p = extra_p[..., 0]
+        cc_p = extra_p[..., 4]
+        w_diff = 1.0 - metallic_p
+        w_spec = jnp.ones_like(metallic_p)
+        w_cc = 0.25 * cc_p
+        w_sum = w_diff + w_spec + w_cc
+        t1 = w_diff / w_sum
+        t2 = (w_diff + w_spec) / w_sum
+        alpha_p = jnp.maximum(rough_p * rough_p, 1e-4)
+        m_sp = _ggx_sample(alpha_p, sample2)
+        alpha_cc = 0.1 + (0.001 - 0.1) * extra_p[..., 5]
+        m_cc = _gtr1_sample(alpha_cc, sample2)
+        wo_pr = jnp.where((sample1 < t1)[..., None], wo_diff,
+                          jnp.where((sample1 < t2)[..., None],
+                                    _reflect(wi_l, m_sp),
+                                    _reflect(wi_l, m_cc)))
+        pr_val, pr_pdf = _principled_eval(albedo, rough_p, extra_p,
+                                          wi_l, wo_pr)
+        pr_ok = (wo_pr[..., 2] > 0.0) & (pr_pdf > 1e-12)
+        w_pr = jnp.where(pr_ok[..., None],
+                         pr_val / jnp.maximum(pr_pdf, 1e-12)[..., None],
+                         0.0)
+        is_pr = kind == PRINCIPLED
+        wo = jnp.where(is_pr[..., None], wo_pr, wo)
+        weight = jnp.where(is_pr[..., None], w_pr, weight)
+        pdf = jnp.where(is_pr, pr_pdf, pdf)
 
     # --- rough plastic: pick coat vs base by F(cos_i), weight = f*cos/pdf
     #     via the shared eval (`roughplastic.cpp` sampling scheme) ---

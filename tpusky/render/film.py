@@ -8,9 +8,11 @@ deterministic sorted reduction — renders are bit-reproducible for a fixed
 seed and mesh shape (SURVEY.md §5 "race detection").
 
 Reconstruction filters: `box` (1 tap), `gaussian` (stddev 0.5), `tent`,
-and `mitchell` (B = C = 1/3), matching the reference's rfilter plugins
-(`src/rfilters/`); non-box filters splat into a 2x2 (gaussian/tent) or
-4x4 (mitchell) neighbourhood.
+`mitchell` (B = C = 1/3) and `lanczos` (3-lobe sinc), matching the
+reference's rfilter plugins (`src/rfilters/`). Filters are evaluated
+separably per axis (weight(dx) * weight(dy)) like the reference's
+ImageBlock (`imageblock.cpp:174-418`); non-box filters splat into a 2x2
+(gaussian/tent), 4x4 (mitchell) or 6x6 (lanczos) neighbourhood.
 """
 
 from __future__ import annotations
@@ -25,7 +27,8 @@ class Film(NamedTuple):
     height: int
     width: int
     n_channels: int
-    rfilter: str = "box"       # "box" | "gaussian"
+    rfilter: str = "box"       # box | gaussian | tent | mitchell | lanczos
+    bands: tuple = None        # specfilm band edges (nm), len = channels+1
 
 
 def splat(film: Film, pixel_uv, values):
@@ -44,23 +47,28 @@ def splat(film: Film, pixel_uv, values):
         img = jax.ops.segment_sum(values, flat, num_segments=h * w)
         return img.reshape(h, w, c + 1)
 
-    radius = 2 if film.rfilter == "mitchell" else 1
+    radius = {"mitchell": 2, "lanczos": 3}.get(film.rfilter, 1)
     taps = range(2 * radius)
 
     def weight_fn(r):
+        r = jnp.abs(r)
         if film.rfilter == "gaussian":
             return jnp.exp(-0.5 * r * r / 0.25)
         if film.rfilter == "tent":
             return jnp.maximum(1.0 - r, 0.0)
         if film.rfilter == "mitchell":
             b = cc = 1.0 / 3.0
-            r = jnp.abs(r)
             r2, r3 = r * r, r * r * r
             inner = ((12 - 9 * b - 6 * cc) * r3 + (-18 + 12 * b + 6 * cc)
                      * r2 + (6 - 2 * b)) / 6.0
             outer = ((-b - 6 * cc) * r3 + (6 * b + 30 * cc) * r2
                      + (-12 * b - 48 * cc) * r + (8 * b + 24 * cc)) / 6.0
             return jnp.where(r < 1.0, inner, jnp.where(r < 2.0, outer, 0.0))
+        if film.rfilter == "lanczos":
+            # 3-lobe windowed sinc (`src/rfilters/lanczos.cpp`)
+            x = jnp.pi * jnp.maximum(r, 1e-6)
+            val = (jnp.sin(x) / x) * (jnp.sin(x / 3.0) / (x / 3.0))
+            return jnp.where(r < 1e-6, 1.0, jnp.where(r < 3.0, val, 0.0))
         raise ValueError(f"unknown rfilter {film.rfilter!r}")
 
     base_x = jnp.floor(pixel_uv[..., 0] - 0.5) - (radius - 1)
@@ -72,7 +80,8 @@ def splat(film: Film, pixel_uv, values):
             py = base_y + oy
             dx = px + 0.5 - pixel_uv[..., 0]
             dy = py + 0.5 - pixel_uv[..., 1]
-            wgt = weight_fn(jnp.sqrt(dx * dx + dy * dy))
+            # separable evaluation, like the reference's ImageBlock
+            wgt = weight_fn(dx) * weight_fn(dy)
             inside = ((px >= 0) & (px < w) & (py >= 0) & (py < h))
             wgt = jnp.where(inside, wgt, 0.0)
             flat = (jnp.clip(py, 0, h - 1) * w

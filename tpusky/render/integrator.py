@@ -445,7 +445,26 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
     uv = jnp.stack([pix_x / w, pix_y / h], axis=-1)
 
     o, d = sensors_mod.sample_ray(sensor, uv, u_lens)
-    if mode == "spectral":
+    if mode == "spectral" and film_cfg.bands is not None:
+        # specfilm path (reference `src/films/specfilm.cpp`): hero
+        # wavelengths sampled uniformly over the band range; each output
+        # channel accumulates its band's radiance estimate
+        from ..ops import spectrum as spec_mod
+        edges = film_cfg.bands
+        lo, hi = float(edges[0]), float(edges[-1])
+        u_wl = smp.next(20_000, 1)[..., 0]
+        shifted = spec_mod.sample_shifted(u_wl, 4)
+        wavelengths = lo + (hi - lo) * shifted
+        wl_weight = hi - lo                     # 1 / uniform pdf
+        spec_radiance = _path_sample(scene, o, d, smp, max_depth,
+                                     rr_depth, mode, wavelengths,
+                                     vma_axes=vma_axes, kinds=kinds)
+        radiance = film_mod.spectral_band_accumulate(
+            wavelengths, spec_radiance * wl_weight, jnp.asarray(edges))
+        # per-band mean -> spectral radiance density: divide by band width
+        widths = jnp.asarray(edges)[1:] - jnp.asarray(edges)[:-1]
+        radiance = radiance / widths
+    elif mode == "spectral":
         # hero-wavelength transport: 4 stratified wavelengths per path,
         # importance-sampled for RGB sensor response (the reference's
         # `sample_rgb_spectrum`, `spectrum.h:445-455`), converted to sRGB

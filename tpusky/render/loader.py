@@ -358,8 +358,8 @@ def _build_bsdf(desc, mode, textures=None):
     """-> material dict {kind, rgb, spec, twosided, alpha, eta, k, ior,
     opacity, tex_idx}."""
     from .bsdf import (CONDUCTOR, DIELECTRIC, DIFFUSE, NULL_BSDF, PLASTIC,
-                       ROUGH_CONDUCTOR, ROUGH_DIELECTRIC, ROUGH_PLASTIC,
-                       THIN_DIELECTRIC)
+                       PRINCIPLED, ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
+                       ROUGH_PLASTIC, THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
     while desc.get("type") in ("twosided", "mask"):
@@ -379,7 +379,8 @@ def _build_bsdf(desc, mode, textures=None):
                twosided=twosided, alpha=0.1,
                eta=np.array(_CONDUCTOR_IOR["Au"][0]),
                k=np.array(_CONDUCTOR_IOR["Au"][1]), ior=1.5046,
-               opacity=opacity, tex_idx=-1)
+               opacity=opacity, tex_idx=-1,
+               extra=np.array([0, 0.5, 0, 0, 0, 0, 0, 0], np.float64))
 
     def _refl(value):
         """Constant spectrum or nested texture plugin."""
@@ -423,6 +424,25 @@ def _build_bsdf(desc, mode, textures=None):
         ext_ior = float(desc.get("ext_ior", 1.000277))
         mat["ior"] = int_ior / ext_ior
         mat["alpha"] = float(desc.get("alpha", 0.1))
+    elif t == "principled":
+        mat["kind"] = PRINCIPLED
+        _refl(desc.get("base_color", 0.5))
+        mat["alpha"] = float(desc.get("roughness", 0.5))
+        # eta <-> specular correspondence (`principled.cpp:214-228`)
+        if "eta" in desc and "specular" in desc:
+            raise ValueError("principled: give either eta or specular")
+        if "eta" in desc:
+            e = float(desc["eta"])
+            spec = ((e - 1.0) / (e + 1.0)) ** 2 / 0.08
+        else:
+            spec = float(desc.get("specular", 0.5))
+        mat["extra"] = np.array([
+            float(desc.get("metallic", 0.0)), spec,
+            float(desc.get("sheen", 0.0)),
+            float(desc.get("sheen_tint", 0.0)),
+            float(desc.get("clearcoat", 0.0)),
+            float(desc.get("clearcoat_gloss", 0.0)),
+            float(desc.get("spec_tint", 0.0)), 0.0], np.float64)
     elif t == "null":
         mat["kind"] = NULL_BSDF
     else:
@@ -507,9 +527,21 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             sensor_desc = value
         elif t in ("sunsky", "constant", "envmap"):
             env_desc = value
-        elif t == "obj":
-            from ..utils.native import load_obj
-            pos, nrm, idx, uvs = load_obj(value["filename"])
+        elif t in ("obj", "ply", "serialized"):
+            if t == "obj":
+                from ..utils.native import load_obj
+                pos, nrm, idx, uvs = load_obj(value["filename"])
+            elif t == "ply":
+                from ..utils.meshio import read_ply
+                pos, nrm, idx, uvs = read_ply(value["filename"])
+            else:
+                from ..utils.meshio import read_serialized
+                pos, nrm, idx, uvs = read_serialized(
+                    value["filename"],
+                    shape_index=int(value.get("shape_index", 0)),
+                    face_normals=bool(value.get("face_normals", False)))
+            if value.get("face_normals"):
+                nrm = np.zeros_like(pos)     # geometric normals at hit time
             mat = _build_bsdf(value.get("bsdf", {"type": "diffuse"}), mode,
                               textures)
             meshes.append(dict(positions=pos, normals=nrm, indices=idx,
@@ -613,12 +645,27 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     w = int(film_desc.get("width", 256))
     rfilter = film_desc.get("rfilter", {}).get("type", "box") \
         if isinstance(film_desc.get("rfilter"), dict) else "box"
-    film = Film(h, w, 3, "gaussian" if rfilter == "gaussian" else "box")
+    rfilter = rfilter if rfilter in ("box", "gaussian", "tent",
+                                     "mitchell", "lanczos") else "box"
+    if film_desc.get("type") == "specfilm":
+        # spectral band film (`src/films/specfilm.cpp`): each channel
+        # integrates one wavelength band; requires mode='spectral'
+        if "bands" in film_desc:
+            bands = tuple(float(b) for b in film_desc["bands"])
+        else:
+            nb = int(film_desc.get("n_bands", 4))
+            lo = float(film_desc.get("lambda_min", 360.0))
+            hi = float(film_desc.get("lambda_max", 720.0))
+            bands = tuple(lo + (hi - lo) * i / nb for i in range(nb + 1))
+        film = Film(h, w, len(bands) - 1, rfilter, bands)
+    else:
+        film = Film(h, w, 3, rfilter)
     sampler_desc = sensor_desc.get("sampler", {})
     spp = int(sampler_desc.get("sample_count", 16))
     sampler_kind = {"independent": "independent",
                     "stratified": "stratified",
-                    "multijitter": "stratified",
+                    "multijitter": "multijitter",
+                    "orthogonal": "multijitter",
                     "ldsampler": "qmc",
                     "sobol": "qmc"}.get(sampler_desc.get("type",
                                                          "independent"),
@@ -677,6 +724,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_iors=[m["ior"] for m in materials],
         bsdf_opacities=[m["opacity"] for m in materials],
         bsdf_tex_indices=[m["tex_idx"] for m in materials],
+        bsdf_extras=[m["extra"] for m in materials],
         textures=textures or None,
         spectral_textures=(mode == "spectral"),
         area_radiance=area_radiance,

@@ -19,6 +19,12 @@ Kinds:
   qmc           scrambled (0,2)-sequence (Sobol in base 2) per pixel with
                 per-(pixel, dim) random digit scrambling — the analogue of
                 the reference's `ldsampler`
+  multijitter   correlated multi-jittered 2D pairs (Kensler, Pixar memo
+                13-01 — the scheme behind the reference's
+                `multijitter.cpp`): samples are simultaneously stratified
+                on the spp x spp fine grid AND the m x n coarse grid;
+                channels beyond each (2i, 2i+1) pair fall back to 1D
+                strata. Requires power-of-two spp (else = stratified).
 """
 
 from __future__ import annotations
@@ -129,6 +135,36 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
             out.append(_u32_to_unit(_hash_u32(h + jnp.uint32(dim * 2 + c))))
         return jnp.stack(out, axis=-1)
 
+    if kind == "multijitter":
+        pow2 = spp > 0 and (spp & (spp - 1)) == 0
+        if not pow2 or spp < 4:
+            kind = "stratified"     # CMJ grid needs power-of-two spp
+        else:
+            k = spp.bit_length() - 1
+            m = 1 << ((k + 1) // 2)
+            n_g = 1 << (k // 2)                       # m * n_g == spp
+            out = []
+            for c0 in range(0, n, 2):
+                h = _hash_u32(pixel_idx ^ _hash_u32(
+                    jnp.uint32(dim * 2 + c0) ^ seed))
+                # outer shuffle decorrelates the pair across dimensions
+                s = _kensler_permute_pow2(sample_idx, spp,
+                                          h * jnp.uint32(0x51633E2D))
+                sx = _kensler_permute_pow2(s % jnp.uint32(m), m,
+                                           h * jnp.uint32(0xA511E9B3))
+                sy = _kensler_permute_pow2(s // jnp.uint32(m), n_g,
+                                           h * jnp.uint32(0x63D83595))
+                jx = _u32_to_unit(_hash_u32(s ^ (h * jnp.uint32(0xA399D265))))
+                jy = _u32_to_unit(_hash_u32(s ^ (h * jnp.uint32(0x711AD6A5))))
+                x = ((s % jnp.uint32(m)).astype(jnp.float32)
+                     + (sy.astype(jnp.float32) + jx) / n_g) / m
+                out.append(x)
+                if c0 + 1 < n:
+                    y = ((s // jnp.uint32(m)).astype(jnp.float32)
+                         + (sx.astype(jnp.float32) + jy) / m) / n_g
+                    out.append(y)
+            return jnp.stack(out, axis=-1)
+
     if kind == "stratified":
         pow2 = spp > 0 and (spp & (spp - 1)) == 0
         out = []
@@ -167,4 +203,5 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
     raise ValueError(f"unknown sampler {kind!r}")
 
 
-VALID_KINDS = ("independent", "threefry", "stratified", "qmc")
+VALID_KINDS = ("independent", "threefry", "stratified", "qmc",
+               "multijitter")
