@@ -102,3 +102,34 @@ def test_spectral_mode_loading():
     img = np.array(bundle.render(seed=0))
     assert img.shape == (32, 32, 3) and np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_shapegroup_instance_expansion():
+    """Instances expand into transformed copies of the group's shapes
+    (reference `shapegroup.cpp`/`instance.cpp`)."""
+    import numpy as np
+    from tpusky.render.loader import load_dict
+    bundle = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": {"type": "look_at", "origin": [0, -8, 0],
+                                "target": [0, 0, 0], "up": [0, 0, 1]},
+                   "film": {"height": 16, "width": 16},
+                   "sampler": {"sample_count": 4}},
+        "env": {"type": "constant", "radiance": 1.0},
+        "pair": {"type": "shapegroup",
+                 "a": {"type": "sphere",
+                       "bsdf": {"type": "diffuse", "reflectance": 0.5}},
+                 "b": {"type": "cube",
+                       "to_world": {"transforms": [
+                           {"scale": 0.5}, {"translate": [2, 0, 0]}]},
+                       "bsdf": {"type": "diffuse", "reflectance": 0.5}}},
+        "i1": {"type": "instance", "group": "pair"},
+        "i2": {"type": "instance", "group": "pair",
+               "to_world": {"transforms": [{"translate": [-4, 0, 0]}]}},
+    })
+    # 2 instances x 2 shapes = 4 shapes in the table
+    assert bundle._scene_static.shapes.kind.shape[0] == 4
+    img = np.asarray(bundle.render(seed=0))
+    assert np.isfinite(img).all() and img.max() > 0

@@ -173,3 +173,67 @@ def test_render_with_bitmap_png(tmp_path):
     right = out[12:20, 20:28].mean()
     assert max(left, right) > 3 * min(left, right), (left, right)
     assert max(left, right) > 0.5
+
+
+def test_normalmap_changes_shading():
+    """A normal map tilting the floor normals changes the direct lighting
+    from an off-axis directional light (reference `normalmap.cpp`)."""
+    from tpusky.render.loader import load_dict
+
+    def render(nmap_bsdf):
+        bundle = load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 2},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": {"type": "look_at", "origin": [0, 0, 3],
+                                    "target": [0, 0, 0], "up": [0, 1, 0]},
+                       "film": {"height": 16, "width": 16},
+                       "sampler": {"sample_count": 32}},
+            "sun": {"type": "directional", "direction": [1, 0, -1],
+                    "irradiance": 3.0},
+            "floor": {"type": "rectangle", "bsdf": nmap_bsdf},
+        })
+        return np.asarray(bundle.render(seed=0)).mean()
+
+    flat = render({"type": "diffuse", "reflectance": 0.5})
+    # light travels along (1,0,-1), i.e. comes FROM (-1,0,1): tilt every
+    # normal 45 degrees toward -x so it faces the light head-on
+    tilt = np.zeros((2, 2, 3), np.float32)
+    tilt[..., 0] = 0.5 - 0.5 * np.sqrt(0.5)
+    tilt[..., 1] = 0.5
+    tilt[..., 2] = 0.5 + 0.5 * np.sqrt(0.5)
+    tilted = render({"type": "normalmap",
+                     "normalmap": {"type": "bitmap", "data": tilt},
+                     "bsdf": {"type": "diffuse", "reflectance": 0.5}})
+    # flat sees the light at 45 deg (cos .707); tilted head-on (cos 1)
+    assert tilted > flat * 1.3, (flat, tilted)
+
+
+def test_bumpmap_changes_shading():
+    """A height ramp produces tilted normals and changes shading vs flat
+    (reference `bumpmap.cpp`)."""
+    from tpusky.render.loader import load_dict
+
+    ramp = np.tile(np.linspace(0.0, 1.0, 16,
+                               dtype=np.float32)[None, :, None], (16, 1, 1))
+
+    def render(bsdf):
+        bundle = load_dict({
+            "type": "scene",
+            "integrator": {"type": "path", "max_depth": 2},
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": {"type": "look_at", "origin": [0, 0, 3],
+                                    "target": [0, 0, 0], "up": [0, 1, 0]},
+                       "film": {"height": 16, "width": 16},
+                       "sampler": {"sample_count": 32}},
+            "sun": {"type": "directional", "direction": [1, 0, -1],
+                    "irradiance": 3.0},
+            "floor": {"type": "rectangle", "bsdf": bsdf},
+        })
+        return np.asarray(bundle.render(seed=0)).mean()
+
+    flat = render({"type": "diffuse", "reflectance": 0.5})
+    bumped = render({"type": "bumpmap", "scale": 0.05,
+                     "texture": {"type": "bitmap", "data": ramp},
+                     "bsdf": {"type": "diffuse", "reflectance": 0.5}})
+    assert abs(bumped - flat) > 0.02 * flat, (flat, bumped)

@@ -66,6 +66,9 @@ class MaterialTable(NamedTuple):
     opacity: jnp.ndarray = None  # (M,) mask opacity (1 = opaque)
     tex_idx: jnp.ndarray = None  # (M,) int32 texture index (-1 = constant)
     extra: jnp.ndarray = None    # (M, 8) principled params (see kind 9)
+    normal_tex_idx: jnp.ndarray = None  # (M,) int32 normal-map texture
+    #                                     (-1 = none; `normalmap.cpp` /
+    #                                     `bumpmap.cpp` wrappers, flattened)
 
 
 # legacy alias used throughout the renderer
@@ -76,7 +79,8 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                         twosided=None, spectral_albedos=None, alphas=None,
                         etas=None, ks=None, iors=None,
                         opacities=None, tex_indices=None,
-                        extras=None) -> MaterialTable:
+                        extras=None, normal_tex_indices=None
+                        ) -> MaterialTable:
     import numpy as np
     a = np.atleast_2d(np.asarray(albedos, np.float32))
     m = a.shape[0]
@@ -104,6 +108,9 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                          (m, 1))
     else:
         extras = np.asarray(extras, np.float32).reshape(m, 8)
+    normal_tex_indices = (np.full((m,), -1, np.int32)
+                          if normal_tex_indices is None
+                          else np.asarray(normal_tex_indices, np.int32))
     return MaterialTable(jnp.asarray(kinds), jnp.asarray(a),
                          jnp.asarray(ts),
                          jnp.asarray(np.asarray(spectral_albedos,
@@ -111,7 +118,8 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                          jnp.asarray(alphas), jnp.asarray(etas),
                          jnp.asarray(ks), jnp.asarray(iors),
                          jnp.asarray(opacities), jnp.asarray(tex_indices),
-                         jnp.asarray(extras))
+                         jnp.asarray(extras),
+                         jnp.asarray(normal_tex_indices))
 
 
 def make_diffuse_table(albedos, twosided=None,
@@ -381,6 +389,18 @@ def table_kinds(table: MaterialTable):
         return None
     return (tuple(sorted(int(k) for k in np.unique(ks))),
             bool((op < 1.0).any()))
+
+
+def table_normal_maps(table: MaterialTable) -> bool:
+    """Static check: does any material carry a normal map? True (compute
+    and mask) when the table is a tracer."""
+    import numpy as np
+    if table.normal_tex_idx is None:
+        return False
+    try:
+        return bool((np.asarray(table.normal_tex_idx) >= 0).any())
+    except Exception:
+        return True
 
 
 def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,

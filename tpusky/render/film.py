@@ -31,6 +31,20 @@ class Film(NamedTuple):
     bands: tuple = None        # specfilm band edges (nm), len = channels+1
 
 
+def splat_ordered(film: Film, values, spp: int):
+    """Box-filter accumulation for PIXEL-ORDERED lanes -> (H, W, C+1).
+
+    When lane i belongs to pixel i // spp (the renderer's canonical
+    layout), the box splat needs no scatter at all: a dense
+    (H*W, spp, C) reduction. On TPU this is ~20x faster than the
+    segment_sum path (which XLA lowers to a sorted scatter): the splat
+    was 38 ms of a 50 ms frame at 2M lanes before this."""
+    h, w, c = film.height, film.width, film.n_channels
+    accum = values.reshape(h * w, spp, c).sum(axis=1)
+    weight = jnp.full((h * w, 1), float(spp), values.dtype)
+    return jnp.concatenate([accum, weight], -1).reshape(h, w, c + 1)
+
+
 def splat(film: Film, pixel_uv, values):
     """Accumulate per-sample values into (H, W, C+1) [weighted sum, weight].
 

@@ -93,7 +93,7 @@ class PathState(NamedTuple):
 
 def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                  rr_depth: int, mode: str, wavelengths, vma_axes=(),
-                 kinds=None):
+                 kinds=None, nmaps=False):
     """Estimate radiance along primary rays o, d -> (N, C).
 
     max_depth counts path vertices like the reference (-1 handled by the
@@ -184,10 +184,6 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
 
         active = state.active & hit & (depth + 1 < max_depth)
 
-        # shading frame (geometric normal, flipped toward the viewer for
-        # two-sided diffuse surfaces is handled inside the bsdf itself)
-        frame = Frame(ng)
-        wi_local = frame.to_local(-state.d)
         mat_idx = take_ints(scene.shapes.bsdf_idx,
                             jnp.maximum(shape_idx, 0))
         if mesh_mat is not None:
@@ -201,6 +197,24 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             tex_idx = take_ints(scene.bsdfs.tex_idx, mat_idx)
             refl_tex = eval_texture(scene.textures, tex_idx, uv,
                                     wavelengths)
+
+        # shading frame (geometric normal; two-sided flipping happens
+        # inside the bsdf). Normal-mapped materials perturb it per lane
+        # (the flattened `normalmap.cpp` wrapper); the geometric normal
+        # stays authoritative for ray offsets and facing tests.
+        geo_frame = Frame(ng)
+        if nmaps and scene.textures is not None:
+            from .texture import eval_texture as _evt
+            nm_idx = take_ints(scene.bsdfs.normal_tex_idx, mat_idx)
+            n_rgb, n_has = _evt(scene.textures, nm_idx, uv, None)
+            n_loc = 2.0 * n_rgb - 1.0
+            n_loc = n_loc / jnp.maximum(
+                jnp.linalg.norm(n_loc, axis=-1, keepdims=True), 1e-6)
+            ns = geo_frame.to_world(n_loc)
+            frame = Frame(jnp.where(n_has[..., None], ns, ng))
+        else:
+            frame = geo_frame
+        wi_local = frame.to_local(-state.d)
 
         # ---- next-event estimation toward the environment ----
         if scene.env is not None:
@@ -420,7 +434,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
 
 def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
                        max_depth, rr_depth, mode, row0, n_rows, vma_axes=(),
-                       sampler_kind="independent", kinds=None):
+                       sampler_kind="independent", kinds=None, nmaps=False):
     """Render `spp_chunk` of `spp` samples for a block of film rows.
 
     Returns an accumulation block (n_rows, W, C+1). RNG is keyed on the
@@ -458,7 +472,8 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
         wl_weight = hi - lo                     # 1 / uniform pdf
         spec_radiance = _path_sample(scene, o, d, smp, max_depth,
                                      rr_depth, mode, wavelengths,
-                                     vma_axes=vma_axes, kinds=kinds)
+                                     vma_axes=vma_axes, kinds=kinds,
+                                     nmaps=nmaps)
         radiance = film_mod.spectral_band_accumulate(
             wavelengths, spec_radiance * wl_weight, jnp.asarray(edges))
         # per-band mean -> spectral radiance density: divide by band width
@@ -475,17 +490,22 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
         wavelengths, wl_weight = spec_mod.sample_rgb_spectrum(shifted)
         spec_radiance = _path_sample(scene, o, d, smp, max_depth,
                                      rr_depth, mode, wavelengths,
-                                     vma_axes=vma_axes, kinds=kinds)
+                                     vma_axes=vma_axes, kinds=kinds,
+                                     nmaps=nmaps)
         radiance = spec_mod.spectrum_to_srgb(spec_radiance * wl_weight,
                                              wavelengths)
     else:
         radiance = _path_sample(scene, o, d, smp, max_depth,
                                 rr_depth, mode, None, vma_axes=vma_axes,
-                                kinds=kinds)
+                                kinds=kinds, nmaps=nmaps)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
 
     block_film = film_mod.Film(n_rows, w, film_cfg.n_channels,
                                film_cfg.rfilter)
+    if film_cfg.rfilter == "box":
+        # lanes are pixel-ordered by construction: dense reduction, no
+        # scatter (film.splat_ordered) — ~20x faster on TPU
+        return film_mod.splat_ordered(block_film, radiance, spp_chunk)
     local_y = pix_y - jnp.float32(row0)
     return film_mod.splat(block_film, jnp.stack([pix_x, local_y], -1),
                           radiance)
@@ -493,7 +513,7 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
 
 def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
                 mode, row0, n_rows, vma_axes=(), max_lanes=(1 << 20),
-                sampler_kind="independent", kinds=None):
+                sampler_kind="independent", kinds=None, nmaps=False):
     """Render a block of film rows -> (n_rows, W, C+1).
 
     Bounds the live wavefront to `max_lanes` lanes by scanning over spp
@@ -510,13 +530,13 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
     if n_chunks == 1:
         return _render_rows_chunk(scene, sensor, film_cfg, key, spp, 0, spp,
                                   max_depth, rr_depth, mode, row0, n_rows,
-                                  vma_axes, sampler_kind, kinds)
+                                  vma_axes, sampler_kind, kinds, nmaps)
 
     def chunk(accum, ci):
         a = _render_rows_chunk(scene, sensor, film_cfg, key, spp,
                                ci * spp_chunk, spp_chunk, max_depth,
                                rr_depth, mode, row0, n_rows, vma_axes,
-                               sampler_kind, kinds)
+                               sampler_kind, kinds, nmaps)
         return accum + a, None
 
     init = jnp.zeros((n_rows, w, film_cfg.n_channels + 1))
@@ -528,20 +548,20 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
 
 @partial(jax.jit,
          static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
-                          "mode", "sampler_kind", "kinds"))
+                          "mode", "sampler_kind", "kinds", "nmaps"))
 def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
-                 mode, sampler_kind="independent", kinds=None):
+                 mode, sampler_kind="independent", kinds=None, nmaps=False):
     return render_rows(scene, sensor, film_cfg, key, spp, max_depth,
                        rr_depth, mode, 0, film_cfg.height,
-                       sampler_kind=sampler_kind, kinds=kinds)
+                       sampler_kind=sampler_kind, kinds=kinds, nmaps=nmaps)
 
 
 @partial(jax.jit,
          static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
-                          "mode", "sampler_kind", "kinds"))
+                          "mode", "sampler_kind", "kinds", "nmaps"))
 def _render_moments_impl(scene, sensor, film_cfg, key, spp, max_depth,
                          rr_depth, mode, sampler_kind="independent",
-                         kinds=None):
+                         kinds=None, nmaps=False):
     h, w = film_cfg.height, film_cfg.width
     n = h * w * spp
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -554,12 +574,11 @@ def _render_moments_impl(scene, sensor, film_cfg, key, spp, max_depth,
     uv = jnp.stack([(px + u_pos[:, 0]) / w, (py + u_pos[:, 1]) / h], -1)
     o, d = sensors_mod.sample_ray(sensor, uv)
     radiance = _path_sample(scene, o, d, smp, max_depth, rr_depth, mode,
-                            None, kinds=kinds)
+                            None, kinds=kinds, nmaps=nmaps)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
     both = jnp.concatenate([radiance, radiance * radiance], axis=-1)
     film2 = film_mod.Film(h, w, 2 * film_cfg.n_channels, "box")
-    accum = film_mod.splat(film2, jnp.stack([px + u_pos[:, 0],
-                                             py + u_pos[:, 1]], -1), both)
+    accum = film_mod.splat_ordered(film2, both, spp)
     img = film_mod.develop(accum)
     c = film_cfg.n_channels
     return img[..., :c], img[..., c:]
@@ -575,7 +594,9 @@ def render_moments(scene: Scene, sensor, film: film_mod.Film, key,
     return _render_moments_impl(scene, sensor, film,
                                 jax.random.fold_in(key, 0), spp, max_depth,
                                 rr_depth, mode, sampler_kind,
-                                kinds=bsdf_mod.table_kinds(scene.bsdfs))
+                                kinds=bsdf_mod.table_kinds(scene.bsdfs),
+                                nmaps=bsdf_mod.table_normal_maps(
+                                    scene.bsdfs))
 
 
 def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
@@ -589,10 +610,12 @@ def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
     averaged through the film weights.
     """
     kinds = bsdf_mod.table_kinds(scene.bsdfs)
+    nmaps = bsdf_mod.table_normal_maps(scene.bsdfs)
     accum = None
     for p in range(passes):
         pass_key = jax.random.fold_in(key, p)
         a = _render_impl(scene, sensor, film, pass_key, spp // passes,
-                         max_depth, rr_depth, mode, sampler_kind, kinds)
+                         max_depth, rr_depth, mode, sampler_kind, kinds,
+                         nmaps)
         accum = a if accum is None else accum + a
     return film_mod.develop(accum)

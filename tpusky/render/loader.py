@@ -362,16 +362,51 @@ def _build_bsdf(desc, mode, textures=None):
                        ROUGH_PLASTIC, THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
-    while desc.get("type") in ("twosided", "mask"):
-        if desc.get("type") == "twosided":
+    normal_tex_idx = -1
+    _WRAPPERS = ("twosided", "mask", "normalmap", "bumpmap")
+    while desc.get("type") in _WRAPPERS:
+        t_w = desc.get("type")
+        if t_w == "twosided":
             twosided = True
-        else:  # mask wrapper (`mask.cpp`): scalar opacity + nested BSDF
+        elif t_w == "mask":   # `mask.cpp`: scalar opacity + nested BSDF
             op = desc.get("opacity", 0.5)
             opacity = float(np.mean(spectrum_to_channels(op, "rgb")))
+        elif t_w == "normalmap":   # `normalmap.cpp`: tangent-space map
+            if textures is None:
+                raise ValueError("normalmap not supported here")
+            nm = desc.get("normalmap")
+            img = _load_bitmap(dict(nm, raw=True))
+            textures.append(dict(kind="bitmap", data=img,
+                                 to_uv=_parse_to_uv(nm.get("to_uv")),
+                                 wrap=nm.get("wrap_mode", "repeat")))
+            normal_tex_idx = len(textures) - 1
+        else:                      # `bumpmap.cpp`: heightfield -> normals
+            if textures is None:
+                raise ValueError("bumpmap not supported here")
+            bm = desc.get("bump_texture", desc.get("texture"))
+            height = _load_bitmap(dict(bm, raw=True))
+            if height.ndim == 3:
+                height = height.mean(-1)
+            s = float(desc.get("scale", 1.0))
+            h_img, w_img = height.shape
+            # central differences (one-sided at the borders) in uv units;
+            # v grows down the rows
+            dhdv, dhdu = np.gradient(height)
+            dhdu = dhdu * w_img
+            dhdv = dhdv * h_img
+            nrm = np.stack([-s * dhdu, -s * dhdv, np.ones_like(height)],
+                           -1)
+            nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+            textures.append(dict(kind="bitmap",
+                                 data=(nrm * 0.5 + 0.5).astype(np.float32),
+                                 to_uv=_parse_to_uv(bm.get("to_uv")),
+                                 wrap=bm.get("wrap_mode", "repeat")))
+            normal_tex_idx = len(textures) - 1
         inner = [v for v in desc.values() if isinstance(v, dict)
-                 and v.get("type") not in (None, "twosided", "mask")]
+                 and v.get("type") not in (None, "checkerboard", "bitmap")
+                 and v.get("type") not in _WRAPPERS]
         nested = [v for v in desc.values() if isinstance(v, dict)
-                  and v.get("type") in ("twosided", "mask")]
+                  and v.get("type") in _WRAPPERS]
         desc = (inner[0] if inner else
                 nested[0] if nested else {"type": "diffuse"})
     t = desc.get("type", "diffuse")
@@ -379,7 +414,7 @@ def _build_bsdf(desc, mode, textures=None):
                twosided=twosided, alpha=0.1,
                eta=np.array(_CONDUCTOR_IOR["Au"][0]),
                k=np.array(_CONDUCTOR_IOR["Au"][1]), ior=1.5046,
-               opacity=opacity, tex_idx=-1,
+               opacity=opacity, tex_idx=-1, normal_tex_idx=normal_tex_idx,
                extra=np.array([0, 0.5, 0, 0, 0, 0, 0, 0], np.float64))
 
     def _refl(value):
@@ -503,9 +538,54 @@ def _build_sensor(sensor_desc, w, h):
     return make_spherical(tuple(to_world[:3, 3]))
 
 
+def _expand_instances(d: dict) -> dict:
+    """Flatten shapegroup/instance pairs (reference `src/shapes/
+    shapegroup.cpp`, `instance.cpp`) into plain shapes with composed
+    transforms. The TPU scene is a flat SoA table, so instancing is a
+    load-time expansion: each instance contributes copies of the group's
+    children with `instance.to_world @ child.to_world`."""
+    groups, rest = {}, {}
+    for k, v in d.items():
+        if isinstance(v, dict) and v.get("type") == "shapegroup":
+            groups[k] = {kk: vv for kk, vv in v.items()
+                         if isinstance(vv, dict) and "type" in vv}
+        else:
+            rest[k] = v
+    if not groups and not any(isinstance(v, dict)
+                              and v.get("type") == "instance"
+                              for v in rest.values()):
+        return d
+    out = {}
+    uid = 0
+    for k, v in rest.items():
+        if not (isinstance(v, dict) and v.get("type") == "instance"):
+            out[k] = v
+            continue
+        ref = None
+        for vv in v.values():
+            if isinstance(vv, str) and vv in groups:
+                ref = groups[vv]
+            elif isinstance(vv, dict) and vv.get("type") == "shapegroup":
+                ref = {kk: v3 for kk, v3 in vv.items()
+                       if isinstance(v3, dict) and "type" in v3}
+            elif isinstance(vv, dict) and vv.get("type") == "ref":
+                ref = groups.get(vv.get("id"))
+        if ref is None:
+            raise ValueError(f"instance {k!r} references no shapegroup")
+        m_inst = _parse_to_world(v.get("to_world"))
+        for ck, cv in ref.items():
+            child = dict(cv)
+            child["to_world"] = (
+                m_inst @ _parse_to_world(child.get("to_world")))
+            out[f"{k}.{ck}.{uid}"] = child
+            uid += 1
+    return out
+
+
 def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     """Assemble a renderable bundle from a Mitsuba-style scene dict."""
     assert d.get("type") == "scene", "top-level dict must have type='scene'"
+    d = _expand_instances(d)
 
     integrator = {"type": "path"}
     sensor_desc = None
@@ -724,6 +804,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_iors=[m["ior"] for m in materials],
         bsdf_opacities=[m["opacity"] for m in materials],
         bsdf_tex_indices=[m["tex_idx"] for m in materials],
+        bsdf_normal_tex_indices=[m["normal_tex_idx"] for m in materials],
         bsdf_extras=[m["extra"] for m in materials],
         textures=textures or None,
         spectral_textures=(mode == "spectral"),

@@ -47,7 +47,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                bsdf_iors=None, meshes=None, spot_lights=(),
                dir_area_radiance=None, bsdf_opacities=None,
                bsdf_tex_indices=None, textures=None,
-               spectral_textures=False, bsdf_extras=None) -> Scene:
+               spectral_textures=False, bsdf_extras=None,
+               bsdf_normal_tex_indices=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -64,7 +65,7 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
         twosided=bsdf_twosided, spectral_albedos=bsdf_spectral_albedos,
         alphas=bsdf_alphas, etas=bsdf_etas, ks=bsdf_ks, iors=bsdf_iors,
         opacities=bsdf_opacities, tex_indices=bsdf_tex_indices,
-        extras=bsdf_extras)
+        extras=bsdf_extras, normal_tex_indices=bsdf_normal_tex_indices)
     tex_table = None
     if textures:
         from .texture import make_texture_table
