@@ -601,7 +601,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         if key == "type" or not isinstance(value, dict):
             continue
         t = value.get("type")
-        if t in ("path", "direct", "depth", "aov", "moment", "ptracer"):
+        if t in ("path", "direct", "depth", "aov", "moment", "ptracer",
+                 "prb", "prb_basic", "direct_projective", "prb_projective"):
             integrator = value
         elif t in _SENSORS:
             sensor_desc = value
@@ -817,9 +818,18 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         env=None)
 
     itype = integrator.get("type", "path")
+    # AD-integrator plugin names (prb/prb_basic/..., `ad/integrators/`) map
+    # onto the same engine: the bounce loop is already a rematerialised
+    # replay backward (see tpusky.ad.integrators).
+    from ..ad.integrators import AD_INTEGRATOR_ALIASES
+    forced_depth = None
+    if itype in AD_INTEGRATOR_ALIASES:
+        itype, forced_depth = AD_INTEGRATOR_ALIASES[itype]
     max_depth = int(integrator.get("max_depth", 2 if itype == "direct" else 6))
     if itype == "direct":
         max_depth = 2
+    if forced_depth is not None:
+        max_depth = forced_depth
     rr_depth = int(integrator.get("rr_depth", 5))
 
     return SceneBundle(sensor=sensor, film=film, integrator=itype,
