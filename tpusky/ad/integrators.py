@@ -50,6 +50,14 @@ AD_INTEGRATOR_ALIASES = {
     "prb_basic": ("path", 2),
     "direct_projective": ("direct", None),
     "prb_projective": ("path", None),
+    # the medium-aware bounce loop lives in the same engine (statically
+    # gated on scene.medium — `integrator.py`), so volpath == path here;
+    # the split exists in the reference only because megakernel codegen
+    # must not pay for media when absent (`volpath.cpp`), which static
+    # Python gating gives us for free. prbvolpath likewise (H5/H19).
+    "volpath": ("path", None),
+    "volpathmis": ("path", None),
+    "prbvolpath": ("path", None),
 }
 
 

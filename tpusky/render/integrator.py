@@ -34,6 +34,7 @@ from . import bsdf as bsdf_mod
 from . import emitters as em
 from . import film as film_mod
 from . import sensors as sensors_mod
+from . import medium as medium_mod
 from .mesh import mesh_intersect, mesh_test
 from .scene import Scene
 from .shapes import ray_intersect, ray_test
@@ -143,6 +144,42 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                                mesh_interp_uv(scene.mesh, _tri, _b1, _b2),
                                uv)
 
+        # ---- participating medium: free-flight sampling ----------------
+        # The medium region is convex, so the ray's overlap is ONE closed-
+        # form interval — no inside/outside loop state, no null-boundary
+        # events (contrast `volpath.cpp`'s per-ray MediumPtr chase; see
+        # `medium.py`). Emissive hits (env/area) use ANALYTIC transmittance
+        # T_seg (zero added variance); reflection and in-scattering split
+        # the lane by the sampled free-flight distance with the standard
+        # ratio weights, using the channel-averaged extinction as the
+        # sampling density (`homogeneous.cpp` sample_interaction).
+        med = scene.medium
+        if med is not None:
+            t_eff = jnp.where(hit, t, jnp.inf)
+            m_t0, m_t1 = medium_mod.medium_interval(med, state.o, state.d)
+            seg_t0 = jnp.minimum(m_t0, t_eff)
+            seg = jnp.maximum(jnp.minimum(m_t1, t_eff) - seg_t0, 0.0)
+            sigma_bar = jnp.mean(med.sigma_t)
+            u_dist = sg(smp.next(100_000 + 4 * depth, 1))[..., 0]
+            s_dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-12)) / sigma_bar
+            med_scatter = state.active & (s_dist < seg)
+            T_seg = jnp.exp(-med.sigma_t * seg[..., None])
+            w_pass = T_seg / jnp.maximum(
+                jnp.exp(-sigma_bar * seg), 1e-30)[..., None]
+            sigma_s = med.albedo * med.sigma_t
+            pdf_s = sigma_bar * jnp.exp(-sigma_bar * s_dist)
+            w_scat = sigma_s * jnp.exp(-med.sigma_t * s_dist[..., None]) \
+                / jnp.maximum(pdf_s, 1e-30)[..., None]
+        else:
+            T_seg = 1.0
+            med_scatter = None
+
+        def shadow_T(p0, dvec, dist):
+            """Medium transmittance along a shadow ray (1.0 without one)."""
+            if med is None:
+                return 1.0
+            return medium_mod.transmittance(med, p0, dvec, dist)
+
         # ---- emitter hit (environment): MIS vs previous BSDF sample ----
         escaped = state.active & ~hit
         if scene.env is not None:
@@ -158,8 +195,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         # detached-sampling AD discipline (`prb.py:147-160`)
         mis_em = _mis_weight(state.prev_bsdf_pdf, sg(em_pdf))
         result = state.result + jnp.where(
-            escaped[..., None], state.throughput * env_L * mis_em[..., None],
-            0.0)
+            escaped[..., None],
+            state.throughput * T_seg * env_L * mis_em[..., None], 0.0)
 
         # ---- area-emitter hit: MIS vs the area-NEE strategy ----
         n_area = scene.area_emitter_shapes.shape[0]
@@ -180,9 +217,15 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             mis_area_hit = jnp.ones_like(state.prev_bsdf_pdf)
         result = result + jnp.where(
             (state.active & hit & facing)[..., None],
-            state.throughput * area_L * mis_area_hit[..., None], 0.0)
+            state.throughput * T_seg * area_L * mis_area_hit[..., None], 0.0)
 
         active = state.active & hit & (depth + 1 < max_depth)
+        if med is not None:
+            active = active & ~med_scatter
+        # surface-path throughput: attenuated by the medium pass-through
+        # ratio estimator (exact T / survival probability)
+        thr_s = state.throughput * w_pass if med is not None \
+            else state.throughput
 
         mat_idx = take_ints(scene.shapes.bsdf_idx,
                             jnp.maximum(shape_idx, 0))
@@ -237,7 +280,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 occluded = occluded | mesh_test(scene.mesh, offset_p, d_e,
                                                 jnp.full((n,), jnp.inf))
             mis_nee = _mis_weight(pdf_e_detached, sg(pdf_b))
-            contrib = (state.throughput * f_val * L_e
+            contrib = (thr_s * f_val * L_e
+                       * shadow_T(offset_p, d_e, jnp.full((n,), jnp.inf))
                        * (mis_nee / jnp.maximum(pdf_e_detached, 1e-20))
                        [..., None])
             ok = active & ~occluded & (pdf_e_detached > 0.0)
@@ -265,7 +309,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 occ_a = occ_a | mesh_test(scene.mesh, off_a, d_a,
                                           dist_a * (1.0 - 1e-3))
             mis_a = _mis_weight(pdf_a, sg(pdf_b_a))
-            contrib_a = (state.throughput * f_a * L_a
+            contrib_a = (thr_s * f_a * L_a * shadow_T(off_a, d_a, dist_a)
                          * (mis_a / jnp.maximum(pdf_a, 1e-20))[..., None])
             ok_a = active & ~occ_a & (pdf_a > 0.0)
             result = result + jnp.where(ok_a[..., None], contrib_a, 0.0)
@@ -292,7 +336,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                                           dist_l * (1 - 1e-3))
             I_l = (intensity if wavelengths is None
                    else jnp.mean(intensity, keepdims=True))
-            contrib_l = state.throughput * f_l * I_l / dist2_l[..., None]
+            contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
+                         / dist2_l[..., None])
             result = result + jnp.where((active & ~occ_l)[..., None],
                                         contrib_l, 0.0)
         n_dir = scene.directional_lights.shape[0]
@@ -315,7 +360,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                                           jnp.full((n,), jnp.inf))
             E_l = (irr if wavelengths is None
                    else jnp.mean(irr, keepdims=True))
-            contrib_l = state.throughput * f_l * E_l
+            contrib_l = (thr_s * f_l * E_l
+                         * shadow_T(off_l, d_b, jnp.full((n,), jnp.inf)))
             result = result + jnp.where((active & ~occ_l)[..., None],
                                         contrib_l, 0.0)
         for light in scene.spot_lights:   # spot / projector (`spot.cpp`)
@@ -337,7 +383,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                                           dist_l * (1 - 1e-3))
             I_l = (falloff if wavelengths is None
                    else jnp.mean(falloff, axis=-1, keepdims=True))
-            contrib_l = state.throughput * f_l * I_l / dist2_l[..., None]
+            contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
+                         / dist2_l[..., None])
             result = result + jnp.where((active & ~occ_l)[..., None],
                                         contrib_l, 0.0)
 
@@ -348,8 +395,53 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             u_bsdf[..., 2], wavelengths, kinds=kinds, refl_tex=refl_tex)
         wo_local = sg(wo_local)
         d_next = frame.to_world(wo_local)
-        throughput = state.throughput * weight
+        throughput = thr_s * weight
         active = active & (pdf_b > 0.0)
+
+        # ---- medium in-scattering event (volpath.cpp medium branch) ----
+        if med is not None:
+            med_act = med_scatter & (depth + 1 < max_depth)
+            p_m = state.o + (seg_t0 + s_dist)[..., None] * state.d
+            thr_m = state.throughput * w_scat
+            if scene.env is not None:
+                u_nee_m = sg(smp.next(100_000 + 4 * depth + 1, 2))
+                d_me, L_me, pdf_me = em.env_sample_eval(
+                    scene.env, scene.env_to_world, u_nee_m, wavelengths,
+                    mode)
+                pdf_me_d = sg(pdf_me)
+                f_p = medium_mod.hg_pdf(med.g, dot(state.d, d_me))
+                occ_m = ray_test(scene.shapes, p_m, d_me,
+                                 jnp.full((n,), jnp.inf))
+                if scene.mesh is not None:
+                    occ_m = occ_m | mesh_test(scene.mesh, p_m, d_me,
+                                              jnp.full((n,), jnp.inf))
+                T_sh = medium_mod.transmittance(med, p_m, d_me,
+                                                jnp.full((n,), jnp.inf))
+                mis_m = _mis_weight(pdf_me_d, sg(f_p))
+                contrib_m = (thr_m * f_p[..., None] * L_me * T_sh
+                             * (mis_m / jnp.maximum(pdf_me_d, 1e-20))
+                             [..., None])
+                ok_m = med_act & ~occ_m & (pdf_me_d > 0.0)
+                result = result + jnp.where(ok_m[..., None], contrib_m, 0.0)
+            u_ph = sg(smp.next(100_000 + 4 * depth + 2, 2))
+            d_ph, pdf_ph = medium_mod.hg_sample(med.g, state.d, u_ph)
+            d_ph = sg(d_ph)
+
+        # ---- merge surface and medium continuations ----
+        offset_p = p + jnp.sign(dot(ng, d_next))[..., None] * ng * (
+            _SHADOW_EPS * jnp.maximum(1.0, jnp.linalg.norm(p, axis=-1,
+                                                           keepdims=True)))
+        if med is not None:
+            m = med_scatter
+            offset_p = jnp.where(m[..., None], p_m, offset_p)
+            d_next = jnp.where(m[..., None], d_ph, d_next)
+            throughput = jnp.where(m[..., None], thr_m, throughput)
+            pdf_next = jnp.where(m, sg(pdf_ph), sg(pdf_b))
+            delta_next = jnp.where(m, False, is_delta)
+            active = active | med_act
+        else:
+            pdf_next = sg(pdf_b)
+            delta_next = is_delta
 
         # ---- russian roulette (detached, like `path.cpp:285-301`) ----
         rr_prob = jnp.clip(sg(jnp.max(throughput, axis=-1)), 0.0, 0.95)
@@ -361,9 +453,6 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                                throughput)
         active = active & survive
 
-        offset_p = p + jnp.sign(dot(ng, d_next))[..., None] * ng * (
-            _SHADOW_EPS * jnp.maximum(1.0, jnp.linalg.norm(p, axis=-1,
-                                                           keepdims=True)))
         new_state = PathState(
             o=jnp.where(active[..., None], offset_p, state.o),
             d=jnp.where(active[..., None], d_next, state.d),
@@ -371,8 +460,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                                  state.throughput),
             result=result,
             active=active,
-            prev_bsdf_pdf=jnp.where(active, sg(pdf_b), state.prev_bsdf_pdf),
-            prev_bsdf_delta=jnp.where(active, is_delta,
+            prev_bsdf_pdf=jnp.where(active, pdf_next, state.prev_bsdf_pdf),
+            prev_bsdf_delta=jnp.where(active, delta_next,
                                       state.prev_bsdf_delta),
         )
         return new_state, None
@@ -402,6 +491,16 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         shape_idx = jnp.where(use_mesh, -2, shape_idx)
         hit = hit | hitm
     escaped = state.active & ~hit
+    if scene.medium is not None:
+        # analytic transmittance to the final emissive vertex
+        t_eff = jnp.where(hit, t, jnp.inf)
+        f_t0, f_t1 = medium_mod.medium_interval(scene.medium, state.o,
+                                                state.d)
+        f_seg = jnp.maximum(jnp.minimum(f_t1, t_eff)
+                            - jnp.minimum(f_t0, t_eff), 0.0)
+        T_fin = jnp.exp(-scene.medium.sigma_t * f_seg[..., None])
+    else:
+        T_fin = 1.0
     if scene.env is not None:
         env_L, em_pdf_raw = em.env_eval_pdf(scene.env, state.d,
                                             scene.env_to_world,
@@ -412,8 +511,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         em_pdf = jnp.zeros_like(state.prev_bsdf_pdf)
     mis_em = _mis_weight(state.prev_bsdf_pdf, sg(em_pdf))
     result = state.result + jnp.where(
-        escaped[..., None], state.throughput * env_L * mis_em[..., None],
-        0.0)
+        escaped[..., None],
+        state.throughput * T_fin * env_L * mis_em[..., None], 0.0)
     n_area = scene.area_emitter_shapes.shape[0]
     area_rows = take_rows(scene.area_radiance, jnp.maximum(shape_idx, 0))
     if wavelengths is not None:
@@ -428,7 +527,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         mis_area = jnp.ones_like(state.prev_bsdf_pdf)
     result = result + jnp.where(
         (state.active & hit & facing)[..., None],
-        state.throughput * area_rows * mis_area[..., None], 0.0)
+        state.throughput * T_fin * area_rows * mis_area[..., None], 0.0)
     return result
 
 

@@ -594,6 +594,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     textures = []
     point_lights, directional_lights, spot_lights = [], [], []
     dir_areas = {}   # shape list index -> radiance (directionalarea)
+    medium = None    # homogeneous participating medium (render/medium.py)
 
     _SENSORS = ("perspective", "orthographic", "spherical", "thinlens",
                 "distant", "radiancemeter", "irradiancemeter", "batch")
@@ -602,7 +603,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             continue
         t = value.get("type")
         if t in ("path", "direct", "depth", "aov", "moment", "ptracer",
-                 "prb", "prb_basic", "direct_projective", "prb_projective"):
+                 "prb", "prb_basic", "direct_projective", "prb_projective",
+                 "volpath", "volpathmis", "prbvolpath"):
             integrator = value
         elif t in _SENSORS:
             sensor_desc = value
@@ -670,6 +672,37 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                                                    cutoff * 0.75)),
                     texture=tex))
         elif t in _SHAPE_KINDS:
+            if "interior" in value:
+                # participating medium bound to this (convex) shape's
+                # interior (reference: shape `interior` medium refs +
+                # `homogeneous.cpp`). The boundary is index-matched (null
+                # BSDF), so the shape is NOT added to the surface table —
+                # the integrator clips ray segments against the region
+                # analytically (render/medium.py).
+                if t not in ("sphere", "cube"):
+                    raise ValueError("interior media require a convex "
+                                     "sphere/cube boundary, got " + t)
+                idesc = value["interior"]
+                if idesc.get("type", "homogeneous") != "homogeneous":
+                    raise ValueError("only homogeneous media supported")
+                phase = idesc.get("phase", {"type": "isotropic"})
+                g = (float(phase.get("g", 0.0))
+                     if phase.get("type") in ("hg", "isotropic") else 0.0)
+                sig = np.atleast_1d(np.asarray(
+                    idesc.get("sigma_t", 1.0), np.float32))
+                alb = np.atleast_1d(np.asarray(
+                    idesc.get("albedo", 0.75), np.float32))
+                if mode == "spectral":
+                    sig, alb = sig.mean(None)[None], alb.mean(None)[None]
+                from .medium import make_medium
+                if medium is not None:
+                    raise ValueError("only one participating medium per "
+                                     "scene is supported")
+                medium = make_medium(
+                    sig, alb, g=g,
+                    to_world=_parse_to_world(value.get("to_world")),
+                    kind=t)
+                continue
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             mat = _build_bsdf(bsdf_desc, mode, textures)
             emitter = value.get("emitter")
@@ -815,6 +848,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         spot_lights=tuple(spot_lights),
         dir_area_radiance=dir_area_radiance,
         meshes=meshes or None,
+        medium=medium,
         env=None)
 
     itype = integrator.get("type", "path")

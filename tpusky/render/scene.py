@@ -37,6 +37,9 @@ class Scene(NamedTuple):
                                              # only the ptracer sees these,
                                              # cf. `directionalarea.cpp`)
     textures: Any = None                     # texture.TextureTable | None
+    medium: Any = None                       # medium.Medium | None
+                                             # (homogeneous, convex region;
+                                             # see render/medium.py, H19)
 
 
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
@@ -48,7 +51,7 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                dir_area_radiance=None, bsdf_opacities=None,
                bsdf_tex_indices=None, textures=None,
                spectral_textures=False, bsdf_extras=None,
-               bsdf_normal_tex_indices=None) -> Scene:
+               bsdf_normal_tex_indices=None, medium=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -56,9 +59,14 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
     ray origins, cf. reference `sunsky.cpp:287-301`).
     """
     if len(shapes) == 0:
-        # degenerate table with one never-hit shape keeps shapes static
-        shapes = [dict(kind=0, to_world=np.diag([1e-12, 1e-12, 1e-12, 1.0]),
-                       bsdf_idx=0, emitter_idx=-1)]
+        # placeholder never-hit shape keeps the table non-empty/static.
+        # NaN-safety matters: a near-zero scale would make the inverse
+        # transform ~1e12 and the miss-lane intersection outputs inf/NaN,
+        # which leak into gradients through `where` product rules — so use
+        # a unit sphere far outside any practical scene instead.
+        ph = np.eye(4)
+        ph[:3, 3] = 3e4
+        shapes = [dict(kind=0, to_world=ph, bsdf_idx=0, emitter_idx=-1)]
     table = make_shape_table(shapes)
     bsdfs = make_material_table(
         kinds=bsdf_kinds, albedos=np.asarray(bsdf_albedos, np.float32),
@@ -100,4 +108,5 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                  jnp.asarray(radius * (1.0 + 1e-3), jnp.float32),
                  jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl),
                  mesh_table, tuple(spot_lights),
-                 jnp.asarray(dir_area_radiance, jnp.float32), tex_table)
+                 jnp.asarray(dir_area_radiance, jnp.float32), tex_table,
+                 medium)

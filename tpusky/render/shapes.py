@@ -20,7 +20,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.math import dot, mat3_apply, mat3_apply_t, normalize
+from ..ops.math import dot, mat3_apply, mat3_apply_t, normalize, safe_sqrt
 
 SPHERE, RECTANGLE, DISK, CUBE, CYLINDER = 0, 1, 2, 3, 4
 
@@ -122,7 +122,7 @@ def sample_position(table: ShapeTable, shape_idx, u2):
     n_plane = jnp.asarray([0.0, 0.0, 1.0])
     # sphere: uniform on the unit sphere
     z = 1.0 - 2.0 * u2[..., 0]
-    sr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    sr = safe_sqrt(1.0 - z * z)
     p_sph = jnp.stack([sr * jnp.cos(phi), sr * jnp.sin(phi), z], axis=-1)
     # cylinder: uniform on the lateral surface
     p_cyl = jnp.stack([jnp.cos(phi), jnp.sin(phi), u2[..., 0]], axis=-1)
@@ -184,14 +184,17 @@ def _intersect_local(kind, o, d):
     b = 2.0 * dot(o, d)
     c = dot(o, o) - 1.0
     disc = b * b - 4.0 * a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)   # zero-grad at disc<=0: miss lanes must not emit NaN cotangents
     q = -0.5 * (b + jnp.sign(b) * sq)
     t0 = q / a
     t1 = c / jnp.where(q == 0.0, 1.0, q)
     tn, tf = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
     t_sph = jnp.where(tn > _RAY_EPS, tn, jnp.where(tf > _RAY_EPS, tf, big))
     t_sph = jnp.where(disc >= 0.0, t_sph, big)
-    p_sph = o + t_sph[..., None] * d
+    # hit positions use a finite t on miss lanes: p = o + inf*d makes
+    # NaNs (inf*0) whose arctan2/derivative cotangents contaminate the
+    # backward pass through shared subexpressions
+    p_sph = o + jnp.where(jnp.isfinite(t_sph), t_sph, 0.0)[..., None] * d
     n_sph = p_sph  # unit sphere: normal = position
     uv_sph = jnp.stack([
         jnp.arctan2(p_sph[..., 1], p_sph[..., 0]) / (2 * jnp.pi) + 0.5,
@@ -214,7 +217,7 @@ def _intersect_local(kind, o, d):
     b_cy = 2.0 * (o[..., 0] * d[..., 0] + o[..., 1] * d[..., 1])
     c_cy = o[..., 0] ** 2 + o[..., 1] ** 2 - 1.0
     disc_cy = b_cy * b_cy - 4.0 * a_cy * c_cy
-    sq_cy = jnp.sqrt(jnp.maximum(disc_cy, 0.0))
+    sq_cy = safe_sqrt(disc_cy)
     a_safe = jnp.where(a_cy == 0.0, 1.0, a_cy)
     t0_cy = (-b_cy - sq_cy) / (2.0 * a_safe)
     t1_cy = (-b_cy + sq_cy) / (2.0 * a_safe)
@@ -226,7 +229,7 @@ def _intersect_local(kind, o, d):
     t_cyl = jnp.where(_cy_valid(t0_cy), t0_cy,
                       jnp.where(_cy_valid(t1_cy), t1_cy, big))
     t_cyl = jnp.where((disc_cy >= 0.0) & (a_cy > 0.0), t_cyl, big)
-    p_cyl = o + t_cyl[..., None] * d
+    p_cyl = o + jnp.where(jnp.isfinite(t_cyl), t_cyl, 0.0)[..., None] * d
     n_cyl = jnp.stack([p_cyl[..., 0], p_cyl[..., 1],
                        jnp.zeros_like(t_cyl)], axis=-1)
     uv_cyl = jnp.stack([
@@ -242,7 +245,7 @@ def _intersect_local(kind, o, d):
     hit_cube = (t_near <= t_far) & (t_far > _RAY_EPS)
     t_cube = jnp.where(hit_cube,
                        jnp.where(t_near > _RAY_EPS, t_near, t_far), big)
-    p_cube = o + t_cube[..., None] * d
+    p_cube = o + jnp.where(jnp.isfinite(t_cube), t_cube, 0.0)[..., None] * d
     axis = jnp.argmax(jnp.abs(p_cube), axis=-1)
     n_cube = (jnp.sign(p_cube)
               * (jnp.arange(3) == axis[..., None]).astype(o.dtype))
