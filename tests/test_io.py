@@ -54,3 +54,35 @@ def test_exr_uncompressed(tmp_path):
     write_exr(path, img, compress=False)
     out, names = read_exr(path)
     assert np.array_equal(out[..., 0], img)
+
+
+def test_hdr_roundtrip():
+    """RGBE shared-exponent roundtrip: ~1% relative precision (8-bit
+    mantissa), exact zeros (reference bitmap.cpp RGBE path)."""
+    import tempfile, os
+    from tpusky.utils.io import read_hdr, write_hdr
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 1, (17, 23, 3)) ** 2 * 50).astype(np.float32)
+    img[3, 4] = 0.0
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.hdr")
+        write_hdr(p, img)
+        back = read_hdr(p)
+    assert back.shape == img.shape
+    assert np.all(back[3, 4] == 0.0)
+    rel = np.abs(back - img) / np.maximum(img.max(axis=-1, keepdims=True),
+                                          1e-9)
+    assert rel.max() < 0.01, rel.max()
+
+
+def test_pfm_roundtrip():
+    import tempfile, os
+    from tpusky.utils.io import read_pfm, write_pfm
+    rng = np.random.default_rng(1)
+    img = rng.normal(size=(9, 13, 3)).astype(np.float32)
+    gray = rng.normal(size=(5, 7)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        p1, p2 = os.path.join(td, "c.pfm"), os.path.join(td, "g.pfm")
+        write_pfm(p1, img); write_pfm(p2, gray)
+        np.testing.assert_array_equal(read_pfm(p1), img)
+        np.testing.assert_array_equal(read_pfm(p2), gray)

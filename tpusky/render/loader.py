@@ -688,10 +688,12 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 phase = idesc.get("phase", {"type": "isotropic"})
                 g = (float(phase.get("g", 0.0))
                      if phase.get("type") in ("hg", "isotropic") else 0.0)
+                def _num(x):   # unwrap XML {"type": "rgb", "value": [...]}
+                    return x["value"] if isinstance(x, dict) else x
                 sig = np.atleast_1d(np.asarray(
-                    idesc.get("sigma_t", 1.0), np.float32))
+                    _num(idesc.get("sigma_t", 1.0)), np.float32))
                 alb = np.atleast_1d(np.asarray(
-                    idesc.get("albedo", 0.75), np.float32))
+                    _num(idesc.get("albedo", 0.75)), np.float32))
                 if mode == "spectral":
                     sig, alb = sig.mean(None)[None], alb.mean(None)[None]
                 from .medium import make_medium

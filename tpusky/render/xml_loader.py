@@ -15,8 +15,10 @@ dictionary consumed by :func:`tpusky.render.loader.load_dict`.  Supported:
 - ``<include filename>`` (relative to the including file)
 - ``<alias id as>``
 
-Out of scope (as in the rest of the framework): media/volumes, polarized
-plugins.
+Shape-bound ``<medium name="interior">`` declarations map to the
+homogeneous-medium path (render/medium.py). Out of scope: polarized
+plugins. The inverse direction (dict -> XML save-back, `mitsuba -u`)
+lives in :mod:`tpusky.render.xml_writer`.
 """
 
 from __future__ import annotations

@@ -114,3 +114,114 @@ def chi2_test(sample_fn, pdf_fn, *, key, sample_count=4_000_000,
     info = dict(stat=stat, dof=dof, cells=len(pooled_exp),
                 integral=total_exp / sample_count, miss_frac=miss_frac)
     return p_value, p_value >= significance, info
+
+
+def chi2_test_2d(sample_fn, pdf_fn, *, key, sample_count=2_000_000,
+                 res_x=64, res_y=64, ires=8, batch=1_000_000,
+                 significance=0.01):
+    """Chi-square test for distributions over the unit square [0,1]^2
+    (the reference's PlanarDomain path, `chi2.py:411-430`): sample_fn(key,
+    n) -> (n, 2) points, pdf_fn(xy) -> (n,) density. Returns
+    (p_value, passed, info)."""
+    hist = np.zeros((res_y, res_x), np.int64)
+    n_done, bi = 0, 0
+    while n_done < sample_count:
+        n = min(batch, sample_count - n_done)
+        p = np.asarray(sample_fn(jax.random.fold_in(key, bi), n))
+        ix = np.clip((p[:, 0] * res_x).astype(np.int64), 0, res_x - 1)
+        iy = np.clip((p[:, 1] * res_y).astype(np.int64), 0, res_y - 1)
+        np.add.at(hist, (iy, ix), 1)
+        n_done += n
+        bi += 1
+
+    # integrate pdf per cell at sub-resolution (midpoint rule)
+    fx = (np.arange(res_x * ires) + 0.5) / (res_x * ires)
+    fy = (np.arange(res_y * ires) + 0.5) / (res_y * ires)
+    gx, gy = np.meshgrid(fx, fy)
+    pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], -1), jnp.float32)
+    dens = np.asarray(pdf_fn(pts)).reshape(res_y * ires, res_x * ires)
+    cell = dens.reshape(res_y, ires, res_x, ires).mean(axis=(1, 3))
+    expected = cell * (1.0 / (res_x * res_y)) * sample_count
+
+    # pool cells with tiny expectation (reference pools expected < 5)
+    obs = hist.ravel().astype(np.float64)
+    exp = expected.ravel()
+    order = np.argsort(exp)
+    obs, exp = obs[order], exp[order]
+    pooled_o, pooled_e, o_acc, e_acc = [], [], 0.0, 0.0
+    for o, e in zip(obs, exp):
+        o_acc += o; e_acc += e
+        if e_acc >= 5.0:
+            pooled_o.append(o_acc); pooled_e.append(e_acc)
+            o_acc = e_acc = 0.0
+    if e_acc > 0:
+        if pooled_e:
+            pooled_o[-1] += o_acc; pooled_e[-1] += e_acc
+        else:
+            pooled_o.append(o_acc); pooled_e.append(e_acc)
+    pooled_o = np.asarray(pooled_o); pooled_e = np.asarray(pooled_e)
+    stat = np.sum((pooled_o - pooled_e) ** 2 / np.maximum(pooled_e, 1e-9))
+    dof = len(pooled_e) - 1
+    p_value = float(chi2_dist.sf(stat, max(dof, 1)))
+    return p_value, p_value >= significance, dict(stat=float(stat), dof=dof)
+
+
+class EmitterAdapter:
+    """`mi.chi2.EmitterAdapter` (`chi2.py:530`) counterpart: wraps an
+    environment emitter's (sample_direction, pdf_direction) pair for
+    `chi2_test`. `env` is any environment state accepted by
+    tpusky.render.emitters."""
+
+    def __init__(self, env, env_to_world=None):
+        from ..render import emitters as em
+        self._em = em
+        self.env = env
+        self.env_to_world = (jnp.eye(3) if env_to_world is None
+                             else jnp.asarray(env_to_world, jnp.float32))
+
+    def sample(self, key, n):
+        u = jax.random.uniform(key, (n, 2))
+        d, _, _ = self._em.env_sample_eval(self.env, self.env_to_world, u)
+        return d
+
+    def pdf(self, d):
+        return self._em.env_pdf_direction(self.env, self.env_to_world, d)
+
+    def run(self, key=None, **kw):
+        return chi2_test(self.sample, self.pdf,
+                         key=key or jax.random.PRNGKey(0), **kw)
+
+
+class BSDFAdapter:
+    """`mi.chi2.BSDFAdapter` (`chi2.py:477`) counterpart: fixes wi and
+    wraps a material's (sample, pdf) for `chi2_test`."""
+
+    def __init__(self, bsdfs, mat_idx, wi, kinds=None):
+        from ..render import bsdf as bsdf_mod
+        self._bsdf = bsdf_mod
+        self.bsdfs = bsdfs
+        self.mat_idx = int(mat_idx)
+        self.wi = jnp.asarray(wi, jnp.float32)
+        self.kinds = kinds or bsdf_mod.table_kinds(bsdfs)
+
+    def sample(self, key, n):
+        u2 = jax.random.uniform(key, (n, 2))
+        u1 = jax.random.uniform(jax.random.fold_in(key, 7), (n,))
+        wi = jnp.broadcast_to(self.wi, (n, 3))
+        idx = jnp.full((n,), self.mat_idx, jnp.int32)
+        wo, _, _, _ = self._bsdf.sample(self.bsdfs, idx, wi, u2, u1, None,
+                                        kinds=self.kinds)
+        return wo
+
+    def pdf(self, wo):
+        n = wo.shape[0]
+        wi = jnp.broadcast_to(self.wi, (n, 3))
+        idx = jnp.full((n,), self.mat_idx, jnp.int32)
+        _, pdf = self._bsdf.eval_pdf(self.bsdfs, idx, wi, wo, None,
+                                     kinds=self.kinds)
+        return pdf
+
+    def run(self, key=None, cos_range=(0.0, 1.0), **kw):
+        return chi2_test(self.sample, self.pdf,
+                         key=key or jax.random.PRNGKey(0),
+                         cos_range=cos_range, **kw)

@@ -328,3 +328,115 @@ def write_png(path: str, image: np.ndarray) -> None:
                                            0, 0, 0)))
         f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
         f.write(chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# Radiance RGBE (.hdr) — reference `bitmap.cpp` (FileFormat::RGBE)
+# ---------------------------------------------------------------------------
+
+def _float_to_rgbe(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float -> (H, W, 4) uint8 shared-exponent encoding."""
+    img = np.maximum(np.asarray(img, np.float32), 0.0)
+    maxc = img.max(axis=-1)
+    out = np.zeros(img.shape[:2] + (4,), np.uint8)
+    nz = maxc >= 1e-32
+    mant, expo = np.frexp(np.where(nz, maxc, 1.0))
+    scale = mant * 256.0 / np.where(nz, maxc, 1.0)
+    rgb = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    out[..., :3] = np.where(nz[..., None], rgb, 0)
+    out[..., 3] = np.where(nz, (expo + 128).astype(np.uint8), 0)
+    return out
+
+
+def _rgbe_to_float(rgbe: np.ndarray) -> np.ndarray:
+    rgbe = np.asarray(rgbe, np.uint8)
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.ldexp(1.0, e - 136)   # 2^(e-128) / 256
+    f = rgbe[..., :3].astype(np.float32) * scale[..., None].astype(np.float32)
+    return np.where((e > 0)[..., None], f, 0.0).astype(np.float32)
+
+
+def write_hdr(path: str, image: np.ndarray) -> None:
+    """Write a Radiance RGBE `.hdr` file (flat, no RLE — valid per spec)."""
+    img = np.asarray(image, np.float32)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("write_hdr expects (H, W, 3)")
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(_float_to_rgbe(img).tobytes())
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Read a Radiance `.hdr` file (flat or new-style RLE scanlines)."""
+    with open(path, "rb") as f:
+        if not f.readline().startswith(b"#?"):
+            raise ValueError("not a Radiance file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n"):
+                break
+            if not line:
+                raise ValueError("truncated header")
+        dims = f.readline().split()
+        if dims[0] != b"-Y" or dims[2] != b"+X":
+            raise ValueError(f"unsupported orientation {dims!r}")
+        h, w = int(dims[1]), int(dims[3])
+        data = f.read()
+    out = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        # new-style RLE scanline starts 0x02 0x02 hi lo
+        if (len(data) - pos >= 4 and data[pos] == 2 and data[pos + 1] == 2
+                and ((data[pos + 2] << 8) | data[pos + 3]) == w):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = data[pos]; pos += 1
+                    if n > 128:      # run
+                        out[y, x:x + n - 128, c] = data[pos]
+                        pos += 1; x += n - 128
+                    else:            # literal
+                        out[y, x:x + n, c] = np.frombuffer(
+                            data, np.uint8, n, pos)
+                        pos += n; x += n
+        else:
+            row = np.frombuffer(data, np.uint8, w * 4, pos)
+            out[y] = row.reshape(w, 4)
+            pos += w * 4
+    return _rgbe_to_float(out)
+
+
+# ---------------------------------------------------------------------------
+# PFM — reference `bitmap.cpp` (FileFormat::PFM)
+# ---------------------------------------------------------------------------
+
+def write_pfm(path: str, image: np.ndarray) -> None:
+    """Write a (H, W) or (H, W, 3) float32 PFM (little-endian,
+    bottom-up row order per spec)."""
+    img = np.asarray(image, np.float32)
+    color = img.ndim == 3 and img.shape[2] == 3
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[..., 0]; color = False
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{w} {h}\n-1.0\n".encode())
+        f.write(img[::-1].tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        kind = f.readline().strip()
+        if kind not in (b"PF", b"Pf"):
+            raise ValueError("not a PFM file")
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        n_chan = 3 if kind == b"PF" else 1
+        dt = "<f4" if scale < 0 else ">f4"
+        data = np.frombuffer(f.read(w * h * n_chan * 4), dt)
+    img = data.reshape(h, w, n_chan)[::-1].astype(np.float32)
+    img = img * abs(scale)
+    return img if n_chan == 3 else img[..., 0]
