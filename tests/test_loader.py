@@ -130,6 +130,6 @@ def test_shapegroup_instance_expansion():
                "to_world": {"transforms": [{"translate": [-4, 0, 0]}]}},
     })
     # 2 instances x 2 shapes = 4 shapes in the table
-    assert bundle._scene_static.shapes.kind.shape[0] == 4
+    assert len(bundle._scene_static.shapes.kind) == 4
     img = np.asarray(bundle.render(seed=0))
     assert np.isfinite(img).all() and img.max() > 0

@@ -38,6 +38,15 @@ def render_aovs(scene, sensor, height: int, width: int):
         n = jnp.where(use_mesh[..., None], nm, n)
         mat = jnp.where(use_mesh, matm, mat)
         hit = hit | hitm
+    if scene.sdf is not None:
+        from .sdf import sdf_intersect
+        ts_, ns_, hs_ = sdf_intersect(scene.sdf, o, d)
+        use_sdf = hs_ & (ts_ < t)
+        t = jnp.where(use_sdf, ts_, t)
+        p = jnp.where(use_sdf[..., None], o + ts_[..., None] * d, p)
+        n = jnp.where(use_sdf[..., None], ns_, n)
+        mat = jnp.where(use_sdf, scene.sdf.bsdf_idx, mat)
+        hit = hit | use_sdf
 
     albedo = take_rows(scene.bsdfs.albedo, mat)
     shape = (height, width)

@@ -36,7 +36,7 @@ from . import film as film_mod
 from . import sensors as sensors_mod
 from . import medium as medium_mod
 from .mesh import mesh_intersect, mesh_test
-from .scene import Scene
+from .scene import Scene, scene_occluded
 from .shapes import ray_intersect, ray_test
 
 _SHADOW_EPS = 1e-3
@@ -144,6 +144,19 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                                mesh_interp_uv(scene.mesh, _tri, _b1, _b2),
                                uv)
 
+        sdf_mat = None
+        if scene.sdf is not None:
+            from .sdf import sdf_intersect
+            ts_, ns_, hs_ = sdf_intersect(scene.sdf, state.o, state.d)
+            use_sdf = hs_ & (ts_ < t)
+            t = jnp.where(use_sdf, ts_, t)
+            p = jnp.where(use_sdf[..., None],
+                          state.o + ts_[..., None] * state.d, p)
+            ng = jnp.where(use_sdf[..., None], ns_, ng)
+            shape_idx = jnp.where(use_sdf, -3, shape_idx)
+            hit = hit | use_sdf
+            sdf_mat = use_sdf
+
         # ---- participating medium: free-flight sampling ----------------
         # The medium region is convex, so the ray's overlap is ONE closed-
         # form interval — no inside/outside loop state, no null-boundary
@@ -231,6 +244,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                             jnp.maximum(shape_idx, 0))
         if mesh_mat is not None:
             mat_idx = jnp.where(mesh_mat[0], mesh_mat[1], mat_idx)
+        if sdf_mat is not None:
+            mat_idx = jnp.where(sdf_mat, scene.sdf.bsdf_idx, mat_idx)
 
         # per-lane textured reflectance, evaluated once per bounce and
         # shared by every BSDF query at this vertex
@@ -274,11 +289,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             offset_p = p + jnp.sign(dot(ng, d_e))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occluded = ray_test(scene.shapes, offset_p, d_e,
-                                jnp.full((n,), jnp.inf))
-            if scene.mesh is not None:
-                occluded = occluded | mesh_test(scene.mesh, offset_p, d_e,
-                                                jnp.full((n,), jnp.inf))
+            occluded = scene_occluded(scene, offset_p, d_e,
+                                      jnp.full((n,), jnp.inf))
             mis_nee = _mis_weight(pdf_e_detached, sg(pdf_b))
             contrib = (thr_s * f_val * L_e
                        * shadow_T(offset_p, d_e, jnp.full((n,), jnp.inf))
@@ -303,11 +315,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             off_a = p + jnp.sign(dot(ng, d_a))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occ_a = ray_test(scene.shapes, off_a, d_a,
-                             dist_a * (1.0 - 1e-3))
-            if scene.mesh is not None:
-                occ_a = occ_a | mesh_test(scene.mesh, off_a, d_a,
-                                          dist_a * (1.0 - 1e-3))
+            occ_a = scene_occluded(scene, off_a, d_a,
+                                   dist_a * (1.0 - 1e-3))
             mis_a = _mis_weight(pdf_a, sg(pdf_b_a))
             contrib_a = (thr_s * f_a * L_a * shadow_T(off_a, d_a, dist_a)
                          * (mis_a / jnp.maximum(pdf_a, 1e-20))[..., None])
@@ -330,10 +339,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occ_l = ray_test(scene.shapes, off_l, d_l, dist_l * (1 - 1e-3))
-            if scene.mesh is not None:
-                occ_l = occ_l | mesh_test(scene.mesh, off_l, d_l,
-                                          dist_l * (1 - 1e-3))
+            occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
             I_l = (intensity if wavelengths is None
                    else jnp.mean(intensity, keepdims=True))
             contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
@@ -353,11 +359,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             off_l = p + jnp.sign(dot(ng, d_b))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occ_l = ray_test(scene.shapes, off_l, d_b,
-                             jnp.full((n,), jnp.inf))
-            if scene.mesh is not None:
-                occ_l = occ_l | mesh_test(scene.mesh, off_l, d_b,
-                                          jnp.full((n,), jnp.inf))
+            occ_l = scene_occluded(scene, off_l, d_b,
+                                   jnp.full((n,), jnp.inf))
             E_l = (irr if wavelengths is None
                    else jnp.mean(irr, keepdims=True))
             contrib_l = (thr_s * f_l * E_l
@@ -377,10 +380,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occ_l = ray_test(scene.shapes, off_l, d_l, dist_l * (1 - 1e-3))
-            if scene.mesh is not None:
-                occ_l = occ_l | mesh_test(scene.mesh, off_l, d_l,
-                                          dist_l * (1 - 1e-3))
+            occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
             I_l = (falloff if wavelengths is None
                    else jnp.mean(falloff, axis=-1, keepdims=True))
             contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
@@ -410,11 +410,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                     mode)
                 pdf_me_d = sg(pdf_me)
                 f_p = medium_mod.hg_pdf(med.g, dot(state.d, d_me))
-                occ_m = ray_test(scene.shapes, p_m, d_me,
-                                 jnp.full((n,), jnp.inf))
-                if scene.mesh is not None:
-                    occ_m = occ_m | mesh_test(scene.mesh, p_m, d_me,
-                                              jnp.full((n,), jnp.inf))
+                occ_m = scene_occluded(scene, p_m, d_me,
+                                       jnp.full((n,), jnp.inf))
                 T_sh = medium_mod.transmittance(med, p_m, d_me,
                                                 jnp.full((n,), jnp.inf))
                 mis_m = _mis_weight(pdf_me_d, sg(f_p))
@@ -490,6 +487,14 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         ng = jnp.where(use_mesh[..., None], nm, ng)
         shape_idx = jnp.where(use_mesh, -2, shape_idx)
         hit = hit | hitm
+    if scene.sdf is not None:
+        from .sdf import sdf_intersect as _sdi
+        ts_, ns_, hs_ = _sdi(scene.sdf, state.o, state.d)
+        use_sdf = hs_ & (ts_ < t)
+        t = jnp.where(use_sdf, ts_, t)
+        ng = jnp.where(use_sdf[..., None], ns_, ng)
+        shape_idx = jnp.where(use_sdf, -3, shape_idx)
+        hit = hit | use_sdf
     escaped = state.active & ~hit
     if scene.medium is not None:
         # analytic transmittance to the final emissive vertex

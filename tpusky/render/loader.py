@@ -595,6 +595,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     point_lights, directional_lights, spot_lights = [], [], []
     dir_areas = {}   # shape list index -> radiance (directionalarea)
     medium = None    # homogeneous participating medium (render/medium.py)
+    sdf_grid = None  # SDF grid shape (render/sdf.py)
 
     _SENSORS = ("perspective", "orthographic", "spherical", "thinlens",
                 "distant", "radiancemeter", "irradiancemeter", "batch")
@@ -671,6 +672,31 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                     beam_width_deg=float(value.get("beam_width",
                                                    cutoff * 0.75)),
                     texture=tex))
+        elif t == "sdfgrid":
+            # SDF grid shape (reference `sdfgrid.cpp`): values from an
+            # inline array, a .npy file, or a Mitsuba .vol file
+            if medium is None and "interior" in value:
+                raise ValueError("sdfgrid does not support interior media")
+            if "grid" in value:
+                vals = np.asarray(value["grid"], np.float32)
+            elif "filename" in value:
+                fn = value["filename"]
+                if fn.endswith(".vol"):
+                    from ..utils.io import read_vol
+                    vals = read_vol(fn)[0][..., 0]
+                else:
+                    vals = np.load(fn).astype(np.float32)
+            else:
+                raise ValueError("sdfgrid needs 'grid' or 'filename'")
+            bsdf_desc = value.get("bsdf", {"type": "diffuse"})
+            sdf_mat = _build_bsdf(bsdf_desc, mode, textures)
+            from .sdf import make_sdf_grid
+            if sdf_grid is not None:
+                raise ValueError("only one sdfgrid per scene is supported")
+            sdf_grid = make_sdf_grid(
+                vals, to_world=_parse_to_world(value.get("to_world")),
+                bsdf_idx=len(materials))
+            materials.append(sdf_mat)
         elif t in _SHAPE_KINDS:
             if "interior" in value:
                 # participating medium bound to this (convex) shape's
@@ -851,6 +877,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         dir_area_radiance=dir_area_radiance,
         meshes=meshes or None,
         medium=medium,
+        sdf=sdf_grid,
         env=None)
 
     itype = integrator.get("type", "path")

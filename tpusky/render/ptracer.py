@@ -73,9 +73,8 @@ def _sensor_connect(sensor: Perspective, p):
 
 
 def _occluded(scene: Scene, o, d, maxt):
-    occ = ray_test(scene.shapes, o, d, maxt)
-    if scene.mesh is not None:
-        occ = occ | mesh_test(scene.mesh, o, d, maxt)
+    from .scene import scene_occluded
+    occ = scene_occluded(scene, o, d, maxt)
     return occ
 
 
@@ -140,7 +139,7 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
         elif name == "dir_area":
             # directional-area (`directionalarea.cpp`): delta direction
             # along the surface normal; alpha = L * A (no cosine term)
-            n_shapes = scene.shapes.kind.shape[0]
+            n_shapes = len(scene.shapes.kind)
             u_pick = smp.next(50_003, 1)[..., 0]
             shape_idx = jnp.clip((u_pick * n_shapes).astype(jnp.int32), 0,
                                  n_shapes - 1)
@@ -237,6 +236,17 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
             shape_idx = jnp.where(use_mesh, -2, shape_idx)
             hit = hit | hitm
             mesh_mat = (use_mesh, matm)
+        sdf_sel = None
+        if scene.sdf is not None:
+            from .sdf import sdf_intersect
+            ts_, ns_, hs_ = sdf_intersect(scene.sdf, o, d)
+            use_sdf = hs_ & (ts_ < t)
+            t = jnp.where(use_sdf, ts_, t)
+            p = jnp.where(use_sdf[..., None], o + ts_[..., None] * d, p)
+            ng = jnp.where(use_sdf[..., None], ns_, ng)
+            shape_idx = jnp.where(use_sdf, -3, shape_idx)
+            hit = hit | use_sdf
+            sdf_sel = use_sdf
         active = active & hit
 
         frame = Frame(ng)
@@ -244,6 +254,8 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
         mat_idx = take_ints(scene.shapes.bsdf_idx, jnp.maximum(shape_idx, 0))
         if mesh_mat is not None:
             mat_idx = jnp.where(mesh_mat[0], mesh_mat[1], mat_idx)
+        if sdf_sel is not None:
+            mat_idx = jnp.where(sdf_sel, scene.sdf.bsdf_idx, mat_idx)
 
         # connect this vertex to the camera
         uv_c, w_c, d_c, dist_c, ok_c = _sensor_connect(sensor, p)

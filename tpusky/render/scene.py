@@ -40,6 +40,22 @@ class Scene(NamedTuple):
     medium: Any = None                       # medium.Medium | None
                                              # (homogeneous, convex region;
                                              # see render/medium.py, H19)
+    sdf: Any = None                          # sdf.SDFGrid | None (H20)
+
+
+def scene_occluded(scene: "Scene", o, d, maxt):
+    """Shadow-ray predicate over every geometry kind in the scene
+    (analytic shapes + triangle meshes + SDF grid). The single place new
+    geometry kinds hook into every NEE/shadow query."""
+    from .shapes import ray_test
+    occ = ray_test(scene.shapes, o, d, maxt)
+    if scene.mesh is not None:
+        from .mesh import mesh_test
+        occ = occ | mesh_test(scene.mesh, o, d, maxt)
+    if scene.sdf is not None:
+        from .sdf import sdf_test
+        occ = occ | sdf_test(scene.sdf, o, d, maxt)
+    return occ
 
 
 def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
@@ -51,7 +67,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                dir_area_radiance=None, bsdf_opacities=None,
                bsdf_tex_indices=None, textures=None,
                spectral_textures=False, bsdf_extras=None,
-               bsdf_normal_tex_indices=None, medium=None) -> Scene:
+               bsdf_normal_tex_indices=None, medium=None,
+               sdf=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -109,4 +126,4 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                  jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl),
                  mesh_table, tuple(spot_lights),
                  jnp.asarray(dir_area_radiance, jnp.float32), tex_table,
-                 medium)
+                 medium, sdf)

@@ -440,3 +440,42 @@ def read_pfm(path: str) -> np.ndarray:
     img = data.reshape(h, w, n_chan)[::-1].astype(np.float32)
     img = img * abs(scale)
     return img if n_chan == 3 else img[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Mitsuba VOL grid format — reference `src/core/volume.cpp` / gridvolume
+# ---------------------------------------------------------------------------
+
+def read_vol(path: str):
+    """Read a Mitsuba binary volume file -> (data (Z,Y,X,C) float32,
+    bbox_min (3,), bbox_max (3,)). Format (volume docs): magic 'VOL',
+    u8 version=3, i32 dtype (1=f32), i32 xres/yres/zres, i32 channels,
+    6 x f32 bbox, then xres*yres*zres*channels f32 (x fastest)."""
+    import struct
+    with open(path, "rb") as f:
+        if f.read(3) != b"VOL":
+            raise ValueError("not a VOL file")
+        version = f.read(1)[0]
+        if version != 3:
+            raise ValueError(f"unsupported VOL version {version}")
+        dtype, xr, yr, zr, ch = struct.unpack("<iiiii", f.read(20))
+        if dtype != 1:
+            raise ValueError("only float32 VOL supported")
+        bbox = struct.unpack("<6f", f.read(24))
+        data = np.frombuffer(f.read(xr * yr * zr * ch * 4), "<f4")
+    data = data.reshape(zr, yr, xr, ch)
+    return (data.astype(np.float32), np.asarray(bbox[:3], np.float32),
+            np.asarray(bbox[3:], np.float32))
+
+
+def write_vol(path: str, data, bbox_min=(0, 0, 0), bbox_max=(1, 1, 1)):
+    import struct
+    data = np.asarray(data, np.float32)
+    if data.ndim == 3:
+        data = data[..., None]
+    zr, yr, xr, ch = data.shape
+    with open(path, "wb") as f:
+        f.write(b"VOL" + bytes([3]))
+        f.write(struct.pack("<iiiii", 1, xr, yr, zr, ch))
+        f.write(struct.pack("<6f", *bbox_min, *bbox_max))
+        f.write(data.tobytes())
