@@ -101,3 +101,50 @@ def test_multijitter_beats_stratified_on_2d():
     err_mj = pixel_error("multijitter")
     err_ind = pixel_error("independent")
     assert err_mj < 0.6 * err_ind, (err_mj, err_ind)
+
+
+def test_orthogonal_oa_property():
+    """Bose OA strength 2: for spp = p^2 (p prime), any two dimensions
+    with distinct multipliers place exactly one point per p x p cell
+    (reference `orthogonal.cpp` construction)."""
+    key = jax.random.PRNGKey(3)
+    spp = 25; p = 5
+    pix = jnp.zeros((spp,), jnp.uint32)
+    smp = jnp.arange(spp, dtype=jnp.uint32)
+    u = np.array(sampler.lane_samples("orthogonal", key, pix, smp, spp,
+                                      0, 2))
+    # 2D pairwise stratification at p x p
+    cx = (u[:, 0] * p).astype(int)
+    cy = (u[:, 1] * p).astype(int)
+    cells = set(zip(cx.tolist(), cy.tolist()))
+    assert len(cells) == spp, len(cells)
+    # 1D projections are Latin-hypercube at spp strata
+    for c in range(2):
+        strata = np.unique((u[:, c] * spp).astype(int))
+        assert len(strata) == spp, (c, strata)
+    # determinism + range
+    u2 = np.array(sampler.lane_samples("orthogonal", key, pix, smp, spp,
+                                       0, 2))
+    assert np.array_equal(u, u2)
+    assert u.min() >= 0 and u.max() < 1
+
+
+def test_orthogonal_falls_back_and_renders():
+    key = jax.random.PRNGKey(0)
+    pix = jnp.arange(64, dtype=jnp.uint32) // 16
+    smp = jnp.arange(64, dtype=jnp.uint32) % 16
+    u = np.array(sampler.lane_samples("orthogonal", key, pix, smp, 16,
+                                      1, 2))   # 16 = 4^2, 4 not prime
+    assert u.shape == (64, 2) and u.min() >= 0 and u.max() < 1
+    # end-to-end render with the OA sampler
+    plane = np.diag([100.0, 100.0, 1.0, 1.0]).astype(np.float32)
+    scene = make_scene(shapes=[dict(kind=1, to_world=plane, bsdf_idx=0)],
+                       bsdf_albedos=[[0.5, 0.5, 0.5]],
+                       env=ConstantEnv(jnp.asarray([1.0, 1.0, 1.0])))
+    sensor = make_perspective(origin=[0, 0, 3.0], target=[0.01, 0, 0],
+                              fov_x_deg=30)
+    img = np.array(integrator.render(scene, sensor, Film(8, 8, 3),
+                                     jax.random.PRNGKey(0), spp=49,
+                                     max_depth=2,
+                                     sampler_kind="orthogonal"))
+    assert np.allclose(img.mean(), 0.5, rtol=0.03), img.mean()

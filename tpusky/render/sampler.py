@@ -25,6 +25,11 @@ Kinds:
                 on the spp x spp fine grid AND the m x n coarse grid;
                 channels beyond each (2i, 2i+1) pair fall back to 1D
                 strata. Requires power-of-two spp (else = stratified).
+  orthogonal    Bose orthogonal array OA(p^2, strength 2) for prime p
+                (Jarosz et al. 2019; the reference's `orthogonal.cpp`):
+                ANY two dimensions are jointly stratified on a p x p grid,
+                not just consecutive pairs; 1D projections are full
+                Latin-hypercube. Requires spp == p^2 (else = stratified).
 """
 
 from __future__ import annotations
@@ -189,6 +194,44 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
             out.append(jnp.mod(u + rot, 1.0))
         return jnp.stack(out, axis=-1)
 
+    if kind == "orthogonal":
+        # Orthogonal-array sampler (reference `orthogonal.cpp`; Jarosz et
+        # al. 2019 "Orthogonal Array Sampling"): Bose construction of an
+        # OA(p^2, strength 2) for prime p — point s = (a, b) lands in
+        # stratum phi_j = (a + k_j b) mod p for dimension j, so ANY two
+        # dimensions with different multipliers k form a p x p grid with
+        # exactly one point per cell. 1D projections are additionally
+        # sub-stratified by b (a bijection within each phi column), giving
+        # full spp-strata Latin-hypercube projections.
+        p = int(round(spp ** 0.5))
+        is_prime = p >= 2 and all(p % q for q in range(2, int(p ** 0.5) + 1))
+        if p * p != spp or not is_prime:
+            # Bose needs spp == prime^2 (the stratified branch is above
+            # this one, so delegate explicitly)
+            return lane_samples("stratified", key, pixel_idx, sample_idx,
+                                spp, dim, n)
+        else:
+            a = sample_idx // jnp.uint32(p)
+            b = sample_idx % jnp.uint32(p)
+            out = []
+            for c in range(n):
+                j = dim * 2 + c
+                h = _hash_u32(pixel_idx ^ _hash_u32(jnp.uint32(j) ^ seed))
+                k_j = jnp.uint32(1 + (j % max(p - 1, 1)))
+                phi = (a + k_j * b) % jnp.uint32(p)
+                # per-pixel random digit shifts decorrelate pixels; jitter
+                # fills the sub-stratum
+                shift = _hash_u32(h + jnp.uint32(0x9E3779B9)) % jnp.uint32(p)
+                col = (phi + shift) % jnp.uint32(p)
+                sub = (b + _hash_u32(h ^ jnp.uint32(0x85EBCA6B))
+                       % jnp.uint32(p)) % jnp.uint32(p)
+                jit = _u32_to_unit(_hash_u32(
+                    h ^ _hash_u32(sample_idx + jnp.uint32(j))))
+                u = (col.astype(jnp.float32)
+                     + (sub.astype(jnp.float32) + jit) / p) / p
+                out.append(u)
+            return jnp.stack(out, axis=-1)
+
     if kind == "qmc":
         d0, d1 = _sobol_2d(sample_idx)
         out = []
@@ -204,4 +247,4 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
 
 
 VALID_KINDS = ("independent", "threefry", "stratified", "qmc",
-               "multijitter")
+               "multijitter", "orthogonal")
