@@ -243,3 +243,102 @@ def test_principled_loader():
     })
     img = np.asarray(bundle.render(seed=0))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+# ---- blendbsdf (kind 10, `blendbsdf.cpp`) ----
+
+
+def _blend_table(w=0.3, kinds=(B.DIFFUSE, B.ROUGH_CONDUCTOR)):
+    """Row 0/1 = children, row 2 = blend of them with weight w."""
+    return B.make_material_table(
+        kinds=[kinds[0], kinds[1], B.BLEND],
+        albedos=[[0.8, 0.2, 0.1], [1.0, 1.0, 1.0], [0.5, 0.5, 0.5]],
+        alphas=[0.1, 0.3, 0.1],
+        blend_children=[(0, 0), (0, 0), (0, 1)],
+        blend_weights=[0.0, 0.0, w])
+
+
+def test_blend_eval_is_lerp_of_children():
+    table = _blend_table(w=0.3)
+    wi = jnp.asarray([[0.3, -0.2, 0.93]]) / np.linalg.norm([0.3, -0.2, 0.93])
+    wo = jnp.asarray([[-0.5, 0.1, 0.86]]) / np.linalg.norm([-0.5, 0.1, 0.86])
+    kinds = B.table_kinds(table)
+    va, pa = B.eval_pdf(table, jnp.asarray([0]), wi, wo, kinds=kinds)
+    vb, pb = B.eval_pdf(table, jnp.asarray([1]), wi, wo, kinds=kinds)
+    vm, pm = B.eval_pdf(table, jnp.asarray([2]), wi, wo, kinds=kinds)
+    assert np.allclose(vm, 0.7 * np.array(va) + 0.3 * np.array(vb),
+                       rtol=1e-5)
+    assert np.allclose(pm, 0.7 * np.array(pa) + 0.3 * np.array(pb),
+                       rtol=1e-5)
+
+
+def test_blend_sample_pdf_chi2():
+    """Blend of diffuse + GGX: samples match the blended pdf."""
+    table = _blend_table(w=0.4)
+    wi = jnp.asarray([0.4, 0.1, 0.91])
+    wi = wi / jnp.linalg.norm(wi)
+    kinds = B.table_kinds(table)
+
+    def sample_fn(key, n):
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, (n, 2))
+        s1 = jax.random.uniform(k2, (n,))
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        wo, w, pdf, _ = B.sample(table, jnp.full((n,), 2, jnp.int32), wi_b,
+                                 u, s1, kinds=kinds)
+        return wo
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        wi_b = jnp.broadcast_to(wi, (n, 3))
+        _, pdf = B.eval_pdf(table, jnp.full((n,), 2, jnp.int32), wi_b, d,
+                            kinds=kinds)
+        return pdf
+
+    p, ok, info = chi2_test(sample_fn, pdf_fn, key=jax.random.PRNGKey(7),
+                            sample_count=1_000_000, res_phi=64, res_cos=32,
+                            cos_range=(0.0, 1.0), ires=16)
+    assert ok, f"chi2 p={p} {info}"
+
+
+def test_blend_sample_weight_consistency():
+    """E[weight] over samples == integral of f*cos == white-furnace albedo
+    for a blend of two grey diffuse lobes."""
+    table = B.make_material_table(
+        kinds=[B.DIFFUSE, B.DIFFUSE, B.BLEND],
+        albedos=[[0.2, 0.2, 0.2], [0.8, 0.8, 0.8], [0.0, 0.0, 0.0]],
+        blend_children=[(0, 0), (0, 0), (0, 1)],
+        blend_weights=[0.0, 0.0, 0.25])
+    n = 200_000
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    u = jax.random.uniform(k1, (n, 2))
+    s1 = jax.random.uniform(k2, (n,))
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+    kinds = B.table_kinds(table)
+    wo, w, pdf, _ = B.sample(table, jnp.full((n,), 2, jnp.int32), wi, u, s1,
+                             kinds=kinds)
+    # expected directional albedo = 0.75*0.2 + 0.25*0.8 = 0.35
+    assert np.allclose(np.array(w).mean(), 0.35, rtol=0.01)
+
+
+def test_blend_loader_end_to_end():
+    from tpusky.render.loader import load_dict
+    bundle = load_dict({
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 3},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": {"type": "look_at", "origin": [0, -4, 1],
+                                "target": [0, 0, 0], "up": [0, 0, 1]},
+                   "film": {"height": 16, "width": 16},
+                   "sampler": {"sample_count": 16}},
+        "env": {"type": "constant", "radiance": 1.0},
+        "ball": {"type": "sphere",
+                 "bsdf": {"type": "blendbsdf", "weight": 0.6,
+                          "a": {"type": "diffuse",
+                                "reflectance": [0.9, 0.1, 0.1]},
+                          "b": {"type": "roughconductor", "alpha": 0.25,
+                                "material": "Au"}}},
+    })
+    img = np.asarray(bundle.render(seed=0))
+    assert np.isfinite(img).all() and img.max() > 0

@@ -26,6 +26,12 @@ Supported kinds:
                     anisotropic / flatness out of scope). Parameters live
                     in the `extra` column: [metallic, specular, sheen,
                     sheen_tint, clearcoat, clearcoat_gloss, spec_tint, -]
+ 10 blend           convex combination of two other table rows
+                    (`blendbsdf.cpp`): eval/pdf = lerp of the children by
+                    `blend_w`; sample = one-sample MIS (pick child b with
+                    probability w, reweight by the blended value/pdf).
+                    Children must be non-blend rows (one nesting level,
+                    like the reference's practical usage).
 
 Any material additionally carries an `opacity` in [0, 1]: lanes pass
 through unscattered with probability 1-opacity — the flattened equivalent
@@ -52,6 +58,7 @@ from ..ops.math import safe_sqrt
 DIFFUSE, ROUGH_CONDUCTOR, CONDUCTOR, DIELECTRIC = 0, 1, 2, 3
 PLASTIC, ROUGH_DIELECTRIC, NULL_BSDF = 4, 5, 6
 THIN_DIELECTRIC, ROUGH_PLASTIC, PRINCIPLED = 7, 8, 9
+BLEND = 10
 
 
 class MaterialTable(NamedTuple):
@@ -69,6 +76,9 @@ class MaterialTable(NamedTuple):
     normal_tex_idx: jnp.ndarray = None  # (M,) int32 normal-map texture
     #                                     (-1 = none; `normalmap.cpp` /
     #                                     `bumpmap.cpp` wrappers, flattened)
+    blend_a: jnp.ndarray = None  # (M,) int32 first child row (kind 10)
+    blend_b: jnp.ndarray = None  # (M,) int32 second child row (kind 10)
+    blend_w: jnp.ndarray = None  # (M,) weight of child b (`blendbsdf.cpp`)
 
 
 # legacy alias used throughout the renderer
@@ -79,7 +89,8 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                         twosided=None, spectral_albedos=None, alphas=None,
                         etas=None, ks=None, iors=None,
                         opacities=None, tex_indices=None,
-                        extras=None, normal_tex_indices=None
+                        extras=None, normal_tex_indices=None,
+                        blend_children=None, blend_weights=None
                         ) -> MaterialTable:
     import numpy as np
     a = np.atleast_2d(np.asarray(albedos, np.float32))
@@ -111,6 +122,11 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
     normal_tex_indices = (np.full((m,), -1, np.int32)
                           if normal_tex_indices is None
                           else np.asarray(normal_tex_indices, np.int32))
+    blend_children = (np.zeros((m, 2), np.int32) if blend_children is None
+                      else np.asarray(blend_children,
+                                      np.int32).reshape(m, 2))
+    blend_weights = (np.zeros((m,), np.float32) if blend_weights is None
+                     else np.asarray(blend_weights, np.float32))
     return MaterialTable(jnp.asarray(kinds), jnp.asarray(a),
                          jnp.asarray(ts),
                          jnp.asarray(np.asarray(spectral_albedos,
@@ -119,7 +135,10 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                          jnp.asarray(ks), jnp.asarray(iors),
                          jnp.asarray(opacities), jnp.asarray(tex_indices),
                          jnp.asarray(extras),
-                         jnp.asarray(normal_tex_indices))
+                         jnp.asarray(normal_tex_indices),
+                         jnp.asarray(blend_children[:, 0]),
+                         jnp.asarray(blend_children[:, 1]),
+                         jnp.asarray(blend_weights))
 
 
 def make_diffuse_table(albedos, twosided=None,
@@ -403,8 +422,97 @@ def table_normal_maps(table: MaterialTable) -> bool:
         return True
 
 
+def _has_blend(table: MaterialTable, present) -> bool:
+    """Static check: does the table contain a blend (kind 10) row?"""
+    import numpy as np
+    if present is not None:
+        return BLEND in present
+    if table.blend_a is None:
+        return False
+    try:
+        return bool((np.asarray(table.kind) == BLEND).any())
+    except Exception:
+        return True    # tracer table: compute-and-mask
+
+
+def _blend_children(table, mat_idx, is_blend):
+    idx_a = jnp.where(is_blend, take_ints(table.blend_a, mat_idx), mat_idx)
+    idx_b = jnp.where(is_blend, take_ints(table.blend_b, mat_idx), mat_idx)
+    return idx_a, idx_b
+
+
 def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
              kinds=None, refl_tex=None):
+    """(f * cos(theta_o), pdf) over the non-delta lobes.
+
+    Blend rows (`blendbsdf.cpp`) resolve here: both children are
+    evaluated through the core and lerped by `blend_w`. Tables without a
+    blend row pay nothing (single core call).
+    """
+    present = kinds[0] if kinds is not None else None
+    if not _has_blend(table, present):
+        return _eval_pdf_core(table, mat_idx, wi, wo, wavelengths, kinds,
+                              refl_tex)
+    kind = take_ints(table.kind, mat_idx)
+    is_blend = kind == BLEND
+    w = jnp.where(is_blend,
+                  jnp.clip(take_scalars(table.blend_w, mat_idx), 0.0, 1.0),
+                  0.0)
+    idx_a, idx_b = _blend_children(table, mat_idx, is_blend)
+    va, pa = _eval_pdf_core(table, idx_a, wi, wo, wavelengths, kinds,
+                            refl_tex)
+    vb, pb = _eval_pdf_core(table, idx_b, wi, wo, wavelengths, kinds,
+                            refl_tex)
+    return ((1.0 - w)[..., None] * va + w[..., None] * vb,
+            (1.0 - w) * pa + w * pb)
+
+
+def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
+           wavelengths=None, kinds=None, refl_tex=None):
+    """Sample an outgoing direction; see `_sample_core`.
+
+    Blend rows use the reference's one-sample strategy
+    (`blendbsdf.cpp::sample`): child b is chosen with probability
+    `blend_w`, `sample1` is re-folded for the child's own discrete
+    choices, and for non-delta lobes the returned (weight, pdf) are the
+    full blended value/pdf at the sampled direction (one-sample MIS).
+    Delta-sampled lanes keep the child weight with pdf scaled by the
+    selection probability (a delta direction cannot be evaluated by the
+    sibling).
+    """
+    present = kinds[0] if kinds is not None else None
+    if not _has_blend(table, present):
+        return _sample_core(table, mat_idx, wi, sample2, sample1,
+                            wavelengths, kinds, refl_tex)
+    kind = take_ints(table.kind, mat_idx)
+    is_blend = kind == BLEND
+    w = jnp.where(is_blend,
+                  jnp.clip(take_scalars(table.blend_w, mat_idx), 0.0, 1.0),
+                  0.0)
+    pick_b = is_blend & (sample1 < w)
+    s1 = jnp.where(pick_b, sample1 / jnp.maximum(w, 1e-6),
+                   (sample1 - w) / jnp.maximum(1.0 - w, 1e-6))
+    s1 = jnp.clip(jnp.where(is_blend, s1, sample1), 0.0, 1.0 - 1e-7)
+    idx_a, idx_b = _blend_children(table, mat_idx, is_blend)
+    idx_sel = jnp.where(pick_b, idx_b, idx_a)
+    idx_oth = jnp.where(pick_b, idx_a, idx_b)
+    wo, wt, pdf, is_delta = _sample_core(table, idx_sel, wi, sample2, s1,
+                                         wavelengths, kinds, refl_tex)
+    v_oth, p_oth = _eval_pdf_core(table, idx_oth, wi, wo, wavelengths,
+                                  kinds, refl_tex)
+    w_sel = jnp.where(pick_b, w, 1.0 - w)
+    w_oth = 1.0 - w_sel
+    num = w_sel[..., None] * wt * pdf[..., None] + w_oth[..., None] * v_oth
+    den = w_sel * pdf + w_oth * p_oth
+    wt_mix = jnp.where((den > 1e-12)[..., None],
+                       num / jnp.maximum(den, 1e-12)[..., None], 0.0)
+    wt = jnp.where(is_delta[..., None], wt, wt_mix)
+    pdf = jnp.where(is_delta, w_sel * pdf, den)
+    return wo, wt, pdf, is_delta
+
+
+def _eval_pdf_core(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
+                   kinds=None, refl_tex=None):
     """(f * cos(theta_o), pdf) over the non-delta lobes.
 
     Delta materials contribute 0 here (their throughput only arrives via
@@ -569,8 +677,8 @@ def eval_pdf(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
     return value, pdf
 
 
-def sample(table: MaterialTable, mat_idx, wi, sample2, sample1,
-           wavelengths=None, kinds=None, refl_tex=None):
+def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
+                 wavelengths=None, kinds=None, refl_tex=None):
     """Sample an outgoing direction.
 
     Returns (wo, weight, pdf, is_delta). `sample1` drives discrete lobe

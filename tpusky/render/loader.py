@@ -354,12 +354,18 @@ def _parse_texture(desc, textures):
     return len(textures) - 1
 
 
-def _build_bsdf(desc, mode, textures=None):
+def _build_bsdf(desc, mode, textures=None, materials=None):
     """-> material dict {kind, rgb, spec, twosided, alpha, eta, k, ior,
-    opacity, tex_idx}."""
-    from .bsdf import (CONDUCTOR, DIELECTRIC, DIFFUSE, NULL_BSDF, PLASTIC,
-                       PRINCIPLED, ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
-                       ROUGH_PLASTIC, THIN_DIELECTRIC)
+    opacity, tex_idx, blend_a, blend_b, blend_w}.
+
+    A `blendbsdf` (`src/bsdfs/blendbsdf.cpp`) appends its two children to
+    `materials` and returns a kind-10 row referencing them; the blend's
+    twosided/opacity wrappers are pushed down onto the children so the
+    branch-free core applies them per child row.
+    """
+    from .bsdf import (BLEND, CONDUCTOR, DIELECTRIC, DIFFUSE, NULL_BSDF,
+                       PLASTIC, PRINCIPLED, ROUGH_CONDUCTOR,
+                       ROUGH_DIELECTRIC, ROUGH_PLASTIC, THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
     normal_tex_idx = -1
@@ -415,7 +421,34 @@ def _build_bsdf(desc, mode, textures=None):
                eta=np.array(_CONDUCTOR_IOR["Au"][0]),
                k=np.array(_CONDUCTOR_IOR["Au"][1]), ior=1.5046,
                opacity=opacity, tex_idx=-1, normal_tex_idx=normal_tex_idx,
-               extra=np.array([0, 0.5, 0, 0, 0, 0, 0, 0], np.float64))
+               extra=np.array([0, 0.5, 0, 0, 0, 0, 0, 0], np.float64),
+               blend_a=0, blend_b=0, blend_w=0.0)
+
+    if t == "blendbsdf":
+        if materials is None:
+            raise ValueError("blendbsdf not supported here")
+        children = [v for v in desc.values() if isinstance(v, dict)
+                    and "type" in v
+                    and v.get("type") not in ("checkerboard", "bitmap")]
+        if len(children) != 2:
+            raise ValueError("blendbsdf needs exactly two nested BSDFs")
+        w = desc.get("weight", 0.5)
+        if isinstance(w, dict):
+            raise ValueError("blendbsdf: textured weight not supported")
+        idx = []
+        for child in children:
+            cm = _build_bsdf(child, mode, textures, materials)
+            if cm["kind"] == BLEND:
+                raise ValueError("blendbsdf: nested blends not supported")
+            cm["twosided"] = cm["twosided"] or twosided
+            cm["opacity"] = cm["opacity"] * opacity
+            if normal_tex_idx >= 0 and cm["normal_tex_idx"] < 0:
+                cm["normal_tex_idx"] = normal_tex_idx
+            idx.append(len(materials))
+            materials.append(cm)
+        mat.update(kind=BLEND, blend_a=idx[0], blend_b=idx[1],
+                   blend_w=float(w), twosided=twosided, opacity=opacity)
+        return mat
 
     def _refl(value):
         """Constant spectrum or nested texture plugin."""
@@ -627,7 +660,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             if value.get("face_normals"):
                 nrm = np.zeros_like(pos)     # geometric normals at hit time
             mat = _build_bsdf(value.get("bsdf", {"type": "diffuse"}), mode,
-                              textures)
+                              textures, materials)
             meshes.append(dict(positions=pos, normals=nrm, indices=idx,
                                uvs=uvs,
                                to_world=_parse_to_world(value.get("to_world")),
@@ -689,7 +722,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             else:
                 raise ValueError("sdfgrid needs 'grid' or 'filename'")
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
-            sdf_mat = _build_bsdf(bsdf_desc, mode, textures)
+            sdf_mat = _build_bsdf(bsdf_desc, mode, textures, materials)
             from .sdf import make_sdf_grid
             if sdf_grid is not None:
                 raise ValueError("only one sdfgrid per scene is supported")
@@ -732,7 +765,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                     kind=t)
                 continue
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
-            mat = _build_bsdf(bsdf_desc, mode, textures)
+            mat = _build_bsdf(bsdf_desc, mode, textures, materials)
             emitter = value.get("emitter")
             is_dir_area = (emitter or {}).get("type") == "directionalarea"
             radiance = (spectrum_to_channels(emitter["radiance"], "rgb")
@@ -770,6 +803,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 areas.append(radiance)
         elif t in ("diffuse", "conductor", "roughconductor", "dielectric",
                    "roughdielectric", "plastic", "null", "mask", "twosided",
+                   "blendbsdf",
                    "box", "gaussian", "tent", "lanczos", "mitchell"):
             # standalone BSDF/rfilter declaration (XML `id=` + `<ref>`
             # pattern, `xml.cpp`): shapes hold resolved copies, nothing to do
@@ -807,7 +841,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     sampler_kind = {"independent": "independent",
                     "stratified": "stratified",
                     "multijitter": "multijitter",
-                    "orthogonal": "multijitter",
+                    "orthogonal": "orthogonal",
                     "ldsampler": "qmc",
                     "sobol": "qmc"}.get(sampler_desc.get("type",
                                                          "independent"),
@@ -868,6 +902,9 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_tex_indices=[m["tex_idx"] for m in materials],
         bsdf_normal_tex_indices=[m["normal_tex_idx"] for m in materials],
         bsdf_extras=[m["extra"] for m in materials],
+        bsdf_blend_children=[(m.get("blend_a", 0), m.get("blend_b", 0))
+                             for m in materials],
+        bsdf_blend_weights=[m.get("blend_w", 0.0) for m in materials],
         textures=textures or None,
         spectral_textures=(mode == "spectral"),
         area_radiance=area_radiance,

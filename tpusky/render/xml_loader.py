@@ -38,7 +38,7 @@ _NUM_SPLIT = re.compile(r"[,\s]+")
 _CATEGORY = {
     "bsdf": ("diffuse", "conductor", "roughconductor", "dielectric",
              "roughdielectric", "plastic", "roughplastic", "null", "mask",
-             "twosided", "principled"),
+             "twosided", "principled", "blendbsdf"),
     "emitter": ("area", "sunsky", "constant", "envmap", "point",
                 "directional", "directionalarea", "spot", "projector"),
     "film": ("hdrfilm", "specfilm"),
