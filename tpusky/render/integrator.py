@@ -172,17 +172,11 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             m_t0, m_t1 = medium_mod.medium_interval(med, state.o, state.d)
             seg_t0 = jnp.minimum(m_t0, t_eff)
             seg = jnp.maximum(jnp.minimum(m_t1, t_eff) - seg_t0, 0.0)
-            sigma_bar = jnp.mean(med.sigma_t)
             u_dist = sg(smp.next(100_000 + 4 * depth, 1))[..., 0]
-            s_dist = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-12)) / sigma_bar
-            med_scatter = state.active & (s_dist < seg)
-            T_seg = jnp.exp(-med.sigma_t * seg[..., None])
-            w_pass = T_seg / jnp.maximum(
-                jnp.exp(-sigma_bar * seg), 1e-30)[..., None]
-            sigma_s = med.albedo * med.sigma_t
-            pdf_s = sigma_bar * jnp.exp(-sigma_bar * s_dist)
-            w_scat = sigma_s * jnp.exp(-med.sigma_t * s_dist[..., None]) \
-                / jnp.maximum(pdf_s, 1e-30)[..., None]
+            (m_scat, s_dist, T_seg, w_pass,
+             w_scat) = medium_mod.sample_interaction(
+                med, state.o, state.d, seg_t0, seg, u_dist)
+            med_scatter = state.active & m_scat
         else:
             T_seg = 1.0
             med_scatter = None
@@ -497,13 +491,10 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         hit = hit | use_sdf
     escaped = state.active & ~hit
     if scene.medium is not None:
-        # analytic transmittance to the final emissive vertex
+        # (density-march) transmittance to the final emissive vertex
         t_eff = jnp.where(hit, t, jnp.inf)
-        f_t0, f_t1 = medium_mod.medium_interval(scene.medium, state.o,
-                                                state.d)
-        f_seg = jnp.maximum(jnp.minimum(f_t1, t_eff)
-                            - jnp.minimum(f_t0, t_eff), 0.0)
-        T_fin = jnp.exp(-scene.medium.sigma_t * f_seg[..., None])
+        T_fin = medium_mod.transmittance(scene.medium, state.o, state.d,
+                                         t_eff)
     else:
         T_fin = 1.0
     if scene.env is not None:

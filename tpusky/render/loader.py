@@ -742,15 +742,49 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                     raise ValueError("interior media require a convex "
                                      "sphere/cube boundary, got " + t)
                 idesc = value["interior"]
-                if idesc.get("type", "homogeneous") != "homogeneous":
-                    raise ValueError("only homogeneous media supported")
+                mtype = idesc.get("type", "homogeneous")
+                if mtype not in ("homogeneous", "heterogeneous"):
+                    raise ValueError(f"unsupported medium type {mtype!r}")
                 phase = idesc.get("phase", {"type": "isotropic"})
                 g = (float(phase.get("g", 0.0))
                      if phase.get("type") in ("hg", "isotropic") else 0.0)
                 def _num(x):   # unwrap XML {"type": "rgb", "value": [...]}
                     return x["value"] if isinstance(x, dict) else x
-                sig = np.atleast_1d(np.asarray(
-                    _num(idesc.get("sigma_t", 1.0)), np.float32))
+
+                def _volume(x):
+                    """gridvolume (`grid.cpp`): inline 'grid' ndarray or
+                    .vol file; -> (scalar value or None, grid or None)."""
+                    if not isinstance(x, dict) or x.get("type") in ("rgb",
+                                                                    None):
+                        return x if not isinstance(x, dict) \
+                            else x.get("value"), None
+                    if x.get("type") != "gridvolume":
+                        raise ValueError("expected gridvolume, got "
+                                         f"{x.get('type')!r}")
+                    if "grid" in x:
+                        grid = np.asarray(x["grid"], np.float32)
+                    else:
+                        from ..utils.io import read_vol
+                        grid = read_vol(x["filename"])[0]
+                    if grid.ndim == 4:
+                        grid = grid.mean(-1)
+                    return None, grid
+                density = None
+                if mtype == "heterogeneous":
+                    if t != "cube":
+                        raise ValueError("heterogeneous media require a "
+                                         "cube boundary (gridvolume bbox)")
+                    sig_v, density = _volume(idesc.get("sigma_t", 1.0))
+                    scale_m = float(idesc.get("scale", 1.0))
+                    if density is None:   # constant sigma_t, still allowed
+                        density = np.ones((2, 2, 2), np.float32)
+                        sig = np.atleast_1d(np.asarray(sig_v, np.float32))
+                    else:
+                        sig = np.ones(1, np.float32)
+                    sig = sig * scale_m
+                else:
+                    sig = np.atleast_1d(np.asarray(
+                        _num(idesc.get("sigma_t", 1.0)), np.float32))
                 alb = np.atleast_1d(np.asarray(
                     _num(idesc.get("albedo", 0.75)), np.float32))
                 if mode == "spectral":
@@ -762,7 +796,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 medium = make_medium(
                     sig, alb, g=g,
                     to_world=_parse_to_world(value.get("to_world")),
-                    kind=t)
+                    kind=t, density=density,
+                    n_steps=int(idesc.get("n_steps", 64)))
                 continue
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             mat = _build_bsdf(bsdf_desc, mode, textures, materials)

@@ -37,7 +37,8 @@ import numpy as np
 from ..ops.math import safe_sqrt
 
 __all__ = ["Medium", "make_medium", "hg_pdf", "hg_sample",
-           "medium_interval", "transmittance"]
+           "medium_interval", "transmittance", "eval_density",
+           "line_density", "sample_interaction"]
 
 _INF = jnp.inf
 
@@ -45,32 +46,56 @@ GLOBAL, SPHERE, CUBE = -1, 0, 1   # boundary kinds (static)
 
 
 class Medium(NamedTuple):
-    """``kind`` is registered as pytree aux data (static under jit) so the
-    interval computation specializes per boundary type — see
-    ``tree_flatten`` below."""
+    """``kind`` and ``n_steps`` are registered as pytree aux data (static
+    under jit) so the interval computation specializes per boundary type —
+    see ``tree_flatten`` below.
+
+    ``density`` is an optional (D, H, W) scalar grid over the boundary
+    region (the heterogeneous medium of `src/media/heterogeneous.cpp` with
+    a `gridvolume` density, `src/volumes/grid.cpp`); the per-channel
+    extinction at a point is ``sigma_t * density(p)``. The reference
+    delta-tracks against a majorant; the TPU design instead inverts the
+    density LINE INTEGRAL with a dense fixed-step midpoint march
+    (``n_steps`` static samples, cumsum + searchsorted) — every lane does
+    the same N trilinear lookups, no data-dependent loop, fully
+    differentiable, and the distance-sampling weights reduce to the same
+    closed form as the homogeneous medium with distance replaced by
+    integrated density (the grid factor cancels between value and pdf)."""
     sigma_t: jnp.ndarray      # (C,) extinction coefficient
     albedo: jnp.ndarray       # (C,) single-scattering albedo sigma_s/sigma_t
     g: jnp.ndarray            # ()  HG asymmetry (0 == isotropic)
     to_local: jnp.ndarray     # (4, 4) world -> unit-shape space
+    density: jnp.ndarray = None  # optional (D, H, W) grid, z-major like VOL
     kind: int = SPHERE        # static: GLOBAL | SPHERE | CUBE
+    n_steps: int = 64         # static: march steps for grid media
 
 
-# `kind` must be STATIC (Python `if` on it inside traced code), so Medium
-# flattens to (dynamic leaves, kind-as-aux). NamedTuples auto-flatten all
-# fields; override with an explicit registration.
+# `kind`/`n_steps` must be STATIC (Python `if` on them inside traced code),
+# so Medium flattens to (dynamic leaves, statics-as-aux). NamedTuples
+# auto-flatten all fields; override with an explicit registration.
 jax.tree_util.register_pytree_node(
     Medium,
-    lambda m: ((m.sigma_t, m.albedo, m.g, m.to_local), m.kind),
-    lambda kind, leaves: Medium(*leaves, kind=kind))
+    lambda m: ((m.sigma_t, m.albedo, m.g, m.to_local, m.density),
+               (m.kind, m.n_steps)),
+    lambda aux, leaves: Medium(*leaves, kind=aux[0], n_steps=aux[1]))
 
 
 def make_medium(sigma_t, albedo, g=0.0, to_world=None,
-                kind: str = "sphere") -> Medium:
+                kind: str = "sphere", density=None,
+                n_steps: int = 64) -> Medium:
     """Host-side constructor. ``kind`` in {'global','sphere','cube'};
     ``to_world`` maps the unit sphere (radius 1) / unit cube ([-1,1]^3)
     onto the medium region (Mitsuba shape convention, `sphere.cpp`,
-    `cube` mesh)."""
+    `cube` mesh). ``density``: optional (D, H, W) scalar grid spanning the
+    boundary region (heterogeneous medium; cube boundary only)."""
     k = {"global": GLOBAL, "sphere": SPHERE, "cube": CUBE}[kind]
+    if density is not None:
+        if k != CUBE:
+            raise ValueError("grid density requires a cube boundary "
+                             "(gridvolume is box-shaped, `grid.cpp`)")
+        density = jnp.asarray(density, jnp.float32)   # tracer-safe (AD)
+        if density.ndim != 3:
+            raise ValueError("density grid must be (D, H, W)")
     t2w = np.eye(4, dtype=np.float32) if to_world is None \
         else np.asarray(to_world, np.float32)
     return Medium(
@@ -78,7 +103,8 @@ def make_medium(sigma_t, albedo, g=0.0, to_world=None,
         albedo=jnp.atleast_1d(jnp.asarray(albedo, jnp.float32)),
         g=jnp.asarray(g, jnp.float32),
         to_local=jnp.asarray(np.linalg.inv(t2w), jnp.float32),
-        kind=k)
+        density=density,
+        kind=k, n_steps=int(n_steps))
 
 
 # ---------------------------------------------------------------------------
@@ -120,13 +146,143 @@ def medium_interval(med: Medium, o, d):
     return t0, t1
 
 
-def transmittance(med: Medium, o, d, t_max):
-    """Analytic per-channel transmittance along (o, d) up to t_max
-    (homogeneous.cpp ``eval_transmittance``): exp(-sigma_t * overlap)."""
+# ---------------------------------------------------------------------------
+# grid density (heterogeneous media)
+# ---------------------------------------------------------------------------
+
+def eval_density(med: Medium, p):
+    """Trilinear density at world points ``p`` (`grid.cpp` interpolation).
+
+    The grid spans the cube boundary region; local coords [-1,1]^3 map to
+    grid extent [0, n-1] per axis with VOL axis order (z, y, x — x
+    fastest). Points outside are clamped (the boundary interval already
+    restricts evaluation to the inside)."""
+    g = med.density
+    dz, hy, wx = g.shape
+    A = med.to_local
+    pl = p @ A[:3, :3].T + A[:3, 3]
+    u = jnp.clip((pl + 1.0) * 0.5, 0.0, 1.0)
+    fx = u[..., 0] * (wx - 1)
+    fy = u[..., 1] * (hy - 1)
+    fz = u[..., 2] * (dz - 1)
+    x0 = jnp.clip(jnp.floor(fx), 0, wx - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(fy), 0, hy - 1).astype(jnp.int32)
+    z0 = jnp.clip(jnp.floor(fz), 0, dz - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, wx - 1)
+    y1 = jnp.minimum(y0 + 1, hy - 1)
+    z1 = jnp.minimum(z0 + 1, dz - 1)
+    tx = fx - x0
+    ty = fy - y0
+    tz = fz - z0
+    flat = g.reshape(-1)
+
+    def corner(zi, yi, xi):
+        return jnp.take(flat, (zi * hy + yi) * wx + xi)
+
+    c000 = corner(z0, y0, x0)
+    c001 = corner(z0, y0, x1)
+    c010 = corner(z0, y1, x0)
+    c011 = corner(z0, y1, x1)
+    c100 = corner(z1, y0, x0)
+    c101 = corner(z1, y0, x1)
+    c110 = corner(z1, y1, x0)
+    c111 = corner(z1, y1, x1)
+    c00 = c000 * (1 - tx) + c001 * tx
+    c01 = c010 * (1 - tx) + c011 * tx
+    c10 = c100 * (1 - tx) + c101 * tx
+    c11 = c110 * (1 - tx) + c111 * tx
+    c0 = c00 * (1 - ty) + c01 * ty
+    c1 = c10 * (1 - ty) + c11 * ty
+    return c0 * (1 - tz) + c1 * tz
+
+
+def _density_march(med: Medium, o, d, t0, seg):
+    """Midpoint-rule march: per-step densities along [t0, t0+seg].
+
+    Returns (dens (..., N), dt (...)) with N = ``med.n_steps`` static.
+    Exact for piecewise-linear density per step; the step axis is a dense
+    static dimension (VPU-friendly, no data-dependent loop)."""
+    n = med.n_steps
+    dt = seg / n
+    # midpoints of the n sub-segments; (..., N) broadcast
+    frac = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    ts = t0[..., None] + seg[..., None] * frac
+    pts = o[..., None, :] + d[..., None, :] * ts[..., None]
+    return eval_density(med, pts), dt
+
+
+def line_density(med: Medium, o, d, t_max):
+    """Integrated density D = ∫ dens(o + t d) dt over the medium overlap
+    clipped to [0, t_max]; equals the overlap LENGTH for media without a
+    grid (density ≡ 1)."""
     t0, t1 = medium_interval(med, o, d)
     seg = jnp.clip(jnp.minimum(t1, t_max) - jnp.minimum(t0, t_max),
                    0.0, None)
-    return jnp.exp(-med.sigma_t * seg[..., None])
+    if med.density is None:
+        return seg
+    dens, dt = _density_march(med, o, jnp.asarray(d), jnp.minimum(t0, t_max),
+                              seg)
+    return jnp.sum(dens, axis=-1) * dt
+
+
+def transmittance(med: Medium, o, d, t_max):
+    """Per-channel transmittance along (o, d) up to t_max: analytic
+    Beer-Lambert for homogeneous media (homogeneous.cpp
+    ``eval_transmittance``), density-march optical depth for grid media
+    (`heterogeneous.cpp` transmittance estimate, made deterministic)."""
+    return jnp.exp(-med.sigma_t * line_density(med, o, d, t_max)[..., None])
+
+
+def sample_interaction(med: Medium, o, d, seg_t0, seg, u):
+    """Free-flight sampling over the clipped segment [seg_t0, seg_t0+seg]
+    (`homogeneous.cpp` / `heterogeneous.cpp` ``sample_interaction``).
+
+    Draws a target DENSITY integral xi = -log(1-u)/sigma_bar (sigma_bar =
+    channel-mean extinction) and inverts the density line integral D(s);
+    for homogeneous media D(s) = s and this is the classic exponential
+    free flight. Scattering occurs iff s < seg (s = +inf otherwise).
+
+    Returns (scatter, s, T_seg, w_pass, w_scat):
+      scatter (...,) bool: an in-scattering event occurred inside seg
+      s       distance from seg_t0 to the scatter point (0 on no-scatter
+              lanes — FINITE so downstream where-masked positions never
+              produce NaN gradients, cf. BASELINE.md NaN-safety note)
+      T_seg   (..., C) transmittance across the whole segment
+      w_pass  (..., C) pass-through ratio weight  T_seg / P(no scatter)
+      w_scat  (..., C) scatter ratio weight  sigma_s·dens·T(s) / pdf(s);
+              the grid density cancels between value and pdf, leaving
+              (sigma_s/sigma_bar)·exp(-(sigma_t - sigma_bar)·xi).
+    """
+    sigma_bar = jnp.mean(med.sigma_t)
+    xi = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sigma_bar
+    if med.density is None:
+        s = xi
+        d_total = seg
+    else:
+        dens, dt = _density_march(med, o, d, seg_t0, seg)
+        cum = jnp.cumsum(dens, axis=-1) * dt[..., None]    # D at step ends
+        d_total = cum[..., -1]
+        # first step whose cumulative density reaches xi
+        k = jnp.sum((cum < xi[..., None]).astype(jnp.int32), axis=-1)
+        k_c = jnp.minimum(k, med.n_steps - 1)
+        cum_prev = jnp.where(k_c > 0,
+                             jnp.take_along_axis(
+                                 cum, jnp.maximum(k_c - 1, 0)[..., None],
+                                 axis=-1)[..., 0], 0.0)
+        dens_k = jnp.take_along_axis(dens, k_c[..., None], axis=-1)[..., 0]
+        s = k_c * dt + (xi - cum_prev) / jnp.maximum(dens_k, 1e-12)
+        # inversion guarantees D(s) == xi up to the march resolution
+    scatter = xi < d_total
+    s = jnp.where(scatter, jnp.minimum(s, seg), 0.0)
+    T_seg = jnp.exp(-med.sigma_t * d_total[..., None])
+    w_pass = T_seg / jnp.maximum(jnp.exp(-sigma_bar * d_total),
+                                 1e-30)[..., None]
+    sigma_s = med.albedo * med.sigma_t
+    xi_c = jnp.minimum(xi, d_total)      # = D(s) on scatter lanes
+    w_scat = (sigma_s * jnp.exp(-med.sigma_t * xi_c[..., None])
+              / jnp.maximum(sigma_bar * jnp.exp(-sigma_bar * xi_c),
+                            1e-30)[..., None])
+    return scatter, s, T_seg, w_pass, w_scat
 
 
 # ---------------------------------------------------------------------------
