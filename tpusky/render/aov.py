@@ -37,6 +37,7 @@ def render_aovs(scene, sensor, height: int, width: int):
         p = jnp.where(use_mesh[..., None], o + tm[..., None] * d, p)
         n = jnp.where(use_mesh[..., None], nm, n)
         mat = jnp.where(use_mesh, matm, mat)
+        shape_idx = jnp.where(use_mesh, -2, shape_idx)
         hit = hit | hitm
     if scene.sdf is not None:
         from .sdf import sdf_intersect
@@ -46,7 +47,18 @@ def render_aovs(scene, sensor, height: int, width: int):
         p = jnp.where(use_sdf[..., None], o + ts_[..., None] * d, p)
         n = jnp.where(use_sdf[..., None], ns_, n)
         mat = jnp.where(use_sdf, scene.sdf.bsdf_idx, mat)
+        shape_idx = jnp.where(use_sdf, -3, shape_idx)
         hit = hit | use_sdf
+    if scene.curve is not None:
+        from .curve import curve_intersect
+        tc_, nc_, matc_, hc_ = curve_intersect(scene.curve, o, d)
+        use_cv = hc_ & (tc_ < t)
+        t = jnp.where(use_cv, tc_, t)
+        p = jnp.where(use_cv[..., None], o + tc_[..., None] * d, p)
+        n = jnp.where(use_cv[..., None], nc_, n)
+        mat = jnp.where(use_cv, matc_, mat)
+        shape_idx = jnp.where(use_cv, -4, shape_idx)
+        hit = hit | use_cv
 
     albedo = take_rows(scene.bsdfs.albedo, mat)
     shape = (height, width)

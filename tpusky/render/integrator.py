@@ -157,6 +157,20 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             hit = hit | use_sdf
             sdf_mat = use_sdf
 
+        curve_mat = None
+        if scene.curve is not None:
+            from .curve import curve_intersect
+            tc_, nc_, matc_, hc_ = curve_intersect(scene.curve, state.o,
+                                                   state.d)
+            use_cv = hc_ & (tc_ < t)
+            t = jnp.where(use_cv, tc_, t)
+            p = jnp.where(use_cv[..., None],
+                          state.o + tc_[..., None] * state.d, p)
+            ng = jnp.where(use_cv[..., None], nc_, ng)
+            shape_idx = jnp.where(use_cv, -4, shape_idx)
+            hit = hit | use_cv
+            curve_mat = (use_cv, matc_)
+
         # ---- participating medium: free-flight sampling ----------------
         # The medium region is convex, so the ray's overlap is ONE closed-
         # form interval — no inside/outside loop state, no null-boundary
@@ -240,6 +254,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             mat_idx = jnp.where(mesh_mat[0], mesh_mat[1], mat_idx)
         if sdf_mat is not None:
             mat_idx = jnp.where(sdf_mat, scene.sdf.bsdf_idx, mat_idx)
+        if curve_mat is not None:
+            mat_idx = jnp.where(curve_mat[0], curve_mat[1], mat_idx)
 
         # per-lane textured reflectance, evaluated once per bounce and
         # shared by every BSDF query at this vertex
@@ -489,6 +505,14 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         ng = jnp.where(use_sdf[..., None], ns_, ng)
         shape_idx = jnp.where(use_sdf, -3, shape_idx)
         hit = hit | use_sdf
+    if scene.curve is not None:
+        from .curve import curve_intersect as _cvi
+        tc_, nc_, _mc_, hc_ = _cvi(scene.curve, state.o, state.d)
+        use_cv = hc_ & (tc_ < t)
+        t = jnp.where(use_cv, tc_, t)
+        ng = jnp.where(use_cv[..., None], nc_, ng)
+        shape_idx = jnp.where(use_cv, -4, shape_idx)
+        hit = hit | use_cv
     escaped = state.active & ~hit
     if scene.medium is not None:
         # (density-march) transmittance to the final emissive vertex

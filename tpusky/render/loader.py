@@ -624,6 +624,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     sensor_desc = None
     env_desc = None
     shapes, materials, areas, meshes = [], [], [], []
+    curves = []
     textures = []
     point_lights, directional_lights, spot_lights = [], [], []
     dir_areas = {}   # shape list index -> radiance (directionalarea)
@@ -644,6 +645,30 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             sensor_desc = value
         elif t in ("sunsky", "constant", "envmap"):
             env_desc = value
+        elif t in ("linearcurve", "bsplinecurve"):
+            # curve shapes (`bsplinecurve.cpp`, `linearcurve.cpp`):
+            # 'filename' in the reference's ASCII format, or inline
+            # 'points' (P,3) + 'radii'/'radius'
+            mat = _build_bsdf(value.get("bsdf", {"type": "diffuse"}), mode,
+                              textures, materials)
+            kind_c = "linear" if t == "linearcurve" else "bspline"
+            if "filename" in value:
+                from .curve import read_curve_file
+                parsed = read_curve_file(value["filename"])
+            else:
+                pts = np.asarray(value["points"], np.float32)
+                radii = value.get("radii")
+                radii = (np.full((len(pts),),
+                                 float(value.get("radius", 0.1)),
+                                 np.float32) if radii is None
+                         else np.asarray(radii, np.float32))
+                parsed = [(pts, radii)]
+            for pts_c, radii_c in parsed:
+                curves.append(dict(
+                    points=pts_c, radii=radii_c, kind=kind_c,
+                    to_world=_parse_to_world(value.get("to_world")),
+                    bsdf_idx=len(materials)))
+            materials.append(mat)
         elif t in ("obj", "ply", "serialized"):
             if t == "obj":
                 from ..utils.native import load_obj
@@ -950,6 +975,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         meshes=meshes or None,
         medium=medium,
         sdf=sdf_grid,
+        curves=curves or None,
         env=None)
 
     itype = integrator.get("type", "path")

@@ -41,12 +41,13 @@ class Scene(NamedTuple):
                                              # (homogeneous, convex region;
                                              # see render/medium.py, H19)
     sdf: Any = None                          # sdf.SDFGrid | None (H20)
+    curve: Any = None                        # curve.CurveTable | None (H20)
 
 
 def scene_occluded(scene: "Scene", o, d, maxt):
     """Shadow-ray predicate over every geometry kind in the scene
-    (analytic shapes + triangle meshes + SDF grid). The single place new
-    geometry kinds hook into every NEE/shadow query."""
+    (analytic shapes + triangle meshes + SDF grid + curves). The single
+    place new geometry kinds hook into every NEE/shadow query."""
     from .shapes import ray_test
     occ = ray_test(scene.shapes, o, d, maxt)
     if scene.mesh is not None:
@@ -55,6 +56,9 @@ def scene_occluded(scene: "Scene", o, d, maxt):
     if scene.sdf is not None:
         from .sdf import sdf_test
         occ = occ | sdf_test(scene.sdf, o, d, maxt)
+    if scene.curve is not None:
+        from .curve import curve_test
+        occ = occ | curve_test(scene.curve, o, d, maxt)
     return occ
 
 
@@ -69,7 +73,7 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                spectral_textures=False, bsdf_extras=None,
                bsdf_normal_tex_indices=None, medium=None,
                sdf=None, bsdf_blend_children=None,
-               bsdf_blend_weights=None) -> Scene:
+               bsdf_blend_weights=None, curves=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -121,6 +125,10 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
         mesh_table = make_mesh_table(meshes)
     if dir_area_radiance is None:
         dir_area_radiance = np.zeros((len(shapes), n_channels), np.float32)
+    curve_table = None
+    if curves:
+        from .curve import make_curve_table
+        curve_table = make_curve_table(curves)
     return Scene(table, bsdfs, env, jnp.asarray(env_to_world, jnp.float32),
                  jnp.asarray(area_radiance, jnp.float32),
                  jnp.asarray(center, jnp.float32),
@@ -128,4 +136,4 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                  jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl),
                  mesh_table, tuple(spot_lights),
                  jnp.asarray(dir_area_radiance, jnp.float32), tex_table,
-                 medium, sdf)
+                 medium, sdf, curve_table)
