@@ -21,7 +21,8 @@ def _uniform_field(rfilter, h=16, w=16, spp=8, value=2.0):
 
 
 def test_all_filters_preserve_constant():
-    for rf in ("box", "gaussian", "tent", "mitchell", "lanczos"):
+    for rf in ("box", "gaussian", "tent", "mitchell", "catmullrom",
+               "lanczos"):
         img = _uniform_field(rf)
         interior = img[4:-4, 4:-4]
         assert np.allclose(interior, 2.0, atol=0.02), (rf, interior.mean())

@@ -352,3 +352,70 @@ def test_grid_medium_differentiable():
     g = np.array(g)
     assert np.isfinite(g).all() and np.abs(g).sum() > 0
     assert (g <= 1e-9).all()   # denser fog can only darken a furnace view
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh phase (`src/phase/rayleigh.cpp`) + Catmull-Rom rfilter
+# ---------------------------------------------------------------------------
+
+from tpusky.render.medium import rayleigh_pdf, rayleigh_sample
+
+
+def test_rayleigh_pdf_normalized():
+    th = np.linspace(0, np.pi, 100_001)
+    vals = np.array(rayleigh_pdf(jnp.cos(th))) * np.sin(th) * 2 * np.pi
+    assert np.trapezoid(vals, th) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_rayleigh_sample_pdf_chi2():
+    fwd = jnp.asarray([0.0, 0.0, 1.0])
+
+    def sample_fn(key, count):
+        u = jax.random.uniform(key, (count, 2))
+        wo, _ = rayleigh_sample(jnp.broadcast_to(fwd, (count, 3)), u)
+        return wo
+
+    def pdf_fn(d):
+        return rayleigh_pdf(d[..., 2])
+
+    p, ok, info = chi2_test(sample_fn, pdf_fn, key=jax.random.PRNGKey(2),
+                            sample_count=1_000_000, res_phi=32, res_cos=32,
+                            cos_range=(-1.0, 1.0), ires=16)
+    assert ok, f"chi2 p={p} {info}"
+
+
+def test_rayleigh_scattering_furnace():
+    """Energy conservation with the Rayleigh phase: albedo-1 medium in a
+    uniform environment keeps radiance = L."""
+    t2w = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+    med = make_medium([0.8] * 3, [1.0] * 3, to_world=t2w, kind="sphere",
+                      phase="rayleigh")
+    scene = make_scene(env=ConstantEnv(jnp.asarray([1.0] * 3)), medium=med)
+    sensor = make_perspective(origin=[0, 0, 0], target=[1, 0.2, 0.1],
+                              fov_x_deg=60)
+    img = np.array(integrator.render(scene, sensor, Film(8, 8, 3),
+                                     jax.random.PRNGKey(0), spp=128,
+                                     max_depth=24))
+    np.testing.assert_allclose(img.mean(), 1.0, rtol=0.02)
+
+
+def test_rayleigh_loader():
+    from tpusky.render.loader import load_dict
+    bundle = load_dict({
+        "type": "scene",
+        "integrator": {"type": "volpath", "max_depth": 6},
+        "sensor": {"type": "perspective", "fov": 60,
+                   "to_world": {"type": "look_at", "origin": [0, -6, 0],
+                                "target": [0, 0, 0], "up": [0, 0, 1]},
+                   "film": {"height": 8, "width": 8,
+                            "rfilter": {"type": "catmullrom"}},
+                   "sampler": {"sample_count": 16}},
+        "env": {"type": "constant", "radiance": 1.0},
+        "fog": {"type": "sphere",
+                "to_world": {"scale": [1.5, 1.5, 1.5]},
+                "interior": {"type": "homogeneous", "sigma_t": 0.7,
+                             "albedo": 0.6,
+                             "phase": {"type": "rayleigh"}}},
+    })
+    img = np.asarray(bundle.render(seed=0))
+    assert np.isfinite(img).all() and img.max() > 0

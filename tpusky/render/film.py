@@ -27,7 +27,8 @@ class Film(NamedTuple):
     height: int
     width: int
     n_channels: int
-    rfilter: str = "box"       # box | gaussian | tent | mitchell | lanczos
+    rfilter: str = "box"       # box | gaussian | tent | mitchell |
+    #                            catmullrom | lanczos
     bands: tuple = None        # specfilm band edges (nm), len = channels+1
 
 
@@ -61,7 +62,8 @@ def splat(film: Film, pixel_uv, values):
         img = jax.ops.segment_sum(values, flat, num_segments=h * w)
         return img.reshape(h, w, c + 1)
 
-    radius = {"mitchell": 2, "lanczos": 3}.get(film.rfilter, 1)
+    radius = {"mitchell": 2, "catmullrom": 2, "lanczos": 3}.get(
+        film.rfilter, 1)
     taps = range(2 * radius)
 
     def weight_fn(r):
@@ -70,8 +72,13 @@ def splat(film: Film, pixel_uv, values):
             return jnp.exp(-0.5 * r * r / 0.25)
         if film.rfilter == "tent":
             return jnp.maximum(1.0 - r, 0.0)
-        if film.rfilter == "mitchell":
-            b = cc = 1.0 / 3.0
+        if film.rfilter in ("mitchell", "catmullrom"):
+            # Mitchell-Netravali family; Catmull-Rom = (B=0, C=1/2)
+            # (`src/rfilters/{mitchell,catmullrom}.cpp`)
+            if film.rfilter == "mitchell":
+                b = cc = 1.0 / 3.0
+            else:
+                b, cc = 0.0, 0.5
             r2, r3 = r * r, r * r * r
             inner = ((12 - 9 * b - 6 * cc) * r3 + (-18 + 12 * b + 6 * cc)
                      * r2 + (6 - 2 * b)) / 6.0

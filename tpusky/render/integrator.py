@@ -419,7 +419,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                     scene.env, scene.env_to_world, u_nee_m, wavelengths,
                     mode)
                 pdf_me_d = sg(pdf_me)
-                f_p = medium_mod.hg_pdf(med.g, dot(state.d, d_me))
+                f_p = medium_mod.phase_pdf(med, dot(state.d, d_me))
                 occ_m = scene_occluded(scene, p_m, d_me,
                                        jnp.full((n,), jnp.inf))
                 T_sh = medium_mod.transmittance(med, p_m, d_me,
@@ -431,7 +431,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 ok_m = med_act & ~occ_m & (pdf_me_d > 0.0)
                 result = result + jnp.where(ok_m[..., None], contrib_m, 0.0)
             u_ph = sg(smp.next(100_000 + 4 * depth + 2, 2))
-            d_ph, pdf_ph = medium_mod.hg_sample(med.g, state.d, u_ph)
+            d_ph, pdf_ph = medium_mod.phase_sample(med, state.d, u_ph)
             d_ph = sg(d_ph)
 
         # ---- merge surface and medium continuations ----

@@ -771,8 +771,11 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 if mtype not in ("homogeneous", "heterogeneous"):
                     raise ValueError(f"unsupported medium type {mtype!r}")
                 phase = idesc.get("phase", {"type": "isotropic"})
-                g = (float(phase.get("g", 0.0))
-                     if phase.get("type") in ("hg", "isotropic") else 0.0)
+                ptype = phase.get("type", "isotropic")
+                if ptype not in ("hg", "isotropic", "rayleigh"):
+                    raise ValueError(f"unknown phase {ptype!r}")
+                g = float(phase.get("g", 0.0)) if ptype == "hg" else 0.0
+                phase_kind = "rayleigh" if ptype == "rayleigh" else "hg"
                 def _num(x):   # unwrap XML {"type": "rgb", "value": [...]}
                     return x["value"] if isinstance(x, dict) else x
 
@@ -822,7 +825,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                     sig, alb, g=g,
                     to_world=_parse_to_world(value.get("to_world")),
                     kind=t, density=density,
-                    n_steps=int(idesc.get("n_steps", 64)))
+                    n_steps=int(idesc.get("n_steps", 64)),
+                    phase=phase_kind)
                 continue
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             mat = _build_bsdf(bsdf_desc, mode, textures, materials)
@@ -864,7 +868,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         elif t in ("diffuse", "conductor", "roughconductor", "dielectric",
                    "roughdielectric", "plastic", "null", "mask", "twosided",
                    "blendbsdf",
-                   "box", "gaussian", "tent", "lanczos", "mitchell"):
+                   "box", "gaussian", "tent", "lanczos", "mitchell",
+                   "catmullrom"):
             # standalone BSDF/rfilter declaration (XML `id=` + `<ref>`
             # pattern, `xml.cpp`): shapes hold resolved copies, nothing to do
             continue
@@ -882,7 +887,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     rfilter = film_desc.get("rfilter", {}).get("type", "box") \
         if isinstance(film_desc.get("rfilter"), dict) else "box"
     rfilter = rfilter if rfilter in ("box", "gaussian", "tent",
-                                     "mitchell", "lanczos") else "box"
+                                     "mitchell", "lanczos",
+                                     "catmullrom") else "box"
     if film_desc.get("type") == "specfilm":
         # spectral band film (`src/films/specfilm.cpp`): each channel
         # integrates one wavelength band; requires mode='spectral'

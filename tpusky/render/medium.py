@@ -37,6 +37,7 @@ import numpy as np
 from ..ops.math import safe_sqrt
 
 __all__ = ["Medium", "make_medium", "hg_pdf", "hg_sample",
+           "rayleigh_pdf", "rayleigh_sample", "phase_pdf", "phase_sample",
            "medium_interval", "transmittance", "eval_density",
            "line_density", "sample_interaction"]
 
@@ -68,21 +69,24 @@ class Medium(NamedTuple):
     density: jnp.ndarray = None  # optional (D, H, W) grid, z-major like VOL
     kind: int = SPHERE        # static: GLOBAL | SPHERE | CUBE
     n_steps: int = 64         # static: march steps for grid media
+    phase: str = "hg"         # static: "hg" (g=0 == isotropic) | "rayleigh"
 
 
-# `kind`/`n_steps` must be STATIC (Python `if` on them inside traced code),
-# so Medium flattens to (dynamic leaves, statics-as-aux). NamedTuples
-# auto-flatten all fields; override with an explicit registration.
+# `kind`/`n_steps`/`phase` must be STATIC (Python `if` on them inside
+# traced code), so Medium flattens to (dynamic leaves, statics-as-aux).
+# NamedTuples auto-flatten all fields; override with an explicit
+# registration.
 jax.tree_util.register_pytree_node(
     Medium,
     lambda m: ((m.sigma_t, m.albedo, m.g, m.to_local, m.density),
-               (m.kind, m.n_steps)),
-    lambda aux, leaves: Medium(*leaves, kind=aux[0], n_steps=aux[1]))
+               (m.kind, m.n_steps, m.phase)),
+    lambda aux, leaves: Medium(*leaves, kind=aux[0], n_steps=aux[1],
+                               phase=aux[2]))
 
 
 def make_medium(sigma_t, albedo, g=0.0, to_world=None,
                 kind: str = "sphere", density=None,
-                n_steps: int = 64) -> Medium:
+                n_steps: int = 64, phase: str = "hg") -> Medium:
     """Host-side constructor. ``kind`` in {'global','sphere','cube'};
     ``to_world`` maps the unit sphere (radius 1) / unit cube ([-1,1]^3)
     onto the medium region (Mitsuba shape convention, `sphere.cpp`,
@@ -98,13 +102,15 @@ def make_medium(sigma_t, albedo, g=0.0, to_world=None,
             raise ValueError("density grid must be (D, H, W)")
     t2w = np.eye(4, dtype=np.float32) if to_world is None \
         else np.asarray(to_world, np.float32)
+    if phase not in ("hg", "rayleigh"):
+        raise ValueError(f"unknown phase function {phase!r}")
     return Medium(
         sigma_t=jnp.atleast_1d(jnp.asarray(sigma_t, jnp.float32)),
         albedo=jnp.atleast_1d(jnp.asarray(albedo, jnp.float32)),
         g=jnp.asarray(g, jnp.float32),
         to_local=jnp.asarray(np.linalg.inv(t2w), jnp.float32),
         density=density,
-        kind=k, n_steps=int(n_steps))
+        kind=k, n_steps=int(n_steps), phase=phase)
 
 
 # ---------------------------------------------------------------------------
@@ -332,3 +338,57 @@ def hg_sample(g, d_prop, u):
         + (sin_t * jnp.sin(phi))[..., None] * t2v \
         + cos_t[..., None] * fwd
     return wo, hg_pdf(g_, cos_t)
+
+
+# ---------------------------------------------------------------------------
+# Rayleigh phase function (reference `src/phase/rayleigh.cpp`)
+# ---------------------------------------------------------------------------
+
+def rayleigh_pdf(cos_theta):
+    """p(cosθ) = 3/(16π) (1 + cos²θ), normalized over the sphere."""
+    return (3.0 / (16.0 * jnp.pi)) * (1.0 + cos_theta * cos_theta)
+
+
+def _frame_dir(fwd, cos_t, u_phi):
+    """Direction at angle θ around ``fwd`` with azimuth 2π·u_phi."""
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = safe_sqrt(1.0 - cos_t * cos_t)
+    phi = 2.0 * jnp.pi * u_phi
+    a = jnp.where(jnp.abs(fwd[..., 2:3]) < 0.999,
+                  jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), fwd.shape),
+                  jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), fwd.shape))
+    t1v = jnp.cross(a, fwd)
+    t1v = t1v / jnp.maximum(
+        jnp.linalg.norm(t1v, axis=-1, keepdims=True), 1e-12)
+    t2v = jnp.cross(fwd, t1v)
+    return (sin_t * jnp.cos(phi))[..., None] * t1v \
+        + (sin_t * jnp.sin(phi))[..., None] * t2v \
+        + cos_t[..., None] * fwd
+
+
+def rayleigh_sample(d_prop, u):
+    """Exact inverse-CDF sampling (`rayleigh.cpp::sample`): the marginal
+    CDF in c = cosθ is 3/8(c + c³/3) + 1/2; the depressed cubic
+    c³ + 3c = 8u − 4 solves in closed form as c = w − 1/w with
+    w = ∛((q + √(q²+4))/2)."""
+    u1, u2 = u[..., 0], u[..., 1]
+    q = 8.0 * u1 - 4.0
+    w = jnp.cbrt(0.5 * (q + jnp.sqrt(q * q + 4.0)))
+    cos_t = w - 1.0 / jnp.maximum(w, 1e-12)
+    wo = _frame_dir(d_prop, cos_t, u2)
+    return wo, rayleigh_pdf(jnp.clip(cos_t, -1.0, 1.0))
+
+
+def phase_pdf(med: Medium, cos_theta):
+    """Phase value == pdf for the medium's (static) phase function.
+    ``cos_theta = dot(d_prop, wo)``."""
+    if med.phase == "rayleigh":
+        return rayleigh_pdf(cos_theta)
+    return hg_pdf(med.g, cos_theta)
+
+
+def phase_sample(med: Medium, d_prop, u):
+    """Sample wo around the propagation direction; (wo, pdf)."""
+    if med.phase == "rayleigh":
+        return rayleigh_sample(d_prop, u)
+    return hg_sample(med.g, d_prop, u)

@@ -44,7 +44,8 @@ _CATEGORY = {
     "film": ("hdrfilm", "specfilm"),
     "sampler": ("independent", "stratified", "multijitter", "orthogonal",
                 "ldsampler", "sobol"),
-    "rfilter": ("box", "gaussian", "tent", "lanczos", "mitchell"),
+    "rfilter": ("box", "gaussian", "tent", "lanczos", "mitchell",
+                "catmullrom"),
 }
 _TYPE_TO_CATEGORY = {t: c for c, ts in _CATEGORY.items() for t in ts}
 
