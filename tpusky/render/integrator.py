@@ -419,7 +419,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                     scene.env, scene.env_to_world, u_nee_m, wavelengths,
                     mode)
                 pdf_me_d = sg(pdf_me)
-                f_p = medium_mod.phase_pdf(med, dot(state.d, d_me))
+                f_p = medium_mod.phase_pdf(med, state.d, d_me)
                 occ_m = scene_occluded(scene, p_m, d_me,
                                        jnp.full((n,), jnp.inf))
                 T_sh = medium_mod.transmittance(med, p_m, d_me,

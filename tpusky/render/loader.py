@@ -88,9 +88,12 @@ def spectrum_to_channels(value, mode: str) -> np.ndarray:
         if t == "uniform":
             return np.full(3 if mode == "rgb" else 11,
                            float(value.get("value", 1.0)))
-        if t == "rgb":
-            arr = np.broadcast_to(np.asarray(value["value"], np.float64),
-                                  (3,))
+        if t in ("rgb", "srgb"):
+            # `srgb` (`src/spectra/srgb.cpp`) is the explicit plugin name
+            # for the rgb2spec upsampling that `rgb` values also take
+            arr = np.broadcast_to(
+                np.asarray(value.get("value", value.get("color", 1.0)),
+                           np.float64), (3,))
             if mode == "rgb":
                 return arr.copy()
             from ..ops.rgb2spec import upsample_rgb
@@ -518,6 +521,62 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
     return mat
 
 
+def _phase_child_kind(desc, slot, out):
+    """One non-blend phase child -> ('hg'|'hg2'|'rayleigh'|'tab'|'sggx');
+    fills the matching parameter slots of ``out`` (make_medium kwargs)."""
+    t = desc.get("type", "isotropic")
+    if t in ("isotropic", "hg"):
+        g = float(desc.get("g", 0.0)) if t == "hg" else 0.0
+        if slot == 0:
+            out["g"] = g
+            return "hg"
+        out["g2"] = g
+        return "hg2"
+    if t == "rayleigh":
+        return "rayleigh"
+    if t == "tabphase":
+        out["phase_tab"] = _parse_number_list(desc["values"])
+        return "tab"
+    if t == "sggx":
+        s = desc.get("S", desc.get("s"))
+        if isinstance(s, dict):   # constvolume with six values (`sggx.cpp`)
+            if s.get("type") != "constvolume":
+                raise ValueError("sggx: only a constvolume S is supported")
+            s = s.get("value")
+        out["sggx_s"] = np.asarray(s, np.float32).reshape(6)
+        return "sggx"
+    raise ValueError(f"unknown phase {t!r}")
+
+
+def _parse_phase(desc) -> dict:
+    """Phase-function description -> make_medium kwargs (reference
+    `src/phase/`: isotropic, hg, rayleigh, tabphase, sggx, blendphase)."""
+    out = {}
+    if desc.get("type") == "blendphase":
+        children = [v for v in desc.values()
+                    if isinstance(v, dict) and v.get("type") not in
+                    ("constvolume", "gridvolume", None)]
+        if len(children) != 2:
+            raise ValueError("blendphase needs exactly two children")
+        w = desc.get("weight", 0.5)
+        if isinstance(w, dict):
+            w = w.get("value", 0.5)
+        ka = _phase_child_kind(children[0], 0, out)
+        kb = _phase_child_kind(children[1], 1 if ka in ("hg", "hg2") else 0,
+                               out)
+        if ka == kb and ka not in ("hg", "hg2"):
+            raise ValueError("blendphase children must differ in type "
+                             "(or both be hg)")
+        # reference convention (`blendphase.cpp:138-144`): the SECOND
+        # child is picked with probability `weight`; eval is
+        # (1-w)·phase0 + w·phase1
+        out["phase_w"] = float(w)
+        out["phase"] = ("blend", ka, kb)
+        return out
+    out["phase"] = _phase_child_kind(desc, 0, out)
+    return out
+
+
 def _build_sensor(sensor_desc, w, h):
     """Construct a sensor pytree from a Mitsuba-style description."""
     st = sensor_desc["type"]
@@ -615,10 +674,37 @@ def _expand_instances(d: dict) -> dict:
     return out
 
 
+def _expand_merge(d: dict) -> dict:
+    """Hoist the children of `merge` shapes (reference `src/shapes/
+    merge.cpp` — a container that fuses compatible child meshes into one;
+    the TPU scene is already one fused SoA/tile table, so merging
+    degenerates to flattening the container)."""
+    if not any(isinstance(v, dict) and v.get("type") == "merge"
+               for v in d.values()):
+        return d
+    out, uid = {}, 0
+    for k, v in d.items():
+        if not (isinstance(v, dict) and v.get("type") == "merge"):
+            out[k] = v
+            continue
+        m_outer = v.get("to_world")
+        for ck, cv in v.items():
+            if not (isinstance(cv, dict) and "type" in cv):
+                continue
+            child = dict(cv)
+            if m_outer is not None:
+                child["to_world"] = (
+                    _parse_to_world(m_outer)
+                    @ _parse_to_world(child.get("to_world")))
+            out[f"{k}.{ck}.{uid}"] = child
+            uid += 1
+    return out
+
+
 def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     """Assemble a renderable bundle from a Mitsuba-style scene dict."""
     assert d.get("type") == "scene", "top-level dict must have type='scene'"
-    d = _expand_instances(d)
+    d = _expand_merge(_expand_instances(d))
 
     integrator = {"type": "path"}
     sensor_desc = None
@@ -770,22 +856,21 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 mtype = idesc.get("type", "homogeneous")
                 if mtype not in ("homogeneous", "heterogeneous"):
                     raise ValueError(f"unsupported medium type {mtype!r}")
-                phase = idesc.get("phase", {"type": "isotropic"})
-                ptype = phase.get("type", "isotropic")
-                if ptype not in ("hg", "isotropic", "rayleigh"):
-                    raise ValueError(f"unknown phase {ptype!r}")
-                g = float(phase.get("g", 0.0)) if ptype == "hg" else 0.0
-                phase_kind = "rayleigh" if ptype == "rayleigh" else "hg"
+                phase_kwargs = _parse_phase(
+                    idesc.get("phase", {"type": "isotropic"}))
                 def _num(x):   # unwrap XML {"type": "rgb", "value": [...]}
                     return x["value"] if isinstance(x, dict) else x
 
                 def _volume(x):
-                    """gridvolume (`grid.cpp`): inline 'grid' ndarray or
-                    .vol file; -> (scalar value or None, grid or None)."""
+                    """gridvolume (`grid.cpp`) / constvolume
+                    (`const.cpp`): inline 'grid' ndarray or .vol file; ->
+                    (scalar value or None, grid or None)."""
                     if not isinstance(x, dict) or x.get("type") in ("rgb",
                                                                     None):
                         return x if not isinstance(x, dict) \
                             else x.get("value"), None
+                    if x.get("type") == "constvolume":
+                        return x.get("value", 1.0), None
                     if x.get("type") != "gridvolume":
                         raise ValueError("expected gridvolume, got "
                                          f"{x.get('type')!r}")
@@ -822,11 +907,11 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                     raise ValueError("only one participating medium per "
                                      "scene is supported")
                 medium = make_medium(
-                    sig, alb, g=g,
+                    sig, alb,
                     to_world=_parse_to_world(value.get("to_world")),
                     kind=t, density=density,
                     n_steps=int(idesc.get("n_steps", 64)),
-                    phase=phase_kind)
+                    **phase_kwargs)
                 continue
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             mat = _build_bsdf(bsdf_desc, mode, textures, materials)
@@ -873,6 +958,13 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             # standalone BSDF/rfilter declaration (XML `id=` + `<ref>`
             # pattern, `xml.cpp`): shapes hold resolved copies, nothing to do
             continue
+        elif t == "blender":
+            # `blender.cpp` builds a Mesh from raw pointers into the
+            # Blender process's memory — meaningful only inside the
+            # Blender exporter; there is no TPU-side equivalent.
+            raise NotImplementedError(
+                "'blender' shapes reference in-process Blender memory; "
+                "export the mesh to PLY/OBJ instead")
         else:
             custom = _PLUGIN_REGISTRY.get("any", {}).get(t)
             if custom is None:

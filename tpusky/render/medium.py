@@ -38,8 +38,9 @@ from ..ops.math import safe_sqrt
 
 __all__ = ["Medium", "make_medium", "hg_pdf", "hg_sample",
            "rayleigh_pdf", "rayleigh_sample", "phase_pdf", "phase_sample",
-           "medium_interval", "transmittance", "eval_density",
-           "line_density", "sample_interaction"]
+           "tab_pdf", "tab_sample", "sggx_pdf", "sggx_sample",
+           "sggx_projected_area", "medium_interval", "transmittance",
+           "eval_density", "line_density", "sample_interaction"]
 
 _INF = jnp.inf
 
@@ -67,9 +68,17 @@ class Medium(NamedTuple):
     g: jnp.ndarray            # ()  HG asymmetry (0 == isotropic)
     to_local: jnp.ndarray     # (4, 4) world -> unit-shape space
     density: jnp.ndarray = None  # optional (D, H, W) grid, z-major like VOL
+    phase_tab: jnp.ndarray = None  # (N,) tabphase values on a uniform
+    #                                cos-theta grid [-1, 1] (`tabphase.cpp`)
+    sggx_s: jnp.ndarray = None     # (6,) SGGX matrix [Sxx Syy Szz Sxy Sxz
+    #                                Syz] (`sggx.cpp` microflakes)
+    g2: jnp.ndarray = None         # () second child's HG g (blendphase)
+    phase_w: jnp.ndarray = None    # () blend weight of the SECOND child
     kind: int = SPHERE        # static: GLOBAL | SPHERE | CUBE
     n_steps: int = 64         # static: march steps for grid media
-    phase: str = "hg"         # static: "hg" (g=0 == isotropic) | "rayleigh"
+    phase: object = "hg"      # static: "hg" | "rayleigh" | "tab" | "sggx"
+    #                           | ("blend", a, b) with a/b in the former set
+    #                           ("hg2" = HG with g2) — `blendphase.cpp`
 
 
 # `kind`/`n_steps`/`phase` must be STATIC (Python `if` on them inside
@@ -78,20 +87,29 @@ class Medium(NamedTuple):
 # registration.
 jax.tree_util.register_pytree_node(
     Medium,
-    lambda m: ((m.sigma_t, m.albedo, m.g, m.to_local, m.density),
+    lambda m: ((m.sigma_t, m.albedo, m.g, m.to_local, m.density,
+                m.phase_tab, m.sggx_s, m.g2, m.phase_w),
                (m.kind, m.n_steps, m.phase)),
     lambda aux, leaves: Medium(*leaves, kind=aux[0], n_steps=aux[1],
                                phase=aux[2]))
 
+_PHASE_KINDS = ("hg", "hg2", "rayleigh", "tab", "sggx")
+
 
 def make_medium(sigma_t, albedo, g=0.0, to_world=None,
                 kind: str = "sphere", density=None,
-                n_steps: int = 64, phase: str = "hg") -> Medium:
+                n_steps: int = 64, phase="hg", phase_tab=None,
+                sggx_s=None, g2=0.0, phase_w=0.5) -> Medium:
     """Host-side constructor. ``kind`` in {'global','sphere','cube'};
     ``to_world`` maps the unit sphere (radius 1) / unit cube ([-1,1]^3)
     onto the medium region (Mitsuba shape convention, `sphere.cpp`,
     `cube` mesh). ``density``: optional (D, H, W) scalar grid spanning the
-    boundary region (heterogeneous medium; cube boundary only)."""
+    boundary region (heterogeneous medium; cube boundary only).
+
+    ``phase``: 'hg' | 'rayleigh' | 'tab' (+ ``phase_tab`` values on a
+    uniform cos-theta grid) | 'sggx' (+ ``sggx_s`` = [Sxx Syy Szz Sxy Sxz
+    Syz]) | ('blend', a, b) one-sample mixture of two children with weight
+    ``phase_w`` on b ('hg2' = HG with asymmetry ``g2``)."""
     k = {"global": GLOBAL, "sphere": SPHERE, "cube": CUBE}[kind]
     if density is not None:
         if k != CUBE:
@@ -102,14 +120,34 @@ def make_medium(sigma_t, albedo, g=0.0, to_world=None,
             raise ValueError("density grid must be (D, H, W)")
     t2w = np.eye(4, dtype=np.float32) if to_world is None \
         else np.asarray(to_world, np.float32)
-    if phase not in ("hg", "rayleigh"):
+    if isinstance(phase, (tuple, list)):
+        phase = tuple(phase)
+        if (len(phase) != 3 or phase[0] != "blend"
+                or phase[1] not in _PHASE_KINDS
+                or phase[2] not in _PHASE_KINDS):
+            raise ValueError(f"bad blend phase spec {phase!r}")
+    elif phase not in _PHASE_KINDS:
         raise ValueError(f"unknown phase function {phase!r}")
+    if phase == "tab" or "tab" in (phase if isinstance(phase, tuple)
+                                   else ()):
+        phase_tab = jnp.asarray(phase_tab, jnp.float32)
+        if phase_tab.ndim != 1 or phase_tab.shape[0] < 2:
+            raise ValueError("tab phase needs >= 2 values")
+    else:
+        phase_tab = None
+    if phase == "sggx" or "sggx" in (phase if isinstance(phase, tuple)
+                                     else ()):
+        sggx_s = jnp.asarray(sggx_s, jnp.float32).reshape(6)
+    else:
+        sggx_s = None
     return Medium(
         sigma_t=jnp.atleast_1d(jnp.asarray(sigma_t, jnp.float32)),
         albedo=jnp.atleast_1d(jnp.asarray(albedo, jnp.float32)),
         g=jnp.asarray(g, jnp.float32),
         to_local=jnp.asarray(np.linalg.inv(t2w), jnp.float32),
-        density=density,
+        density=density, phase_tab=phase_tab, sggx_s=sggx_s,
+        g2=jnp.asarray(g2, jnp.float32),
+        phase_w=jnp.asarray(phase_w, jnp.float32),
         kind=k, n_steps=int(n_steps), phase=phase)
 
 
@@ -217,18 +255,32 @@ def _density_march(med: Medium, o, d, t0, seg):
     return eval_density(med, pts), dt
 
 
+def _dir_scale(med: Medium, d):
+    """Directional extinction scale: SGGX microflake media attenuate by
+    the projected area σ(-d) (`homogeneous.cpp:156`,
+    `heterogeneous.cpp:191` — `sigmat *= projected_area(mi)` with
+    mi.wi = -ray.d); 1 for all other phase functions. Constant along a
+    ray, so it folds into the density line integral exactly."""
+    kinds = med.phase if isinstance(med.phase, tuple) else (med.phase,)
+    if "sggx" not in kinds:
+        return None
+    return sggx_projected_area(-d, med.sggx_s)
+
+
 def line_density(med: Medium, o, d, t_max):
     """Integrated density D = ∫ dens(o + t d) dt over the medium overlap
     clipped to [0, t_max]; equals the overlap LENGTH for media without a
-    grid (density ≡ 1)."""
+    grid (density ≡ 1). Includes the directional microflake scale."""
     t0, t1 = medium_interval(med, o, d)
     seg = jnp.clip(jnp.minimum(t1, t_max) - jnp.minimum(t0, t_max),
                    0.0, None)
+    scale = _dir_scale(med, d)
     if med.density is None:
-        return seg
+        return seg if scale is None else seg * scale
     dens, dt = _density_march(med, o, jnp.asarray(d), jnp.minimum(t0, t_max),
                               seg)
-    return jnp.sum(dens, axis=-1) * dt
+    out = jnp.sum(dens, axis=-1) * dt
+    return out if scale is None else out * scale
 
 
 def transmittance(med: Medium, o, d, t_max):
@@ -261,11 +313,14 @@ def sample_interaction(med: Medium, o, d, seg_t0, seg, u):
     """
     sigma_bar = jnp.mean(med.sigma_t)
     xi = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sigma_bar
+    scale = _dir_scale(med, d)
     if med.density is None:
-        s = xi
-        d_total = seg
+        s = xi if scale is None else xi / jnp.maximum(scale, 1e-8)
+        d_total = seg if scale is None else seg * scale
     else:
         dens, dt = _density_march(med, o, d, seg_t0, seg)
+        if scale is not None:
+            dens = dens * scale[..., None]
         cum = jnp.cumsum(dens, axis=-1) * dt[..., None]    # D at step ends
         d_total = cum[..., -1]
         # first step whose cumulative density reaches xi
@@ -379,16 +434,202 @@ def rayleigh_sample(d_prop, u):
     return wo, rayleigh_pdf(jnp.clip(cos_t, -1.0, 1.0))
 
 
-def phase_pdf(med: Medium, cos_theta):
-    """Phase value == pdf for the medium's (static) phase function.
-    ``cos_theta = dot(d_prop, wo)``."""
-    if med.phase == "rayleigh":
-        return rayleigh_pdf(cos_theta)
-    return hg_pdf(med.g, cos_theta)
+# ---------------------------------------------------------------------------
+# Tabulated phase function (reference `src/phase/tabphase.cpp`)
+# ---------------------------------------------------------------------------
+
+def _tab_distr(values):
+    from ..ops.distr import make_continuous
+    return make_continuous(values, -1.0, 1.0)
+
+
+def tab_pdf(values, cos_theta):
+    """Tabulated phase: ``values`` on a uniform cosθ grid over [-1, 1],
+    physics convention (cosθ = 1 = forward scattering = ``dot(d_prop,
+    wo)``; `tabphase.cpp:116` flips the sign from graphics convention).
+    pdf per solid angle = pdf_normalized(cosθ) / 2π."""
+    from ..ops.distr import continuous_pdf
+    d = _tab_distr(values)
+    return continuous_pdf(d, cos_theta) / (2.0 * jnp.pi)
+
+
+def tab_sample(values, d_prop, u):
+    """Inverse-CDF sample of the tabulated phase around ``d_prop``
+    (`tabphase.cpp:77-104`); returns (wo, pdf)."""
+    from ..ops.distr import continuous_sample_pdf
+    d = _tab_distr(values)
+    cos_t, pdf = continuous_sample_pdf(d, u[..., 0])
+    wo = _frame_dir(d_prop, cos_t, u[..., 1])
+    return wo, pdf / (2.0 * jnp.pi)
+
+
+# ---------------------------------------------------------------------------
+# SGGX microflake phase function (reference `src/phase/sggx.cpp`,
+# `include/mitsuba/render/microflake.h`; Heitz et al. 2015)
+# ---------------------------------------------------------------------------
+
+def sggx_projected_area(wi, s):
+    """σ(wi) = sqrt(wiᵀ S wi) (`microflake.h::sggx_projected_area`).
+    ``s`` = (..., 6) [Sxx Syy Szz Sxy Sxz Syz]."""
+    x, y, z = wi[..., 0], wi[..., 1], wi[..., 2]
+    sig2 = (x * x * s[..., 0] + y * y * s[..., 1] + z * z * s[..., 2]
+            + 2.0 * (x * y * s[..., 3] + x * z * s[..., 4]
+                     + y * z * s[..., 5]))
+    return safe_sqrt(sig2)
+
+
+def _sggx_ndf(wm, s):
+    """D(wm) = det(S)^{3/2} / (π (wmᵀ adj(S) wm)²)
+    (`microflake.h::sggx_pdf`)."""
+    sxx, syy, szz = s[..., 0], s[..., 1], s[..., 2]
+    sxy, sxz, syz = s[..., 3], s[..., 4], s[..., 5]
+    det = jnp.abs(sxx * syy * szz - sxx * syz * syz - syy * sxz * sxz
+                  - szz * sxy * sxy + 2.0 * sxy * sxz * syz)
+    x, y, z = wm[..., 0], wm[..., 1], wm[..., 2]
+    den = (x * x * (syy * szz - syz * syz)
+           + y * y * (sxx * szz - sxz * sxz)
+           + z * z * (sxx * syy - sxy * sxy)
+           + 2.0 * (x * y * (sxz * syz - szz * sxy)
+                    + x * z * (sxy * syz - syy * sxz)
+                    + y * z * (sxy * sxz - sxx * syz)))
+    return jnp.maximum(det, 0.0) * safe_sqrt(det) \
+        / (jnp.pi * jnp.maximum(den * den, 1e-20))
+
+
+def _ortho_frame(n):
+    """Orthonormal (s, t) tangent frame around n (branch-free)."""
+    a = jnp.where(jnp.abs(n[..., 2:3]) < 0.999,
+                  jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), n.shape),
+                  jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), n.shape))
+    sv = jnp.cross(a, n)
+    sv = sv / jnp.maximum(jnp.linalg.norm(sv, axis=-1, keepdims=True), 1e-12)
+    return sv, jnp.cross(n, sv)
+
+
+def sggx_pdf(wi, wo, s):
+    """Specular SGGX phase value == pdf: D(wh)/(4 σ(wi)) with
+    wh = normalize(wi + wo) (`sggx.cpp::eval_pdf`); ``wi`` points AWAY
+    from the collision toward the source (graphics convention,
+    wi = -d_prop)."""
+    wh = wi + wo
+    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True),
+                          1e-12)
+    return 0.25 * _sggx_ndf(wh, s) / jnp.maximum(
+        sggx_projected_area(wi, s), 1e-8)
+
+
+def sggx_sample(wi, u, s):
+    """Sample a visible SGGX normal and reflect (`microflake.h::
+    sggx_sample` + `sggx.cpp::sample`); returns (wo, pdf).
+
+    The visible-normal warp projects S into the (ωk, ωj, ωi=wi) basis,
+    forms the lower-triangular factor (M_k, M_j, M_i) and pushes a
+    cosine-hemisphere sample through it."""
+    sv, tv = _ortho_frame(wi)
+    # S projected into the (s, t, wi) basis: S2[a,b] = e_aᵀ S e_b
+    def smul(v):   # S @ v for packed symmetric s
+        return jnp.stack([
+            s[..., 0] * v[..., 0] + s[..., 3] * v[..., 1]
+            + s[..., 4] * v[..., 2],
+            s[..., 3] * v[..., 0] + s[..., 1] * v[..., 1]
+            + s[..., 5] * v[..., 2],
+            s[..., 4] * v[..., 0] + s[..., 5] * v[..., 1]
+            + s[..., 2] * v[..., 2]], axis=-1)
+
+    Ss, St, Si = smul(sv), smul(tv), smul(wi)
+    s_kk = jnp.sum(sv * Ss, -1)
+    s_jj = jnp.sum(tv * St, -1)
+    s_ii = jnp.sum(wi * Si, -1)
+    s_kj = jnp.sum(sv * St, -1)
+    s_ki = jnp.sum(sv * Si, -1)
+    s_ji = jnp.sum(tv * Si, -1)
+    det = jnp.abs(s_kk * (s_jj * s_ii - s_ji * s_ji)
+                  - s_kj * (s_kj * s_ii - s_ji * s_ki)
+                  + s_ki * (s_kj * s_ji - s_jj * s_ki))
+    inv_sqrt_ii = 1.0 / jnp.maximum(safe_sqrt(s_ii), 1e-12)
+    tmp = safe_sqrt(s_jj * s_ii - s_ji * s_ji)
+    inv_tmp = 1.0 / jnp.maximum(tmp, 1e-12)
+    m_k = jnp.stack([safe_sqrt(det) * inv_tmp,
+                     jnp.zeros_like(det), jnp.zeros_like(det)], -1)
+    m_j = jnp.stack([-inv_sqrt_ii * (s_ki * s_ji - s_kj * s_ii) * inv_tmp,
+                     inv_sqrt_ii * tmp, jnp.zeros_like(det)], -1)
+    m_i = inv_sqrt_ii[..., None] * jnp.stack([s_ki, s_ji, s_ii], -1)
+    # cosine-hemisphere sample (concentric not required — exact warp)
+    r = safe_sqrt(u[..., 0])
+    phi = 2.0 * jnp.pi * u[..., 1]
+    uvw = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                     safe_sqrt(1.0 - u[..., 0])], -1)
+    wm_l = (uvw[..., 0:1] * m_k + uvw[..., 1:2] * m_j
+            + uvw[..., 2:3] * m_i)
+    wm_l = wm_l / jnp.maximum(
+        jnp.linalg.norm(wm_l, axis=-1, keepdims=True), 1e-12)
+    wm = (wm_l[..., 0:1] * sv + wm_l[..., 1:2] * tv
+          + wm_l[..., 2:3] * wi)
+    wm = wm / jnp.maximum(jnp.linalg.norm(wm, axis=-1, keepdims=True),
+                          1e-12)
+    wo = 2.0 * jnp.sum(wi * wm, -1, keepdims=True) * wm - wi
+    wo = wo / jnp.maximum(jnp.linalg.norm(wo, axis=-1, keepdims=True),
+                          1e-12)
+    pdf = 0.25 * _sggx_ndf(wm, s) / jnp.maximum(
+        sggx_projected_area(wi, s), 1e-8)
+    return wo, pdf
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def _child_pdf(med: Medium, kind: str, d_prop, wo):
+    c = jnp.sum(d_prop * wo, axis=-1)
+    if kind == "rayleigh":
+        return rayleigh_pdf(c)
+    if kind == "tab":
+        return tab_pdf(med.phase_tab, c)
+    if kind == "sggx":
+        return sggx_pdf(-d_prop, wo, med.sggx_s)
+    if kind == "hg2":
+        return hg_pdf(med.g2, c)
+    return hg_pdf(med.g, c)
+
+
+def _child_sample(med: Medium, kind: str, d_prop, u):
+    if kind == "rayleigh":
+        return rayleigh_sample(d_prop, u)
+    if kind == "tab":
+        return tab_sample(med.phase_tab, d_prop, u)
+    if kind == "sggx":
+        return sggx_sample(-d_prop, u, med.sggx_s)
+    if kind == "hg2":
+        return hg_sample(med.g2, d_prop, u)
+    return hg_sample(med.g, d_prop, u)
+
+
+def phase_pdf(med: Medium, d_prop, wo):
+    """Phase value == pdf for the medium's (static) phase function; both
+    directions world-space, ``d_prop`` = propagation direction."""
+    if isinstance(med.phase, tuple):
+        _, a, b = med.phase
+        w = med.phase_w
+        return (1.0 - w) * _child_pdf(med, a, d_prop, wo) \
+            + w * _child_pdf(med, b, d_prop, wo)
+    return _child_pdf(med, med.phase, d_prop, wo)
 
 
 def phase_sample(med: Medium, d_prop, u):
-    """Sample wo around the propagation direction; (wo, pdf)."""
-    if med.phase == "rayleigh":
-        return rayleigh_sample(d_prop, u)
-    return hg_sample(med.g, d_prop, u)
+    """Sample wo around the propagation direction; (wo, pdf).
+
+    Blend mixtures use one-sample selection with sample reuse on u[...,0]
+    (the reference draws a separate sample1, `blendphase.cpp::sample`;
+    reuse keeps the 2D sample interface and identical marginals)."""
+    if not isinstance(med.phase, tuple):
+        return _child_sample(med, med.phase, d_prop, u)
+    _, a, b = med.phase
+    w = med.phase_w
+    pick_b = u[..., 0] < w
+    u0 = jnp.where(pick_b, u[..., 0] / jnp.maximum(w, 1e-12),
+                   (u[..., 0] - w) / jnp.maximum(1.0 - w, 1e-12))
+    u2 = jnp.stack([jnp.clip(u0, 0.0, 1.0 - 1e-7), u[..., 1]], -1)
+    wo_a, _ = _child_sample(med, a, d_prop, u2)
+    wo_b, _ = _child_sample(med, b, d_prop, u2)
+    wo = jnp.where(pick_b[..., None], wo_b, wo_a)
+    return wo, phase_pdf(med, d_prop, wo)
