@@ -32,6 +32,18 @@ Supported kinds:
                     probability w, reweight by the blended value/pdf).
                     Children must be non-blend rows (one nesting level,
                     like the reference's practical usage).
+ 11 pplastic        polarized plastic (`pplastic.cpp`, Baek et al. 2018):
+                    GGX dielectric specular + Lambertian base attenuated
+                    by (1-F_i)(1-F_o); both lobes polarization-aware in
+                    the Stokes transport path (`render/polarized.py`)
+ 12 polarizer       linear polarizing filter (`polarizer.cpp`): delta
+                    straight-through transmission; `extra[0]` = rotation
+                    angle theta in degrees, albedo = transmittance
+ 13 retarder        linear retarder / wave plate (`retarder.cpp`):
+                    `extra[0]` = theta (deg), `extra[1]` = phase delta
+                    (deg; 90 = quarter-wave, 180 = half-wave)
+ 14 circular        circular polarizer (`circular.cpp`): `extra[2]` > 0.5
+                    selects left-handed
 
 Any material additionally carries an `opacity` in [0, 1]: lanes pass
 through unscattered with probability 1-opacity — the flattened equivalent
@@ -59,6 +71,10 @@ DIFFUSE, ROUGH_CONDUCTOR, CONDUCTOR, DIELECTRIC = 0, 1, 2, 3
 PLASTIC, ROUGH_DIELECTRIC, NULL_BSDF = 4, 5, 6
 THIN_DIELECTRIC, ROUGH_PLASTIC, PRINCIPLED = 7, 8, 9
 BLEND = 10
+PPLASTIC = 11       # polarized plastic (`pplastic.cpp`, Baek et al. 2018)
+POLARIZER = 12      # linear polarizer filter (`polarizer.cpp`)
+RETARDER = 13       # linear retarder / wave plate (`retarder.cpp`)
+CIRCULAR = 14       # circular polarizer (`circular.cpp`)
 
 
 class MaterialTable(NamedTuple):
@@ -291,6 +307,37 @@ def _rough_plastic_eval(albedo, alpha, ior, wi_l, wo_l):
     # lobe choice in `sample`: specular with probability F(cos_i)
     pdf_spec = d_ndf * m[..., 2] / jnp.maximum(4.0 * jnp.abs(wim), 1e-6)
     pdf = f_i * pdf_spec + (1.0 - f_i) * warp.INV_PI * cos_o
+    return value, pdf
+
+
+def _pplastic_eval(albedo, alpha, ior, wi_l, wo_l, prob_spec):
+    """Polarized plastic, scalar branch (`pplastic.cpp:312-401` non-
+    polarized path): ad-hoc sum of a GGX dielectric specular lobe and a
+    Lambertian base attenuated by the two refraction events
+    (1 - F_i)(1 - F_o) — no internal-scattering series, unlike
+    `roughplastic.cpp`. -> (value = f*cos_o (..., C), pdf).
+
+    `prob_spec` is the lobe-selection probability
+    (`pplastic.cpp:202-212`: s_mean / (d_mean + s_mean))."""
+    cos_i = jnp.maximum(wi_l[..., 2], 0.0)
+    cos_o = jnp.maximum(wo_l[..., 2], 0.0)
+    alpha = jnp.maximum(alpha, 1e-3)
+    m = wi_l + wo_l
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    d_ndf = _ggx_ndf(m, alpha)
+    g = _ggx_g1(wi_l, alpha) * _ggx_g1(wo_l, alpha)
+    wim = jnp.sum(wi_l * m, axis=-1)
+    f_spec, _, _ = fresnel_dielectric(jnp.maximum(wim, 0.0), ior)
+    spec = f_spec * d_ndf * g / (4.0 * jnp.maximum(cos_i, 1e-6))
+
+    f_i, _, _ = fresnel_dielectric(cos_i, ior)
+    f_o, _, _ = fresnel_dielectric(cos_o, ior)
+    diff = albedo * ((1.0 - f_i) * (1.0 - f_o)
+                     * warp.INV_PI * cos_o)[..., None]
+    value = spec[..., None] + diff
+    pdf_spec = d_ndf * m[..., 2] / jnp.maximum(4.0 * jnp.abs(wim), 1e-6)
+    pdf = (prob_spec * pdf_spec
+           + (1.0 - prob_spec) * warp.INV_PI * cos_o)
     return value, pdf
 
 
@@ -541,7 +588,7 @@ def _eval_pdf_core(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
 
     # --- diffuse lobe ---
     if (has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC)
-            or has(PRINCIPLED)):
+            or has(PRINCIPLED) or has(PPLASTIC)):
         albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
                             refl_tex)
     if has(DIFFUSE):
@@ -579,8 +626,21 @@ def _eval_pdf_core(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
         value = jnp.where(is_rough[..., None], rough_val, value)
         pdf = jnp.where(is_rough, rough_pdf, pdf)
 
-    if has(PLASTIC) or has(ROUGH_DIELECTRIC) or has(ROUGH_PLASTIC):
+    if (has(PLASTIC) or has(ROUGH_DIELECTRIC) or has(ROUGH_PLASTIC)
+            or has(PPLASTIC)):
         ior = take_scalars(table.ior, mat_idx)
+
+    # --- polarized plastic (scalar radiometry; the polarized transport
+    #     layer re-polarizes via `render/polarized.py`) ---
+    if has(PPLASTIC):
+        alpha_pp = take_scalars(table.alpha, mat_idx)
+        d_mean = jnp.mean(take_rows(table.albedo, mat_idx), axis=-1)
+        prob_spec_pp = 1.0 / (1.0 + d_mean)
+        pp_val, pp_pdf = _pplastic_eval(albedo, alpha_pp, ior, wi_l, wo_l,
+                                        prob_spec_pp)
+        is_pp = kind == PPLASTIC
+        value = jnp.where(is_pp[..., None], pp_val, value)
+        pdf = jnp.where(is_pp, pp_pdf, pdf)
 
     # --- rough plastic: GGX coat + Lambertian base (both non-delta) ---
     if has(ROUGH_PLASTIC):
@@ -718,7 +778,7 @@ def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
 
     # --- diffuse: cosine hemisphere ---
     if (has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC)
-            or has(PRINCIPLED)):
+            or has(PRINCIPLED) or has(PPLASTIC)):
         wo_diff = warp.square_to_cosine_hemisphere(sample2)
         pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_diff)
         albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
@@ -784,8 +844,30 @@ def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
         is_delta = is_delta | is_mirr
 
     if (has(DIELECTRIC) or has(PLASTIC) or has(ROUGH_DIELECTRIC)
-            or has(THIN_DIELECTRIC) or has(ROUGH_PLASTIC)):
+            or has(THIN_DIELECTRIC) or has(ROUGH_PLASTIC)
+            or has(PPLASTIC)):
         ior = take_scalars(table.ior, mat_idx)
+
+    # --- polarized plastic: pick GGX coat vs Lambertian base by the
+    #     reflectance-balanced weight (`pplastic.cpp:216-262`) ---
+    if has(PPLASTIC):
+        alpha_pp = take_scalars(table.alpha, mat_idx)
+        d_mean = jnp.mean(take_rows(table.albedo, mat_idx), axis=-1)
+        prob_spec_pp = 1.0 / (1.0 + d_mean)
+        pp_spec = sample1 < prob_spec_pp
+        m_pp = _ggx_sample(jnp.maximum(alpha_pp, 1e-3), sample2)
+        wo_pp = jnp.where(pp_spec[..., None], _reflect(wi_l, m_pp),
+                          wo_diff)
+        pp_val, pp_pdf = _pplastic_eval(albedo, alpha_pp, ior, wi_l, wo_pp,
+                                        prob_spec_pp)
+        pp_ok = (wo_pp[..., 2] > 0.0) & (pp_pdf > 1e-12)
+        w_pp = jnp.where(pp_ok[..., None],
+                         pp_val / jnp.maximum(pp_pdf, 1e-12)[..., None],
+                         0.0)
+        is_pp = kind == PPLASTIC
+        wo = jnp.where(is_pp[..., None], wo_pp, wo)
+        weight = jnp.where(is_pp[..., None], w_pp, weight)
+        pdf = jnp.where(is_pp, pp_pdf, pdf)
 
     # --- principled: three-way lobe choice (diffuse / GGX / clearcoat)
     #     with weight = f*cos/pdf via the shared eval ---
@@ -955,6 +1037,23 @@ def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
         weight = jnp.where(is_null[..., None], one_c, weight)
         pdf = jnp.where(is_null, 1.0, pdf)
         is_delta = is_delta | is_null
+
+    # --- polarization filters: delta straight-through transmission.
+    #     Scalar radiometry per the reference's unpolarized fallbacks:
+    #     polarizer/circular transmit half the (unpolarized) energy
+    #     (`polarizer.cpp:148`, `circular.cpp:111`); a retarder only
+    #     attenuates by its transmittance (`retarder.cpp:137`). The
+    #     Mueller-matrix weights live in `render/polarized.py`. ---
+    if has(POLARIZER) or has(RETARDER) or has(CIRCULAR):
+        trans = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                           refl_tex)
+        for kk, fac in ((POLARIZER, 0.5), (RETARDER, 1.0), (CIRCULAR, 0.5)):
+            if has(kk):
+                is_k = kind == kk
+                wo = jnp.where(is_k[..., None], -wi, wo)
+                weight = jnp.where(is_k[..., None], fac * trans, weight)
+                pdf = jnp.where(is_k, 1.0, pdf)
+                is_delta = is_delta | is_k
 
     # mask pass-through overrides everything
     if any_mask:

@@ -211,6 +211,12 @@ class SceneBundle:
                                   n_particles=n_particles,
                                   max_depth=self.max_depth,
                                   sampler_kind=self.sampler_kind)
+        if self.integrator == "stokes":
+            from .polarized import render_stokes
+            return render_stokes(scene, self.sensor, self.film, key,
+                                 spp=spp, max_depth=self.max_depth,
+                                 rr_depth=self.rr_depth,
+                                 sampler_kind=self.sampler_kind)
         return integrator_mod.render(
             scene, self.sensor, self.film, key,
             spp=spp, max_depth=self.max_depth,
@@ -258,6 +264,8 @@ def _parse_to_world(v) -> np.ndarray:
                 (op, arg), = step.items()
                 m = _one_transform(op, arg).astype(np.float32) @ m
             return m
+        if set(v) == {"type", "value"}:
+            return _one_transform(v["type"], v["value"]).astype(np.float32)
         if len(v) == 1:
             (op, arg), = v.items()
             return _one_transform(op, arg).astype(np.float32)
@@ -366,9 +374,10 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
     twosided/opacity wrappers are pushed down onto the children so the
     branch-free core applies them per child row.
     """
-    from .bsdf import (BLEND, CONDUCTOR, DIELECTRIC, DIFFUSE, NULL_BSDF,
-                       PLASTIC, PRINCIPLED, ROUGH_CONDUCTOR,
-                       ROUGH_DIELECTRIC, ROUGH_PLASTIC, THIN_DIELECTRIC)
+    from .bsdf import (BLEND, CIRCULAR, CONDUCTOR, DIELECTRIC, DIFFUSE,
+                       NULL_BSDF, PLASTIC, POLARIZER, PPLASTIC, PRINCIPLED,
+                       RETARDER, ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
+                       ROUGH_PLASTIC, THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
     normal_tex_idx = -1
@@ -514,6 +523,24 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
             float(desc.get("clearcoat", 0.0)),
             float(desc.get("clearcoat_gloss", 0.0)),
             float(desc.get("spec_tint", 0.0)), 0.0], np.float64)
+    elif t == "pplastic":
+        mat["kind"] = PPLASTIC
+        _refl(desc.get("diffuse_reflectance", 0.5))
+        int_ior = float(desc.get("int_ior", 1.49))    # polypropylene
+        ext_ior = float(desc.get("ext_ior", 1.000277))
+        mat["ior"] = int_ior / ext_ior
+        mat["alpha"] = float(desc.get("alpha", 0.1))
+    elif t in ("polarizer", "retarder", "circular"):
+        mat["kind"] = {"polarizer": POLARIZER, "retarder": RETARDER,
+                       "circular": CIRCULAR}[t]
+        trans = desc.get("transmittance", 1.0)
+        mat["rgb"] = spectrum_to_channels(trans, "rgb")
+        mat["spec"] = spectrum_to_channels(trans, "spectral")
+        mat["extra"] = np.array([
+            float(desc.get("theta", 0.0)),
+            float(desc.get("delta", 90.0)),
+            1.0 if desc.get("left_handed", False) else 0.0,
+            0.0, 0.0, 0.0, 0.0, 0.0], np.float64)
     elif t == "null":
         mat["kind"] = NULL_BSDF
     else:
@@ -727,6 +754,13 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                  "prb", "prb_basic", "direct_projective", "prb_projective",
                  "volpath", "volpathmis", "prbvolpath"):
             integrator = value
+        elif t == "stokes":
+            # `stokes.cpp`: wraps a nested sampling integrator; depth/rr
+            # settings come from the nested plugin
+            nested = next((v for v in value.values()
+                           if isinstance(v, dict) and "type" in v), {})
+            integrator = dict(nested)
+            integrator["type"] = "stokes"
         elif t in _SENSORS:
             sensor_desc = value
         elif t in ("sunsky", "constant", "envmap"):
