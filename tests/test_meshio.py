@@ -26,7 +26,7 @@ def test_ply_ascii(tmp_path):
         "end_header\n"
         "0 0 0 0 0\n1 0 0 1 0\n1 1 0 1 1\n0 1 0 0 1\n"
         "4 0 1 2 3\n")
-    pos, nrm, idx, uv = read_ply(str(p))
+    pos, nrm, idx, uv, col = read_ply(str(p))
     np.testing.assert_allclose(pos, _QUAD_POS)
     np.testing.assert_allclose(uv, _QUAD_UV)
     np.testing.assert_array_equal(idx, _QUAD_IDX)  # quad fan-triangulated
@@ -46,7 +46,7 @@ def test_ply_binary(tmp_path):
                         [0, 1, 0, 0, 0, 1]], np.float32)
     body = verts.tobytes() + struct.pack("<B3I", 3, 0, 1, 2)
     p.write_bytes(header + body)
-    pos, nrm, idx, uv = read_ply(str(p))
+    pos, nrm, idx, uv, col = read_ply(str(p))
     np.testing.assert_allclose(pos, verts[:, :3])
     np.testing.assert_allclose(nrm, verts[:, 3:])
     np.testing.assert_array_equal(idx, [[0, 1, 2]])

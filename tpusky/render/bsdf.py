@@ -75,6 +75,7 @@ PPLASTIC = 11       # polarized plastic (`pplastic.cpp`, Baek et al. 2018)
 POLARIZER = 12      # linear polarizer filter (`polarizer.cpp`)
 RETARDER = 13       # linear retarder / wave plate (`retarder.cpp`)
 CIRCULAR = 14       # circular polarizer (`circular.cpp`)
+PRINCIPLED_THIN = 15  # thin Disney BSDF (`principledthin.cpp`)
 
 
 class MaterialTable(NamedTuple):
@@ -345,6 +346,132 @@ def _schlick5(c):
     m = jnp.clip(1.0 - c, 0.0, 1.0)
     m2 = m * m
     return m2 * m2 * m
+
+
+def _luminance_rgb(c):
+    """Rec.709 luminance (mitsuba `luminance()` for RGB spectra)."""
+    return (0.212671 * c[..., 0] + 0.715160 * c[..., 1]
+            + 0.072169 * c[..., 2])
+
+
+def _principledthin_eval(base, rough, ior, extra, wi_g, wo_g):
+    """Thin Disney BSDF (`principledthin.cpp:418-585` eval + :576 pdf):
+    four lobes on a two-sided thin sheet — GGX specular reflection with a
+    `thin_fresnel` tint blend, GGX specular transmission with IOR-scaled
+    roughness (Burley 2015 Fig. 15), diffuse+retro(+fake-subsurface+sheen)
+    reflection, and Lambertian diffuse transmission.
+
+    Directions in the GEOMETRIC local frame (the model is symmetric: both
+    get flipped to the wi-upper side, `principledthin.cpp:443-446`).
+    `extra` columns: [spec_trans, diff_trans(0..1), sheen, sheen_tint,
+    flatness, spec_tint, -, -]. Returns (value = f*|cos_o| (..., C), pdf).
+    """
+    spec_trans = extra[..., 0]
+    diff_trans = extra[..., 1]
+    sheen = extra[..., 2]
+    sheen_tint = extra[..., 3]
+    flatness = extra[..., 4]
+    spec_tint = extra[..., 5]
+
+    sign = jnp.sign(jnp.where(wi_g[..., 2] == 0.0, 1.0, wi_g[..., 2]))
+    wi = wi_g * sign[..., None]
+    wo_t = wo_g * sign[..., None]
+    ci = jnp.abs(wi[..., 2])
+    co = wo_t[..., 2]
+    reflect = co > 0.0
+    refract = co < 0.0
+
+    wo_r = wo_t * jnp.array([1.0, 1.0, 0.0]) + jnp.stack(
+        [jnp.zeros_like(co)] * 2 + [jnp.abs(co)], axis=-1)
+    wh = wi + wo_r
+    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True),
+                          1e-12)
+    wi_wh = jnp.sum(wi * wh, axis=-1)
+    cos_d = jnp.sum(wh * wo_t, axis=-1)
+
+    alpha = jnp.maximum(rough * rough, 1e-4)
+    alpha_s = jnp.maximum(((0.65 * ior - 0.35) * rough) ** 2, 1e-4)
+    f_diel, _, _ = fresnel_dielectric(wi_wh, ior)
+
+    # macro-micro compatibility (`principledhelpers.h:199-211`; m = wh is
+    # in wi's upper hemisphere by construction)
+    compat_r = (wi_wh > 0.0) & (jnp.sum(wo_t * wh, axis=-1) > 0.0)
+    compat_t = (wi_wh > 0.0) & (jnp.sum(wo_t * -wh, axis=-1) > 0.0)
+
+    nc = base.shape[-1]
+    value = jnp.zeros(ci.shape + (nc,))
+
+    # --- specular reflection (thin_fresnel tint blend) ---
+    lum = _luminance_rgb(base) if nc == 3 else jnp.mean(base, axis=-1)
+    c_tint = jnp.where((lum > 0.0)[..., None],
+                       base / jnp.maximum(lum, 1e-8)[..., None], 1.0)
+    r0 = ((ior - 1.0) / (ior + 1.0)) ** 2
+    f0_tint = c_tint * r0[..., None]
+    f_schlick = f0_tint + (1.0 - f0_tint) * _schlick5(jnp.abs(wi_wh)
+                                                      )[..., None]
+    f_thin = ((1.0 - spec_tint)[..., None] * f_diel[..., None]
+              + spec_tint[..., None] * f_schlick)
+    d_r = _ggx_ndf(wh, alpha)
+    g_r = (_ggx_g1(wi, alpha)
+           * _ggx_g1(wo_r, alpha))
+    spec_r = (spec_trans[..., None] * f_thin
+              * (d_r * g_r / (4.0 * jnp.maximum(ci, 1e-6)))[..., None])
+    value = value + jnp.where((reflect & compat_r & (spec_trans > 0.0)
+                               )[..., None], spec_r, 0.0)
+
+    # --- specular transmission (scaled roughness) ---
+    d_t = _ggx_ndf(wh, alpha_s)
+    g_t = (_ggx_g1(wi, alpha_s) * _ggx_g1(wo_r, alpha_s))
+    spec_t = ((spec_trans * (1.0 - f_diel)
+               * d_t * g_t / (4.0 * jnp.maximum(ci, 1e-6)))[..., None]
+              * base)
+    value = value + jnp.where((refract & compat_t & (spec_trans > 0.0)
+                               )[..., None], spec_t, 0.0)
+
+    # --- diffuse + retro + fake subsurface + sheen (reflection side) ---
+    f_i = _schlick5(ci)
+    f_o = _schlick5(jnp.abs(co))
+    f_diff = (1.0 - 0.5 * f_i) * (1.0 - 0.5 * f_o)
+    rr = 2.0 * rough * cos_d * cos_d
+    f_retro = rr * (f_o + f_i + f_o * f_i * (rr - 1.0))
+    fss90 = 0.5 * rr
+    fss = ((1.0 + (fss90 - 1.0) * f_o) * (1.0 + (fss90 - 1.0) * f_i))
+    f_ss = 1.25 * (fss * (1.0 / jnp.maximum(jnp.abs(co) + ci, 1e-6)
+                          - 0.5) + 0.5)
+    diff_term = ((1.0 - flatness) * (f_diff + f_retro)
+                 + flatness * f_ss)
+    diff = ((1.0 - spec_trans) * (1.0 - diff_trans)
+            * warp.INV_PI * jnp.maximum(co, 0.0) * diff_term)[..., None] \
+        * base
+    f_d = _schlick5(jnp.abs(cos_d))
+    c_sheen = (1.0 - sheen_tint)[..., None] + sheen_tint[..., None] * c_tint
+    sheen_v = (sheen * (1.0 - spec_trans) * (1.0 - diff_trans) * f_d
+               * jnp.abs(co))[..., None] * c_sheen
+    value = value + jnp.where(reflect[..., None], diff + sheen_v, 0.0)
+
+    # --- Lambertian diffuse transmission ---
+    dtrans = ((1.0 - spec_trans) * diff_trans * warp.INV_PI
+              * jnp.abs(co))[..., None] * base
+    value = value + jnp.where(refract[..., None], dtrans, 0.0)
+
+    # --- pdf over the same four lobes (`principledthin.cpp:576-650`) ---
+    p_sr = 0.5 * spec_trans
+    p_st = 0.5 * spec_trans
+    p_cr = (1.0 - spec_trans) * (1.0 - diff_trans)
+    p_ct = (1.0 - spec_trans) * diff_trans
+    total = jnp.maximum(p_sr + p_st + p_cr + p_ct, 1e-8)
+    pdf_sr = jnp.where(reflect & compat_r,
+                       d_r * wh[..., 2]
+                       / jnp.maximum(4.0 * jnp.abs(wi_wh), 1e-6), 0.0)
+    pdf_st = jnp.where(refract & compat_t,
+                       d_t * wh[..., 2]
+                       / jnp.maximum(4.0 * jnp.abs(wi_wh), 1e-6), 0.0)
+    pdf_cr = jnp.where(reflect, warp.INV_PI * jnp.maximum(co, 0.0), 0.0)
+    pdf_ct = jnp.where(refract, warp.INV_PI * jnp.abs(co), 0.0)
+    pdf = (p_sr * pdf_sr + p_st * pdf_st + p_cr * pdf_cr
+           + p_ct * pdf_ct) / total
+    ok = jnp.abs(wi_g[..., 2]) > 0.0
+    return (jnp.where(ok[..., None], value, 0.0), jnp.where(ok, pdf, 0.0))
 
 
 def _gtr1_ndf(cos_m, alpha):
@@ -729,6 +856,20 @@ def _eval_pdf_core(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
         value = jnp.where(is_rd[..., None], rd_val, value)
         pdf = jnp.where(is_rd, rd_pdf, pdf)
 
+    # --- thin Disney BSDF (geometric frame, two-sided by construction) ---
+    if has(PRINCIPLED_THIN):
+        if not (has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC)
+                or has(PRINCIPLED) or has(PPLASTIC)):
+            albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                                refl_tex)
+        pt_val, pt_pdf = _principledthin_eval(
+            albedo, take_scalars(table.alpha, mat_idx),
+            take_scalars(table.ior, mat_idx),
+            take_rows(table.extra, mat_idx), wi, wo)
+        is_pt = kind == PRINCIPLED_THIN
+        value = jnp.where(is_pt[..., None], pt_val, value)
+        pdf = jnp.where(is_pt, pt_pdf, pdf)
+
     # mask wrapper: surviving (non-passthrough) interaction probability
     if any_mask:
         opac = take_scalars(table.opacity, mat_idx)
@@ -1029,6 +1170,67 @@ def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
         pdf = jnp.where(is_td, jnp.where(td_reflect, r_star, 1.0 - r_star),
                         pdf)
         is_delta = is_delta | is_td
+
+    # --- thin Disney BSDF: four-way lobe choice in the wi-upper frame,
+    #     weight = f*|cos|/pdf via the shared eval (geometric frame) ---
+    if has(PRINCIPLED_THIN):
+        if not (has(DIFFUSE) or has(PLASTIC) or has(ROUGH_PLASTIC)
+                or has(PRINCIPLED) or has(PPLASTIC)):
+            albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                                refl_tex)
+            wo_diff = warp.square_to_cosine_hemisphere(sample2)
+        extra_pt = take_rows(table.extra, mat_idx)
+        rough_pt = take_scalars(table.alpha, mat_idx)
+        ior_pt = take_scalars(table.ior, mat_idx)
+        st_, dt_ = extra_pt[..., 0], extra_pt[..., 1]
+        p_sr = 0.5 * st_
+        p_st = 0.5 * st_
+        p_cr = (1.0 - st_) * (1.0 - dt_)
+        tot = jnp.maximum(p_sr + p_st + p_cr + (1.0 - st_) * dt_, 1e-8)
+        t1 = p_sr / tot
+        t2 = (p_sr + p_st) / tot
+        t3 = (p_sr + p_st + p_cr) / tot
+        sgn = jnp.sign(jnp.where(wi[..., 2] == 0.0, 1.0, wi[..., 2]))
+        wi_up = wi * sgn[..., None]
+        alpha_pt = jnp.maximum(rough_pt * rough_pt, 1e-4)
+        alpha_pts = jnp.maximum(((0.65 * ior_pt - 0.35) * rough_pt) ** 2,
+                                1e-4)
+        m_sr = _ggx_sample(alpha_pt, sample2)
+        m_st = _ggx_sample(alpha_pts, sample2)
+        wo_sr = _reflect(wi_up, m_sr)
+        wo_st = _reflect(wi_up, m_st) * jnp.array([1.0, 1.0, -1.0])
+        wo_pt = jnp.where((sample1 < t1)[..., None], wo_sr,
+                          jnp.where((sample1 < t2)[..., None], wo_st,
+                                    jnp.where((sample1 < t3)[..., None],
+                                              wo_diff,
+                                              -wo_diff)))
+        wo_pt = wo_pt * sgn[..., None]       # back to the geometric frame
+        pt_val, pt_pdf = _principledthin_eval(albedo, rough_pt, ior_pt,
+                                              extra_pt, wi, wo_pt)
+        # reject micro/macro-incompatible specular samples like the
+        # reference (`principledthin.cpp:345-352,385-390`): a reflected
+        # direction that ends up below the sheet (or a transmitted one
+        # above it) gets weight 0 rather than aliasing into the other
+        # lobe's distribution
+        chose_sr = sample1 < t1
+        chose_st = (sample1 >= t1) & (sample1 < t2)
+        ok_sr = ((wo_sr[..., 2] > 0.0)
+                 & (jnp.sum(wi_up * m_sr, axis=-1) > 0.0)
+                 & (jnp.sum(wo_sr * m_sr, axis=-1) > 0.0))
+        ok_st = ((wo_st[..., 2] < 0.0)
+                 & (jnp.sum(wi_up * m_st, axis=-1) > 0.0)
+                 & (jnp.sum(wo_st * -m_st, axis=-1) > 0.0))
+        pt_valid = jnp.where(chose_sr, ok_sr,
+                             jnp.where(chose_st, ok_st, True))
+        pt_pdf = jnp.where(pt_valid, pt_pdf, 0.0)
+        pt_ok = pt_pdf > 1e-12
+        w_pt = jnp.where(pt_ok[..., None],
+                         pt_val / jnp.maximum(pt_pdf, 1e-12)[..., None],
+                         0.0)
+        is_pt = kind == PRINCIPLED_THIN
+        wo = jnp.where(is_pt[..., None], wo_pt, wo)
+        weight = jnp.where(is_pt[..., None], w_pt, weight)
+        pdf = jnp.where(is_pt, pt_pdf, pdf)
 
     # --- null: invisible pass-through (delta transmission) ---
     if has(NULL_BSDF):

@@ -8,7 +8,7 @@ TPU-first re-design of the reference's integrators (SURVEY.md H4;
   (no data-dependent control flow — the analogue of the reference's
   recorded megakernel loop, `path.cpp:158`).
 * MIS between emitter sampling (environment importance sampling — TGMM +
-  sun cone for sunsky) and BSDF sampling, with the same power-1 balance
+  sun cone for sunsky) and BSDF sampling, with the same beta=2 power
   heuristic as `path.cpp:321`.
 * Sampling decisions are `stop_gradient`-ed, matching the reference's
   detached-sampling discipline for differentiable rendering
@@ -43,9 +43,11 @@ _SHADOW_EPS = 1e-3
 
 
 def _mis_weight(pdf_a, pdf_b):
-    """Balance heuristic (power=1), guarded like the reference
-    (`path.cpp:321-327`)."""
-    w = pdf_a / (pdf_a + pdf_b)
+    """Power heuristic with beta=2, guarded like the reference
+    (`path.cpp:321-327` squares both pdfs before the balance ratio)."""
+    a2 = pdf_a * pdf_a
+    b2 = pdf_b * pdf_b
+    w = a2 / (a2 + b2)
     return jnp.where(jnp.isfinite(w), w, 0.0)
 
 
@@ -94,7 +96,7 @@ class PathState(NamedTuple):
 
 def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                  rr_depth: int, mode: str, wavelengths, vma_axes=(),
-                 kinds=None, nmaps=False):
+                 kinds=None, nmaps=False, tkinds=None):
     """Estimate radiance along primary rays o, d -> (N, C).
 
     max_depth counts path vertices like the reference (-1 handled by the
@@ -127,6 +129,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         t, p, ng, uv, shape_idx, hit = ray_intersect(
             scene.shapes, state.o, state.d)
         mesh_mat = None
+        mesh_attr = None
         if scene.mesh is not None:
             tm, nm, matm, _b1, _b2, _tri, hitm = mesh_intersect(
                 scene.mesh, state.o, state.d)
@@ -143,6 +146,11 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 uv = jnp.where(use_mesh[..., None],
                                mesh_interp_uv(scene.mesh, _tri, _b1, _b2),
                                uv)
+                if scene.mesh.col is not None:
+                    from .mesh import mesh_interp_color
+                    mesh_attr = jnp.where(
+                        use_mesh[..., None],
+                        mesh_interp_color(scene.mesh, _tri, _b1, _b2), 0.0)
 
         sdf_mat = None
         if scene.sdf is not None:
@@ -264,7 +272,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             from .texture import eval_texture
             tex_idx = take_ints(scene.bsdfs.tex_idx, mat_idx)
             refl_tex = eval_texture(scene.textures, tex_idx, uv,
-                                    wavelengths)
+                                    wavelengths, p=p, attr=mesh_attr,
+                                    tkinds=tkinds)
 
         # shading frame (geometric normal; two-sided flipping happens
         # inside the bsdf). Normal-mapped materials perturb it per lane
@@ -274,7 +283,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         if nmaps and scene.textures is not None:
             from .texture import eval_texture as _evt
             nm_idx = take_ints(scene.bsdfs.normal_tex_idx, mat_idx)
-            n_rgb, n_has = _evt(scene.textures, nm_idx, uv, None)
+            n_rgb, n_has = _evt(scene.textures, nm_idx, uv, None,
+                                p=p, attr=mesh_attr, tkinds=tkinds)
             n_loc = 2.0 * n_rgb - 1.0
             n_loc = n_loc / jnp.maximum(
                 jnp.linalg.norm(n_loc, axis=-1, keepdims=True), 1e-6)
@@ -553,7 +563,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
 
 def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
                        max_depth, rr_depth, mode, row0, n_rows, vma_axes=(),
-                       sampler_kind="independent", kinds=None, nmaps=False):
+                       sampler_kind="independent", kinds=None, nmaps=False,
+                       tkinds=None):
     """Render `spp_chunk` of `spp` samples for a block of film rows.
 
     Returns an accumulation block (n_rows, W, C+1). RNG is keyed on the
@@ -592,7 +603,7 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
         spec_radiance = _path_sample(scene, o, d, smp, max_depth,
                                      rr_depth, mode, wavelengths,
                                      vma_axes=vma_axes, kinds=kinds,
-                                     nmaps=nmaps)
+                                     nmaps=nmaps, tkinds=tkinds)
         radiance = film_mod.spectral_band_accumulate(
             wavelengths, spec_radiance * wl_weight, jnp.asarray(edges))
         # per-band mean -> spectral radiance density: divide by band width
@@ -610,13 +621,13 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
         spec_radiance = _path_sample(scene, o, d, smp, max_depth,
                                      rr_depth, mode, wavelengths,
                                      vma_axes=vma_axes, kinds=kinds,
-                                     nmaps=nmaps)
+                                     nmaps=nmaps, tkinds=tkinds)
         radiance = spec_mod.spectrum_to_srgb(spec_radiance * wl_weight,
                                              wavelengths)
     else:
         radiance = _path_sample(scene, o, d, smp, max_depth,
                                 rr_depth, mode, None, vma_axes=vma_axes,
-                                kinds=kinds, nmaps=nmaps)
+                                kinds=kinds, nmaps=nmaps, tkinds=tkinds)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
 
     block_film = film_mod.Film(n_rows, w, film_cfg.n_channels,
@@ -632,7 +643,8 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
 
 def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
                 mode, row0, n_rows, vma_axes=(), max_lanes=(1 << 20),
-                sampler_kind="independent", kinds=None, nmaps=False):
+                sampler_kind="independent", kinds=None, nmaps=False,
+                tkinds=None):
     """Render a block of film rows -> (n_rows, W, C+1).
 
     Bounds the live wavefront to `max_lanes` lanes by scanning over spp
@@ -649,13 +661,14 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
     if n_chunks == 1:
         return _render_rows_chunk(scene, sensor, film_cfg, key, spp, 0, spp,
                                   max_depth, rr_depth, mode, row0, n_rows,
-                                  vma_axes, sampler_kind, kinds, nmaps)
+                                  vma_axes, sampler_kind, kinds, nmaps,
+                                  tkinds)
 
     def chunk(accum, ci):
         a = _render_rows_chunk(scene, sensor, film_cfg, key, spp,
                                ci * spp_chunk, spp_chunk, max_depth,
                                rr_depth, mode, row0, n_rows, vma_axes,
-                               sampler_kind, kinds, nmaps)
+                               sampler_kind, kinds, nmaps, tkinds)
         return accum + a, None
 
     init = jnp.zeros((n_rows, w, film_cfg.n_channels + 1))
@@ -667,12 +680,15 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
 
 @partial(jax.jit,
          static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
-                          "mode", "sampler_kind", "kinds", "nmaps"))
+                          "mode", "sampler_kind", "kinds", "nmaps",
+                          "tkinds"))
 def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
-                 mode, sampler_kind="independent", kinds=None, nmaps=False):
+                 mode, sampler_kind="independent", kinds=None, nmaps=False,
+                 tkinds=None):
     return render_rows(scene, sensor, film_cfg, key, spp, max_depth,
                        rr_depth, mode, 0, film_cfg.height,
-                       sampler_kind=sampler_kind, kinds=kinds, nmaps=nmaps)
+                       sampler_kind=sampler_kind, kinds=kinds, nmaps=nmaps,
+                       tkinds=tkinds)
 
 
 @partial(jax.jit,
@@ -730,11 +746,13 @@ def render(scene: Scene, sensor, film: film_mod.Film, key, spp: int = 16,
     """
     kinds = bsdf_mod.table_kinds(scene.bsdfs)
     nmaps = bsdf_mod.table_normal_maps(scene.bsdfs)
+    from .texture import table_texture_kinds
+    tkinds = table_texture_kinds(scene.textures)
     accum = None
     for p in range(passes):
         pass_key = jax.random.fold_in(key, p)
         a = _render_impl(scene, sensor, film, pass_key, spp // passes,
                          max_depth, rr_depth, mode, sampler_kind, kinds,
-                         nmaps)
+                         nmaps, tkinds)
         accum = a if accum is None else accum + a
     return film_mod.develop(accum)

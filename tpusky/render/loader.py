@@ -360,6 +360,37 @@ def _parse_texture(desc, textures):
         textures.append(dict(kind="bitmap", data=_load_bitmap(desc),
                              to_uv=_parse_to_uv(desc.get("to_uv")),
                              wrap=desc.get("wrap_mode", "repeat")))
+    elif t == "volume":
+        # 3D texture (`volume.cpp`): wraps a gridvolume / constvolume /
+        # inline grid, evaluated at the world-space hit position
+        vol = next((v for v in desc.values()
+                    if isinstance(v, dict) and v.get("type")
+                    in ("gridvolume", "constvolume")), desc)
+        to_world = _parse_to_world(vol.get("to_world",
+                                           desc.get("to_world")))
+        if vol.get("type") == "gridvolume":
+            from ..utils.io import read_vol
+            grid, bmin, bmax = read_vol(vol["filename"])
+            # bbox -> unit-cube mapping baked into to_world
+            ext = np.maximum(bmax - bmin, 1e-9)
+            bbox_m = np.eye(4, dtype=np.float32)
+            bbox_m[:3, :3] = np.diag(ext)
+            bbox_m[:3, 3] = bmin
+            to_world = to_world @ bbox_m
+        elif vol.get("type") == "constvolume":
+            grid = np.broadcast_to(
+                spectrum_to_channels(vol.get("value", 1.0), "rgb"),
+                (1, 1, 1, 3)).astype(np.float32)
+        else:
+            grid = np.asarray(desc["grid"], np.float32)
+        textures.append(dict(kind="volume", grid=grid, to_world=to_world))
+    elif t == "mesh_attribute":
+        name = desc.get("name", "vertex_color")
+        if name != "vertex_color":
+            raise ValueError("only the 'vertex_color' mesh attribute is "
+                             f"supported, got {name!r}")
+        textures.append(dict(kind="mesh_attribute",
+                             scale=float(desc.get("scale", 1.0))))
     else:
         raise ValueError(f"unsupported texture type {t!r}")
     return len(textures) - 1
@@ -376,8 +407,8 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
     """
     from .bsdf import (BLEND, CIRCULAR, CONDUCTOR, DIELECTRIC, DIFFUSE,
                        NULL_BSDF, PLASTIC, POLARIZER, PPLASTIC, PRINCIPLED,
-                       RETARDER, ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
-                       ROUGH_PLASTIC, THIN_DIELECTRIC)
+                       PRINCIPLED_THIN, RETARDER, ROUGH_CONDUCTOR,
+                       ROUGH_DIELECTRIC, ROUGH_PLASTIC, THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
     normal_tex_idx = -1
@@ -465,7 +496,8 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
     def _refl(value):
         """Constant spectrum or nested texture plugin."""
         if (isinstance(value, dict)
-                and value.get("type") in ("checkerboard", "bitmap")):
+                and value.get("type") in ("checkerboard", "bitmap",
+                                          "volume", "mesh_attribute")):
             if textures is None:
                 raise ValueError("textured reflectance not supported here")
             mat["tex_idx"] = _parse_texture(value, textures)
@@ -523,6 +555,20 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
             float(desc.get("clearcoat", 0.0)),
             float(desc.get("clearcoat_gloss", 0.0)),
             float(desc.get("spec_tint", 0.0)), 0.0], np.float64)
+    elif t == "principledthin":
+        mat["kind"] = PRINCIPLED_THIN
+        _refl(desc.get("base_color", 0.5))
+        mat["alpha"] = float(desc.get("roughness", 0.5))
+        mat["ior"] = float(desc.get("eta", 1.5))
+        mat["extra"] = np.array([
+            float(desc.get("spec_trans", 0.0)),
+            # diff_trans has range [0, 2] in the reference
+            # (`principledthin.cpp:283`); stored normalised to [0, 1]
+            float(desc.get("diff_trans", 0.0)) / 2.0,
+            float(desc.get("sheen", 0.0)),
+            float(desc.get("sheen_tint", 0.0)),
+            float(desc.get("flatness", 0.0)),
+            float(desc.get("spec_tint", 0.0)), 0.0, 0.0], np.float64)
     elif t == "pplastic":
         mat["kind"] = PPLASTIC
         _refl(desc.get("diffuse_reflectance", 0.5))
@@ -795,7 +841,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 pos, nrm, idx, uvs = load_obj(value["filename"])
             elif t == "ply":
                 from ..utils.meshio import read_ply
-                pos, nrm, idx, uvs = read_ply(value["filename"])
+                pos, nrm, idx, uvs, vcols = read_ply(value["filename"])
             else:
                 from ..utils.meshio import read_serialized
                 pos, nrm, idx, uvs = read_serialized(
@@ -808,6 +854,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                               textures, materials)
             meshes.append(dict(positions=pos, normals=nrm, indices=idx,
                                uvs=uvs,
+                               colors=vcols if t == "ply" else None,
                                to_world=_parse_to_world(value.get("to_world")),
                                bsdf_idx=len(materials)))
             materials.append(mat)

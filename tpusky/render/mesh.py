@@ -34,6 +34,9 @@ class MeshTable(NamedTuple):
     bsdf_idx: jnp.ndarray   # (T,) int32
     valid: jnp.ndarray      # (T,) bool (False on padding)
     uv: jnp.ndarray = None  # (T, 3, 2) per-corner texture coordinates
+    col: jnp.ndarray = None  # (T, 3, 3) per-corner vertex colors (the
+    #                           `mesh_attribute.cpp` "vertex_color" data;
+    #                           zeros when the mesh carries none)
 
 
 def make_mesh_table(meshes) -> MeshTable:
@@ -41,6 +44,7 @@ def make_mesh_table(meshes) -> MeshTable:
     normals (V,3) optional, uvs (V,2) optional, to_world (4,4) optional,
     bsdf_idx int}."""
     v0s, e1s, e2s, n0s, n1s, n2s, mats, uvs = [], [], [], [], [], [], [], []
+    cols, any_cols = [], False
     for m in meshes:
         pos = np.asarray(m["positions"], np.float32)
         idx = np.asarray(m["indices"], np.int32)
@@ -69,6 +73,12 @@ def make_mesh_table(meshes) -> MeshTable:
         uv_v = (np.zeros((len(pos), 2), np.float32) if uv_v is None
                 else np.asarray(uv_v, np.float32))
         uvs.append(uv_v[idx])                 # (T, 3, 2)
+        col_v = m.get("colors")
+        if col_v is not None:
+            any_cols = True
+            cols.append(np.asarray(col_v, np.float32)[idx])
+        else:
+            cols.append(np.zeros((len(idx), 3, 3), np.float32))
 
     v0 = np.concatenate(v0s) if v0s else np.zeros((0, 3), np.float32)
     e1 = np.concatenate(e1s) if e1s else np.zeros((0, 3), np.float32)
@@ -78,6 +88,7 @@ def make_mesh_table(meshes) -> MeshTable:
     n2 = np.concatenate(n2s) if n2s else np.zeros((0, 3), np.float32)
     mat = np.concatenate(mats) if mats else np.zeros((0,), np.int32)
     uv = np.concatenate(uvs) if uvs else np.zeros((0, 3, 2), np.float32)
+    col = np.concatenate(cols) if cols else np.zeros((0, 3, 3), np.float32)
 
     t = len(v0)
     pad = (-t) % _TILE
@@ -91,7 +102,10 @@ def make_mesh_table(meshes) -> MeshTable:
                          [mat, np.zeros((pad,), np.int32)])),
                      jnp.asarray(valid),
                      jnp.asarray(np.concatenate(
-                         [uv, np.zeros((pad, 3, 2), np.float32)])))
+                         [uv, np.zeros((pad, 3, 2), np.float32)])),
+                     jnp.asarray(np.concatenate(
+                         [col, np.zeros((pad, 3, 3), np.float32)]))
+                     if any_cols else None)
 
 
 def _tile_hits(mesh: MeshTable, tile: int, o, d):
@@ -126,6 +140,16 @@ def mesh_interp_uv(mesh: MeshTable, tri, b1, b2):
     """Barycentric texture coordinates at a hit -> (..., 2)."""
     tri_c = jnp.maximum(tri, 0)
     corner = mesh.uv[tri_c]                   # (..., 3, 2)
+    return ((1.0 - b1 - b2)[..., None] * corner[..., 0, :]
+            + b1[..., None] * corner[..., 1, :]
+            + b2[..., None] * corner[..., 2, :])
+
+
+def mesh_interp_color(mesh: MeshTable, tri, b1, b2):
+    """Barycentric vertex-color interpolation at a hit -> (..., 3)
+    (the `mesh_attribute.cpp` eval path for per-vertex data)."""
+    tri_c = jnp.maximum(tri, 0)
+    corner = mesh.col[tri_c]                  # (..., 3, 3)
     return ((1.0 - b1 - b2)[..., None] * corner[..., 0, :]
             + b1[..., None] * corner[..., 1, :]
             + b2[..., None] * corner[..., 2, :])

@@ -31,6 +31,7 @@ import numpy as np
 from ..ops.gather import take_ints, take_rows, take_scalars
 
 CHECKERBOARD, BITMAP = 0, 1
+VOLUME, MESH_ATTR = 2, 3
 WRAP_REPEAT, WRAP_MIRROR, WRAP_CLAMP = 0, 1, 2
 
 _LAM_MIN, _LAM_MAX = 360.0, 830.0   # sigmoid-coefficient wavelength frame
@@ -50,6 +51,10 @@ class TextureTable(NamedTuple):
     height: jnp.ndarray        # (T,) int32
     atlas: jnp.ndarray         # (A, 4) packed texel RGB + spare channel
     atlas_coeff: jnp.ndarray   # (A, 4) sigmoid c0..c2 + scale (spectral)
+    depth: jnp.ndarray = None  # (T,) int32 volume z-extent (1 otherwise)
+    world_to_tex: jnp.ndarray = None  # (T, 4, 4) world -> [0,1]^3 for
+    #                                    volume textures (`volume.cpp`)
+    attr_scale: jnp.ndarray = None    # (T,) mesh_attribute scale
 
 
 def make_texture_table(textures, spectral: bool = False) -> TextureTable:
@@ -58,6 +63,11 @@ def make_texture_table(textures, spectral: bool = False) -> TextureTable:
     textures: list of dicts, either
       {kind: 'checkerboard', color0, color1, to_uv (3x3)?}
       {kind: 'bitmap', data (H, W, 3) float, to_uv?, wrap: 'repeat'|...}
+      {kind: 'volume', grid (D, H, W[, 3]) float, to_world (4, 4)?} —
+        a 3D texture evaluated at the world hit position, the reference's
+        `volume.cpp` texture wrapping a gridvolume
+      {kind: 'mesh_attribute', scale?} — per-vertex data interpolated at
+        the hit (`mesh_attribute.cpp`, name fixed to "vertex_color")
     `spectral=True` additionally fits per-texel sigmoid spectra (slower
     load; only needed for spectral renders).
     """
@@ -72,6 +82,9 @@ def make_texture_table(textures, spectral: bool = False) -> TextureTable:
     offset = np.zeros((t,), np.int32)
     width = np.ones((t,), np.int32)
     height = np.ones((t,), np.int32)
+    depth = np.ones((t,), np.int32)
+    w2t = np.tile(np.eye(4, dtype=np.float32), (t, 1, 1))
+    attr_scale = np.ones((t,), np.float32)
     blobs = []
     n_texels = 0
     wrap_map = {"repeat": WRAP_REPEAT, "mirror": WRAP_MIRROR,
@@ -82,7 +95,37 @@ def make_texture_table(textures, spectral: bool = False) -> TextureTable:
     for i, d in enumerate(textures):
         if d.get("to_uv") is not None:
             uvt[i] = np.asarray(d["to_uv"], np.float32).reshape(3, 3)
-        if d["kind"] == "checkerboard":
+        if d["kind"] == "mesh_attribute":
+            kind[i] = MESH_ATTR
+            attr_scale[i] = float(d.get("scale", 1.0))
+        elif d["kind"] == "volume":
+            kind[i] = VOLUME
+            grid = np.asarray(d["grid"], np.float32)
+            if grid.ndim == 3:
+                grid = grid[..., None]
+            if grid.shape[-1] == 1:
+                grid = np.repeat(grid, 3, axis=-1)
+            dz, h, w = grid.shape[:3]
+            t2w = np.asarray(d.get("to_world", np.eye(4)), np.float32)
+            w2t[i] = np.linalg.inv(t2w)
+            offset[i] = n_texels
+            width[i] = w
+            height[i] = h
+            depth[i] = dz
+            flat = grid.reshape(-1, 3)
+            texels = np.concatenate(
+                [flat, np.zeros((flat.shape[0], 1), np.float32)], -1)
+            if spectral:
+                scale = np.maximum(flat.max(-1), 1.0)
+                coeffs = fit_sigmoid_coeffs(
+                    flat / scale[:, None]).astype(np.float32)
+                coeffs = np.concatenate(
+                    [coeffs, scale[:, None].astype(np.float32)], -1)
+            else:
+                coeffs = np.zeros_like(texels)
+            blobs.append((texels, coeffs))
+            n_texels += flat.shape[0]
+        elif d["kind"] == "checkerboard":
             kind[i] = CHECKERBOARD
             c0[i] = np.asarray(d.get("color0", 0.4), np.float32) \
                 * np.ones(3, np.float32)
@@ -129,7 +172,8 @@ def make_texture_table(textures, spectral: bool = False) -> TextureTable:
                         jnp.asarray(uvt), jnp.asarray(wrap),
                         jnp.asarray(offset), jnp.asarray(width),
                         jnp.asarray(height), jnp.asarray(atlas),
-                        jnp.asarray(atlas_c))
+                        jnp.asarray(atlas_c), jnp.asarray(depth),
+                        jnp.asarray(w2t), jnp.asarray(attr_scale))
 
 
 def _wrap_coord(x, n, mode):
@@ -169,16 +213,98 @@ def _sigmoid_eval(coeffs, wavelengths):
     return (0.5 + 0.5 * t / jnp.sqrt(1.0 + t * t)) * coeffs[..., 3:4]
 
 
-def eval_texture(tex: TextureTable, tex_idx, uv, wavelengths=None):
+def table_texture_kinds(tex: TextureTable):
+    """Static kind descriptor for a CONCRETE texture table (the texture
+    analogue of `bsdf.table_kinds`): tuple of kinds present, or None for
+    tracers (= compute-and-mask every kind)."""
+    import numpy as np
+    if tex is None:
+        return ()
+    try:
+        return tuple(sorted(int(k) for k in np.unique(np.asarray(tex.kind))))
+    except Exception:
+        return None
+
+
+def eval_texture(tex: TextureTable, tex_idx, uv, wavelengths=None,
+                 p=None, attr=None, tkinds=None):
     """Evaluate per-lane textures at `uv`.
 
     tex_idx (...,) int32 (negative = no texture), uv (..., 2).
+    `p` (..., 3): world hit position (volume textures); `attr` (..., 3):
+    interpolated per-vertex data (mesh_attribute textures); `tkinds`:
+    static descriptor from `table_texture_kinds` — absent kinds are
+    skipped at trace time (None = the uv-kinds only, for legacy callers).
     Returns (value (..., C), has_tex (...,)) — value is undefined where
     has_tex is False.
     """
     has = tex_idx >= 0
     idx = jnp.maximum(tex_idx, 0)
     kind = take_ints(tex.kind, idx)
+
+    def has_kind(k):
+        if tkinds is None:
+            return k in (CHECKERBOARD, BITMAP)
+        return k in tkinds
+
+    value_extra = None
+    # ---- 3D volume texture (`volume.cpp` over `grid.cpp` data) ----
+    if has_kind(VOLUME) and p is not None:
+        m4 = jnp.einsum("...k,kij->...ij",
+                        (idx[..., None] == jnp.arange(tex.kind.shape[0]))
+                        .astype(tex.world_to_tex.dtype), tex.world_to_tex)
+        q = jnp.stack([
+            m4[..., r, 0] * p[..., 0] + m4[..., r, 1] * p[..., 1]
+            + m4[..., r, 2] * p[..., 2] + m4[..., r, 3] for r in range(3)],
+            axis=-1)
+        w_t = take_ints(tex.width, idx)
+        h_t = take_ints(tex.height, idx)
+        d_t = take_ints(tex.depth, idx)
+        off = take_ints(tex.offset, idx)
+        fx = jnp.clip(q[..., 0], 0.0, 1.0) * w_t.astype(q.dtype) - 0.5
+        fy = jnp.clip(q[..., 1], 0.0, 1.0) * h_t.astype(q.dtype) - 0.5
+        fz = jnp.clip(q[..., 2], 0.0, 1.0) * d_t.astype(q.dtype) - 0.5
+        x0, y0, z0 = jnp.floor(fx), jnp.floor(fy), jnp.floor(fz)
+        tx, ty, tz = fx - x0, fy - y0, fz - z0
+
+        def vtap(xc, yc, zc):
+            xi = jnp.clip(xc, 0.0, w_t.astype(xc.dtype) - 1.0) \
+                .astype(jnp.int32)
+            yi = jnp.clip(yc, 0.0, h_t.astype(yc.dtype) - 1.0) \
+                .astype(jnp.int32)
+            zi = jnp.clip(zc, 0.0, d_t.astype(zc.dtype) - 1.0) \
+                .astype(jnp.int32)
+            flat = off + (zi * h_t + yi) * w_t + xi
+            if wavelengths is None:
+                return jnp.take(tex.atlas, flat, axis=0)[..., :3]
+            return _sigmoid_eval(jnp.take(tex.atlas_coeff, flat, axis=0),
+                                 wavelengths)
+
+        tri = 0.0
+        for dz_, wz in ((0.0, 1.0 - tz), (1.0, tz)):
+            for dy_, wy in ((0.0, 1.0 - ty), (1.0, ty)):
+                for dx_, wx in ((0.0, 1.0 - tx), (1.0, tx)):
+                    tri = tri + (wz * wy * wx)[..., None] * vtap(
+                        x0 + dx_, y0 + dy_, z0 + dz_)
+        value_extra = (kind == VOLUME, tri)
+
+    # ---- per-vertex mesh attribute (`mesh_attribute.cpp`) ----
+    if has_kind(MESH_ATTR) and attr is not None:
+        sc = take_scalars(tex.attr_scale, idx)
+        v_attr = attr * sc[..., None]
+        if wavelengths is not None:
+            # spectral fallback: channel-mean (constant spectrum), like
+            # RGB-valued area emitters in spectral transport
+            v_attr = jnp.broadcast_to(
+                jnp.mean(v_attr, axis=-1, keepdims=True),
+                v_attr.shape[:-1] + (wavelengths.shape[-1],))
+        mask = (kind == MESH_ATTR)
+        if value_extra is None:
+            value_extra = (mask, v_attr)
+        else:
+            pm, pv = value_extra
+            value_extra = (pm | mask,
+                           jnp.where(mask[..., None], v_attr, pv))
 
     # apply the affine to_uv transform (small static T: one-hot fetch)
     m = jnp.einsum("...k,kij->...ij",
@@ -187,46 +313,55 @@ def eval_texture(tex: TextureTable, tex_idx, uv, wavelengths=None):
     u = m[..., 0, 0] * uv[..., 0] + m[..., 0, 1] * uv[..., 1] + m[..., 0, 2]
     v = m[..., 1, 0] * uv[..., 0] + m[..., 1, 1] * uv[..., 1] + m[..., 1, 2]
 
+    nc = 3 if wavelengths is None else wavelengths.shape[-1]
+    value = jnp.zeros(idx.shape + (nc,))
+
     # ---- checkerboard (`checkerboard.cpp:70-89`) ----
-    mx = (u - jnp.floor(u)) > 0.5
-    my = (v - jnp.floor(v)) > 0.5
-    use0 = mx == my
-    if wavelengths is None:
-        col0 = take_rows(tex.color0, idx)
-        col1 = take_rows(tex.color1, idx)
-    else:
-        col0 = _spec_lerp(take_rows(tex.color0_spec, idx), wavelengths)
-        col1 = _spec_lerp(take_rows(tex.color1_spec, idx), wavelengths)
-    checker = jnp.where(use0[..., None], col0, col1)
+    if has_kind(CHECKERBOARD):
+        mx = (u - jnp.floor(u)) > 0.5
+        my = (v - jnp.floor(v)) > 0.5
+        use0 = mx == my
+        if wavelengths is None:
+            col0 = take_rows(tex.color0, idx)
+            col1 = take_rows(tex.color1, idx)
+        else:
+            col0 = _spec_lerp(take_rows(tex.color0_spec, idx), wavelengths)
+            col1 = _spec_lerp(take_rows(tex.color1_spec, idx), wavelengths)
+        checker = jnp.where(use0[..., None], col0, col1)
+        value = jnp.where((kind == CHECKERBOARD)[..., None], checker, value)
 
     # ---- bitmap: bilinear from the packed atlas ----
-    w_t = take_ints(tex.width, idx)
-    h_t = take_ints(tex.height, idx)
-    off = take_ints(tex.offset, idx)
-    wrap = take_ints(tex.wrap, idx)
-    # uv (0,0) = top-left texel corner, v grows downward (image rows)
-    fx = u * w_t.astype(u.dtype) - 0.5
-    fy = v * h_t.astype(v.dtype) - 0.5
-    x0f, y0f = jnp.floor(fx), jnp.floor(fy)
-    tx, ty = fx - x0f, fy - y0f
+    if has_kind(BITMAP):
+        w_t = take_ints(tex.width, idx)
+        h_t = take_ints(tex.height, idx)
+        off = take_ints(tex.offset, idx)
+        wrap = take_ints(tex.wrap, idx)
+        # uv (0,0) = top-left texel corner, v grows downward (image rows)
+        fx = u * w_t.astype(u.dtype) - 0.5
+        fy = v * h_t.astype(v.dtype) - 0.5
+        x0f, y0f = jnp.floor(fx), jnp.floor(fy)
+        tx, ty = fx - x0f, fy - y0f
 
-    def tap(xc, yc):
-        xw = _wrap_coord(xc, w_t, wrap).astype(jnp.int32)
-        yw = _wrap_coord(yc, h_t, wrap).astype(jnp.int32)
-        flat = off + yw * w_t + xw
-        if wavelengths is None:
-            return jnp.take(tex.atlas, flat, axis=0)[..., :3]
-        return _sigmoid_eval(jnp.take(tex.atlas_coeff, flat, axis=0),
-                             wavelengths)
+        def tap(xc, yc):
+            xw = _wrap_coord(xc, w_t, wrap).astype(jnp.int32)
+            yw = _wrap_coord(yc, h_t, wrap).astype(jnp.int32)
+            flat = off + yw * w_t + xw
+            if wavelengths is None:
+                return jnp.take(tex.atlas, flat, axis=0)[..., :3]
+            return _sigmoid_eval(jnp.take(tex.atlas_coeff, flat, axis=0),
+                                 wavelengths)
 
-    v00 = tap(x0f, y0f)
-    v10 = tap(x0f + 1.0, y0f)
-    v01 = tap(x0f, y0f + 1.0)
-    v11 = tap(x0f + 1.0, y0f + 1.0)
-    bi = ((1 - tx) * (1 - ty))[..., None] * v00 \
-        + (tx * (1 - ty))[..., None] * v10 \
-        + ((1 - tx) * ty)[..., None] * v01 \
-        + (tx * ty)[..., None] * v11
+        v00 = tap(x0f, y0f)
+        v10 = tap(x0f + 1.0, y0f)
+        v01 = tap(x0f, y0f + 1.0)
+        v11 = tap(x0f + 1.0, y0f + 1.0)
+        bi = ((1 - tx) * (1 - ty))[..., None] * v00 \
+            + (tx * (1 - ty))[..., None] * v10 \
+            + ((1 - tx) * ty)[..., None] * v01 \
+            + (tx * ty)[..., None] * v11
+        value = jnp.where((kind == BITMAP)[..., None], bi, value)
 
-    value = jnp.where((kind == CHECKERBOARD)[..., None], checker, bi)
+    if value_extra is not None:
+        em, ev = value_extra
+        value = jnp.where(em[..., None], ev, value)
     return value, has

@@ -124,9 +124,18 @@ def read_ply(path: str):
     uk = ("u", "v") if "u" in verts else ("s", "t")
     uv = np.stack([verts.get(uk[0], np.zeros(nv)),
                    verts.get(uk[1], np.zeros(nv))], -1).astype(np.float32)
+    # vertex colors (for the `mesh_attribute` texture, reference
+    # `mesh_attribute.cpp`); uchar-encoded colors are normalised to [0,1]
+    col = None
+    if "red" in verts:
+        col = np.stack([verts["red"], verts.get("green", verts["red"]),
+                        verts.get("blue", verts["red"])],
+                       -1).astype(np.float32)
+        if col.max(initial=0.0) > 1.0:
+            col = col / 255.0
     idx = (np.asarray(faces, np.int64).astype(np.int32).reshape(-1, 3)
            if faces else np.zeros((0, 3), np.int32))
-    return pos, nrm, idx, uv
+    return pos, nrm, idx, uv, col
 
 
 def read_serialized(path: str, shape_index: int = 0,
