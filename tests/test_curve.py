@@ -27,7 +27,7 @@ def test_cylinder_body_hit():
     tab = _seg_table([-1, 0, 0], [1, 0, 0], 0.25, 0.25)
     o = jnp.asarray([[0.0, 0.0, 5.0]])
     d = jnp.asarray([[0.0, 0.0, -1.0]])
-    t, n, mat, hit = curve_intersect(tab, o, d)
+    t, n, mat, hit, tg = curve_intersect(tab, o, d)
     assert bool(hit[0])
     assert float(t[0]) == jax.numpy.asarray(4.75).item() or \
         abs(float(t[0]) - 4.75) < 1e-4
@@ -40,7 +40,7 @@ def test_cap_hit_and_radius_lerp():
     tab = _seg_table([-1, 0, 0], [1, 0, 0], 0.3, 0.3)
     o = jnp.asarray([[1.25, 0.0, 5.0]])      # beyond pb + inside cap r
     d = jnp.asarray([[0.0, 0.0, -1.0]])
-    t, n, _, hit = curve_intersect(tab, o, d)
+    t, n, _, hit, _tg = curve_intersect(tab, o, d)
     assert bool(hit[0])
     # sphere cap at (1,0,0) r=0.3: z = sqrt(0.3^2 - 0.25^2)
     z = np.sqrt(0.3 ** 2 - 0.25 ** 2)
@@ -48,7 +48,7 @@ def test_cap_hit_and_radius_lerp():
     # cone: radius lerps along the axis
     cone = _seg_table([-1, 0, 0], [1, 0, 0], 0.1, 0.5)
     o2 = jnp.asarray([[0.0, 0.0, 5.0]])
-    t2, _, _, hit2 = curve_intersect(cone, o2, d)
+    t2, _, _, hit2, _tg2 = curve_intersect(cone, o2, d)
     assert bool(hit2[0])
     # at x=0 the swept-sphere envelope radius is close to lerp = 0.3
     # (the true envelope of a rounded cone is slightly offset)
@@ -59,7 +59,7 @@ def test_miss_and_shadow():
     tab = _seg_table([-1, 0, 0], [1, 0, 0], 0.2, 0.2)
     o = jnp.asarray([[0.0, 2.0, 5.0], [0.0, 0.0, 5.0]])
     d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
-    t, _, _, hit = curve_intersect(tab, o, d)
+    t, _, _, hit, _tg3 = curve_intersect(tab, o, d)
     assert not bool(hit[0]) and bool(hit[1])
     occ = curve_test(tab, o, d, jnp.asarray([jnp.inf, jnp.inf]))
     assert not bool(occ[0]) and bool(occ[1])

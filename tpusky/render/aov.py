@@ -51,7 +51,7 @@ def render_aovs(scene, sensor, height: int, width: int):
         hit = hit | use_sdf
     if scene.curve is not None:
         from .curve import curve_intersect
-        tc_, nc_, matc_, hc_ = curve_intersect(scene.curve, o, d)
+        tc_, nc_, matc_, hc_, _tg_ = curve_intersect(scene.curve, o, d)
         use_cv = hc_ & (tc_ < t)
         t = jnp.where(use_cv, tc_, t)
         p = jnp.where(use_cv[..., None], o + tc_[..., None] * d, p)

@@ -76,6 +76,7 @@ POLARIZER = 12      # linear polarizer filter (`polarizer.cpp`)
 RETARDER = 13       # linear retarder / wave plate (`retarder.cpp`)
 CIRCULAR = 14       # circular polarizer (`circular.cpp`)
 PRINCIPLED_THIN = 15  # thin Disney BSDF (`principledthin.cpp`)
+HAIR = 16           # Chiang et al. 2016 hair fiber (`hair.cpp`)
 
 
 class MaterialTable(NamedTuple):
@@ -340,6 +341,256 @@ def _pplastic_eval(albedo, alpha, ior, wi_l, wo_l, prob_spec):
     pdf = (prob_spec * pdf_spec
            + (1.0 - prob_spec) * warp.INV_PI * cos_o)
     return value, pdf
+
+
+# ---------------------------------------------------------------------------
+# Hair fiber scattering (Chiang et al. 2016; reference `hair.cpp`)
+# ---------------------------------------------------------------------------
+#
+# Fiber frame convention (`hair.cpp:140-149`): local +y is the fiber
+# tangent (sin_theta = w.y); the (x, z) plane is the fiber cross-section
+# with +z the outward normal at the hit. P_MAX = 3 discrete scattering
+# modes (R, TT, TRT) plus a residual lobe.
+
+_HAIR_PMAX = 3
+
+
+def _bessel_i0(x):
+    """10-term series for the modified Bessel function I0
+    (`warp.h:748-758`)."""
+    result = jnp.ones_like(x)
+    x2 = x * x
+    xi = x2
+    denom = 4.0
+    for i in range(1, 11):
+        factor = i + 1.0
+        result = result + xi / denom
+        xi = xi * x2
+        denom = denom * 4.0 * factor * factor
+    return result
+
+
+def _log_bessel_i0(x):
+    """log(I0(x)) with the large-argument asymptote (`warp.h:761-766`)."""
+    safe = jnp.minimum(x, 12.0)
+    return jnp.where(
+        x > 12.0,
+        x + 0.5 * (-jnp.log(2.0 * jnp.pi * jnp.maximum(x, 1e-6))
+                   + 1.0 / (8.0 * jnp.maximum(x, 1e-6))),
+        jnp.log(jnp.maximum(_bessel_i0(safe), 1e-30)))
+
+
+def _rough_fiber_pdf(v_dir, wi, kappa):
+    """d'Eon et al. 2011 longitudinal scattering density M_p
+    (`warp.h:772-792` `square_to_rough_fiber_pdf`, tangent = +y)."""
+    sin_ti = wi[..., 1]
+    sin_to = v_dir[..., 1]
+    cos_ti = safe_sqrt(1.0 - sin_ti * sin_ti)
+    cos_to = safe_sqrt(1.0 - sin_to * sin_to)
+    c = cos_ti * cos_to * kappa
+    s = sin_ti * sin_to * kappa
+    inv_2pi = 0.15915494309189535
+    big = jnp.exp(-s + _log_bessel_i0(c) - kappa + 0.6931
+                  + jnp.log(0.5 * jnp.maximum(kappa, 1e-6))) * inv_2pi
+    kp = jnp.minimum(kappa, 10.0)
+    small = (jnp.exp(-s) * _bessel_i0(c) * kp
+             / (2.0 * jnp.sinh(kp)) * inv_2pi)
+    return jnp.where(kappa > 10.0, big, small)
+
+
+def _hair_gamma(w):
+    """Azimuthal offset angle of `w` w.r.t. the cross-section normal +z
+    (`hair.cpp:528-536`); h = sin(gamma) is the chord offset."""
+    proj = safe_sqrt(w[..., 0] ** 2 + w[..., 2] ** 2)
+    g = jnp.arccos(jnp.clip(w[..., 2] / jnp.maximum(proj, 1e-12),
+                            -1.0, 1.0))
+    g = jnp.where(proj == 0.0, 0.0, g)
+    return jnp.where(w[..., 0] < 0.0, g, -g)
+
+
+def _hair_derived(beta_m, beta_n, tilt_deg):
+    """Roughness -> lobe variances v[0..3], logistic scale s, and the
+    scale-tilt double-angle tables (`hair.cpp:496-527` update())."""
+    v0 = (0.726 * beta_m + 0.812 * beta_m ** 2 + 3.7 * beta_m ** 20) ** 2
+    v = [v0, 0.25 * v0, 4.0 * v0, 4.0 * v0]
+    s = jnp.sqrt(jnp.pi / 8.0) * (0.265 * beta_n + 1.194 * beta_n ** 2
+                                  + 5.372 * beta_n ** 22)
+    sin0 = jnp.sin(jnp.deg2rad(tilt_deg))
+    cos0 = safe_sqrt(1.0 - sin0 * sin0)
+    sin1 = 2.0 * cos0 * sin0
+    cos1 = cos0 * cos0 - sin0 * sin0
+    sin2 = 2.0 * cos1 * sin1
+    cos2 = cos1 * cos1 - sin1 * sin1
+    return v, s, (sin0, sin1, sin2), (cos0, cos1, cos2)
+
+
+def _hair_reframe(sin_ti, cos_ti, p, sin2k, cos2k):
+    """Scale-tilt reframing of the incident angle per lobe
+    (`hair.cpp:543-575`)."""
+    if p == 0:
+        s = sin_ti * cos2k[1] - cos_ti * sin2k[1]
+        c = cos_ti * cos2k[1] + sin_ti * sin2k[1]
+    elif p == 1:
+        s = sin_ti * cos2k[0] + cos_ti * sin2k[0]
+        c = cos_ti * cos2k[0] - sin_ti * sin2k[0]
+    elif p == 2:
+        s = sin_ti * cos2k[2] + cos_ti * sin2k[2]
+        c = cos_ti * cos2k[2] - sin_ti * sin2k[2]
+    else:
+        s, c = sin_ti, cos_ti
+    return s, jnp.abs(c)
+
+
+def _hair_attenuation(cos_theta_i, eta, h, transmittance):
+    """Per-mode attenuation a_p (`hair.cpp:577-592`): Fresnel at the
+    fiber entry, absorption along the internal chords, residual series."""
+    cos_gamma_i = safe_sqrt(1.0 - h * h)
+    f, _, _ = fresnel_dielectric(cos_theta_i * cos_gamma_i, eta)
+    f = f[..., None]
+    t = transmittance
+    a0 = jnp.broadcast_to(f, t.shape)
+    a1 = (1.0 - f) ** 2 * t
+    a2 = a1 * t * f
+    a3 = a2 * f * t / jnp.maximum(1.0 - t * f, 1e-4)
+    return [a0, a1, a2, a3]
+
+
+def _hair_logistic(x, s):
+    x = jnp.abs(x)
+    e = jnp.exp(-x / s)
+    return e / (s * (1.0 + e) ** 2)
+
+
+def _hair_logistic_cdf(x, s):
+    return 1.0 / (1.0 + jnp.exp(-x / s))
+
+
+def _hair_azimuthal(delta_phi, p, s, gamma_i, gamma_t):
+    """Trimmed-logistic azimuthal lobe N_p (`hair.cpp:630-645`)."""
+    perfect = 2.0 * p * gamma_t - 2.0 * gamma_i + p * jnp.pi
+    phi = delta_phi - perfect
+    phi = jnp.mod(phi, 2.0 * jnp.pi)
+    phi = jnp.where(phi < jnp.pi, phi + 2.0 * jnp.pi, phi)
+    phi = jnp.where(phi > jnp.pi, phi - 2.0 * jnp.pi, phi)
+    norm = (_hair_logistic_cdf(jnp.pi, s)
+            - _hair_logistic_cdf(-jnp.pi, s))
+    return _hair_logistic(phi, s) / jnp.maximum(norm, 1e-9)
+
+
+def _hair_geometry(wi, eta):
+    """Shared fiber-frame geometry for eval/pdf/sample."""
+    gamma_i = _hair_gamma(wi)
+    h = jnp.sin(gamma_i)
+    sin_ti = wi[..., 1]
+    cos_ti = safe_sqrt(1.0 - sin_ti * sin_ti)
+    sin_tt = sin_ti / eta
+    cos_tt = safe_sqrt(1.0 - sin_tt * sin_tt)
+    eta_p = safe_sqrt(eta * eta - sin_ti * sin_ti) \
+        / jnp.maximum(cos_ti, 1e-6)
+    sin_gt = h / jnp.maximum(eta_p, 1e-6)
+    cos_gt = safe_sqrt(1.0 - sin_gt * sin_gt)
+    gamma_t = jnp.arcsin(jnp.clip(sin_gt, -1.0, 1.0))
+    return gamma_i, h, sin_ti, cos_ti, cos_tt, cos_gt, gamma_t
+
+
+def _hair_eval_pdf(sigma_a, beta_m, beta_n, tilt_deg, eta, wi, wo):
+    """(f (..., C), pdf) of the Chiang hair BCSDF in the fiber frame
+    (`hair.cpp:420-477` eval_pdf). NOTE: the model folds the projected
+    cosine in, so `f` already includes foreshortening."""
+    v, s, sin2k, cos2k = _hair_derived(beta_m, beta_n, tilt_deg)
+    (gamma_i, h, sin_ti, cos_ti, cos_tt, cos_gt,
+     gamma_t) = _hair_geometry(wi, eta)
+    transmittance = jnp.exp(-sigma_a * (2.0 * cos_gt / jnp.maximum(
+        cos_tt, 1e-6))[..., None])
+    a_p = _hair_attenuation(cos_ti, eta, h, transmittance)
+    lum = [jnp.mean(a, axis=-1) for a in a_p]
+    lum_sum = jnp.maximum(sum(lum), 1e-12)
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 0])
+    phi_o = jnp.arctan2(wo[..., 2], wo[..., 0])
+    delta_phi = phi_o - phi_i
+    sin_pi, cos_pi = jnp.sin(phi_i), jnp.cos(phi_i)
+
+    value = jnp.zeros_like(a_p[0])
+    pdf = jnp.zeros_like(lum_sum)
+    for p in range(_HAIR_PMAX):
+        s_ip, c_ip = _hair_reframe(sin_ti, cos_ti, p, sin2k, cos2k)
+        wi_p = jnp.stack([c_ip * cos_pi, s_ip, c_ip * sin_pi], axis=-1)
+        m_p = _rough_fiber_pdf(wo, wi_p, 1.0 / jnp.maximum(v[p], 1e-7))
+        n_p = _hair_azimuthal(delta_phi, p, s, gamma_i, gamma_t)
+        value = value + (m_p * 2.0 * jnp.pi * n_p)[..., None] * a_p[p]
+        pdf = pdf + m_p * 2.0 * jnp.pi * (lum[p] / lum_sum) * n_p
+    m_res = _rough_fiber_pdf(wo, wi, 1.0 / jnp.maximum(v[3], 1e-7))
+    value = value + m_res[..., None] * a_p[3]
+    pdf = pdf + m_res * (lum[3] / lum_sum)
+    value = jnp.where(jnp.isfinite(value), value, 0.0)
+    pdf = jnp.where(jnp.isfinite(pdf), pdf, 0.0)
+    return value, pdf
+
+
+def _hair_sample(sigma_a, beta_m, beta_n, tilt_deg, eta, wi, u2, u1):
+    """Sample an outgoing direction from the hair BCSDF
+    (`hair.cpp:215-322`) -> wo; evaluate value/pdf with
+    `_hair_eval_pdf`."""
+    v, s, sin2k, cos2k = _hair_derived(beta_m, beta_n, tilt_deg)
+    (gamma_i, h, sin_ti, cos_ti, cos_tt, cos_gt,
+     gamma_t) = _hair_geometry(wi, eta)
+    transmittance = jnp.exp(-sigma_a * (2.0 * cos_gt / jnp.maximum(
+        cos_tt, 1e-6))[..., None])
+    a_p = _hair_attenuation(cos_ti, eta, h, transmittance)
+    lum = [jnp.mean(a, axis=-1) for a in a_p]
+    lum_sum = jnp.maximum(sum(lum), 1e-12)
+    ap_pdf = jnp.stack([l / lum_sum for l in lum], axis=-1)   # (..., 4)
+
+    # lobe selection from u1, with the remainder rescaled per lobe
+    # (`hair.cpp:233-243`)
+    cdf = jnp.cumsum(ap_pdf, axis=-1)
+    u = u1
+    p_sel = (3 - (u < cdf[..., 2]).astype(jnp.int32)
+             - (u < cdf[..., 1]).astype(jnp.int32)
+             - (u < cdf[..., 0]).astype(jnp.int32))
+    cdf_prev = jnp.concatenate([jnp.zeros_like(cdf[..., :1]),
+                                cdf[..., :-1]], axis=-1)
+    sel = jax.nn.one_hot(p_sel, 4, dtype=cdf.dtype)
+    u_rem = ((u - jnp.sum(sel * cdf_prev, axis=-1))
+             / jnp.maximum(jnp.sum(sel * ap_pdf, axis=-1), 1e-9))
+    u_rem = jnp.clip(u_rem, 0.0, 1.0 - 1e-6)
+
+    # longitudinal sample around the reframed incident angle
+    s_ip = jnp.zeros_like(sin_ti)
+    c_ip = jnp.zeros_like(cos_ti)
+    v_sel = jnp.zeros_like(sin_ti)
+    for p in range(4):
+        sp, cp = _hair_reframe(sin_ti, cos_ti, p, sin2k, cos2k)
+        is_p = p_sel == p
+        s_ip = jnp.where(is_p, sp, s_ip)
+        c_ip = jnp.where(is_p, cp, c_ip)
+        v_sel = jnp.where(is_p, v[p], v_sel)
+    v_sel = jnp.maximum(v_sel, 1e-7)
+    u20 = jnp.clip(u2[..., 0], 1e-6, 1.0 - 1e-6)
+    cos_theta = 1.0 + v_sel * jnp.log(
+        u20 + (1.0 - u20) * jnp.exp(-2.0 / v_sel))
+    sin_theta = safe_sqrt(1.0 - cos_theta ** 2)
+    cos_phi_l = jnp.cos(2.0 * jnp.pi * u2[..., 1])
+    sin_to = -cos_theta * s_ip + sin_theta * cos_phi_l * c_ip
+    cos_to = safe_sqrt(1.0 - sin_to ** 2)
+
+    # azimuthal sample: trimmed logistic around the perfect deflection
+    # for p < 3, uniform for the residual lobe (`hair.cpp:268-280`)
+    perfect = (2.0 * p_sel.astype(sin_ti.dtype) * gamma_t - 2.0 * gamma_i
+               + p_sel.astype(sin_ti.dtype) * jnp.pi)
+    k_log = (_hair_logistic_cdf(jnp.pi, s)
+             - _hair_logistic_cdf(-jnp.pi, s))
+    x_log = -s * jnp.log(1.0 / jnp.maximum(
+        u_rem * k_log + _hair_logistic_cdf(-jnp.pi, s), 1e-9) - 1.0)
+    x_log = jnp.clip(x_log, -jnp.pi, jnp.pi)
+    delta_phi = jnp.where(p_sel < 3, perfect + x_log,
+                          2.0 * jnp.pi * u_rem)
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 0])
+    phi_o = phi_i + delta_phi
+    wo = jnp.stack([cos_to * jnp.cos(phi_o), sin_to,
+                    cos_to * jnp.sin(phi_o)], axis=-1)
+    return wo / jnp.maximum(jnp.linalg.norm(wo, axis=-1, keepdims=True),
+                            1e-12)
 
 
 def _schlick5(c):
@@ -870,6 +1121,18 @@ def _eval_pdf_core(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
         value = jnp.where(is_pt[..., None], pt_val, value)
         pdf = jnp.where(is_pt, pt_pdf, pdf)
 
+    # --- hair fiber (fiber frame: +y tangent; full-sphere scattering) ---
+    if has(HAIR):
+        sig_h = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                           refl_tex)
+        extra_h = take_rows(table.extra, mat_idx)
+        h_val, h_pdf = _hair_eval_pdf(
+            sig_h, take_scalars(table.alpha, mat_idx), extra_h[..., 0],
+            extra_h[..., 1], take_scalars(table.ior, mat_idx), wi, wo)
+        is_h = kind == HAIR
+        value = jnp.where(is_h[..., None], h_val, value)
+        pdf = jnp.where(is_h, h_pdf, pdf)
+
     # mask wrapper: surviving (non-passthrough) interaction probability
     if any_mask:
         opac = take_scalars(table.opacity, mat_idx)
@@ -1231,6 +1494,25 @@ def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
         wo = jnp.where(is_pt[..., None], wo_pt, wo)
         weight = jnp.where(is_pt[..., None], w_pt, weight)
         pdf = jnp.where(is_pt, pt_pdf, pdf)
+
+    # --- hair fiber: lobe cascade + longitudinal/azimuthal inverse CDFs,
+    #     weight = f/pdf via the shared eval (fiber frame, full sphere) ---
+    if has(HAIR):
+        sig_h = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                           refl_tex)
+        extra_h = take_rows(table.extra, mat_idx)
+        beta_m_h = take_scalars(table.alpha, mat_idx)
+        eta_h = take_scalars(table.ior, mat_idx)
+        wo_h = _hair_sample(sig_h, beta_m_h, extra_h[..., 0],
+                            extra_h[..., 1], eta_h, wi, sample2, sample1)
+        h_val, h_pdf = _hair_eval_pdf(sig_h, beta_m_h, extra_h[..., 0],
+                                      extra_h[..., 1], eta_h, wi, wo_h)
+        w_h = jnp.where((h_pdf > 1e-12)[..., None],
+                        h_val / jnp.maximum(h_pdf, 1e-12)[..., None], 0.0)
+        is_h = kind == HAIR
+        wo = jnp.where(is_h[..., None], wo_h, wo)
+        weight = jnp.where(is_h[..., None], w_h, weight)
+        pdf = jnp.where(is_h, h_pdf, pdf)
 
     # --- null: invisible pass-through (delta transmission) ---
     if has(NULL_BSDF):

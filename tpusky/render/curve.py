@@ -208,7 +208,9 @@ def _round_cone_hits(curve: CurveTable, tile: int, o, d):
 
 
 def curve_intersect(curve: CurveTable, o, d):
-    """Closest hit against all curve segments -> (t, n, mat_idx, hit)."""
+    """Closest hit against all curve segments -> (t, n, mat_idx, hit,
+    tangent). The unit tangent of the winning segment feeds the hair
+    BCSDF's fiber frame (`hair.cpp` expects +y along the fiber)."""
     n_tiles = curve.pa.shape[0] // _TILE
     batch = o.shape[:-1]
 
@@ -226,8 +228,12 @@ def curve_intersect(curve: CurveTable, o, d):
             jnp.full(batch, -1, jnp.int32))
     (t, n, seg), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
     hit = jnp.isfinite(t)
-    mat = curve.bsdf_idx[jnp.maximum(seg, 0)]
-    return t, n, mat, hit
+    seg_c = jnp.maximum(seg, 0)
+    mat = curve.bsdf_idx[seg_c]
+    tg = curve.pb[seg_c] - curve.pa[seg_c]
+    tg = tg / jnp.maximum(jnp.linalg.norm(tg, axis=-1, keepdims=True),
+                          1e-12)
+    return t, n, mat, hit, tg
 
 
 def curve_test(curve: CurveTable, o, d, maxt):

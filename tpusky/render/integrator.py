@@ -166,10 +166,12 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             sdf_mat = use_sdf
 
         curve_mat = None
+        curve_tangent = None
         if scene.curve is not None:
             from .curve import curve_intersect
-            tc_, nc_, matc_, hc_ = curve_intersect(scene.curve, state.o,
-                                                   state.d)
+            tc_, nc_, matc_, hc_, tgc_ = curve_intersect(scene.curve,
+                                                         state.o, state.d)
+            curve_tangent = tgc_
             use_cv = hc_ & (tc_ < t)
             t = jnp.where(use_cv, tc_, t)
             p = jnp.where(use_cv[..., None],
@@ -292,6 +294,22 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             frame = Frame(jnp.where(n_has[..., None], ns, ng))
         else:
             frame = geo_frame
+        # hair fiber frame: +y along the curve tangent, +z the hit normal
+        # projected onto the cross-section plane (the convention the
+        # Chiang BCSDF expects, `hair.cpp:140-149`)
+        if (curve_tangent is not None and kinds is not None
+                and bsdf_mod.HAIR in kinds[0]):
+            kind_l = take_ints(scene.bsdfs.kind, mat_idx)
+            hair_lane = curve_mat[0] & (kind_l == bsdf_mod.HAIR)
+            tg = curve_tangent
+            z_h = ng - jnp.sum(ng * tg, axis=-1, keepdims=True) * tg
+            z_h = z_h / jnp.maximum(
+                jnp.linalg.norm(z_h, axis=-1, keepdims=True), 1e-9)
+            s_h = jnp.cross(tg, z_h)
+            m = hair_lane[..., None]
+            frame.s = jnp.where(m, s_h, frame.s)
+            frame.t = jnp.where(m, tg, frame.t)
+            frame.n = jnp.where(m, z_h, frame.n)
         wi_local = frame.to_local(-state.d)
 
         # ---- next-event estimation toward the environment ----
@@ -517,7 +535,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         hit = hit | use_sdf
     if scene.curve is not None:
         from .curve import curve_intersect as _cvi
-        tc_, nc_, _mc_, hc_ = _cvi(scene.curve, state.o, state.d)
+        tc_, nc_, _mc_, hc_, _tg_ = _cvi(scene.curve, state.o, state.d)
         use_cv = hc_ & (tc_ < t)
         t = jnp.where(use_cv, tc_, t)
         ng = jnp.where(use_cv[..., None], nc_, ng)

@@ -406,9 +406,10 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
     branch-free core applies them per child row.
     """
     from .bsdf import (BLEND, CIRCULAR, CONDUCTOR, DIELECTRIC, DIFFUSE,
-                       NULL_BSDF, PLASTIC, POLARIZER, PPLASTIC, PRINCIPLED,
-                       PRINCIPLED_THIN, RETARDER, ROUGH_CONDUCTOR,
-                       ROUGH_DIELECTRIC, ROUGH_PLASTIC, THIN_DIELECTRIC)
+                       HAIR, NULL_BSDF, PLASTIC, POLARIZER, PPLASTIC,
+                       PRINCIPLED, PRINCIPLED_THIN, RETARDER,
+                       ROUGH_CONDUCTOR, ROUGH_DIELECTRIC, ROUGH_PLASTIC,
+                       THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
     normal_tex_idx = -1
@@ -569,6 +570,39 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
             float(desc.get("sheen_tint", 0.0)),
             float(desc.get("flatness", 0.0)),
             float(desc.get("spec_tint", 0.0)), 0.0, 0.0], np.float64)
+    elif t == "hair":
+        mat["kind"] = HAIR
+        if "sigma_a" in desc and ("eumelanin" in desc
+                                  or "pheomelanin" in desc):
+            raise ValueError("hair: give either sigma_a or pigmentation, "
+                             "not both")
+        if "sigma_a" in desc:
+            sig = desc["sigma_a"]
+            mat["rgb"] = spectrum_to_channels(sig, "rgb")
+            mat["spec"] = spectrum_to_channels(sig, "spectral")
+        else:
+            # pigmentation -> absorption, d'Eon et al. 2011 coefficients
+            # (`hair.cpp:485-492`)
+            eu = float(desc.get("eumelanin", 1.3))
+            ph = float(desc.get("pheomelanin", 0.2))
+            sig = (eu * np.array([0.419, 0.697, 1.37])
+                   + ph * np.array([0.187, 0.4, 1.05]))
+            mat["rgb"] = sig
+            from ..ops.rgb2spec import upsample_rgb
+            peak = max(float(sig.max()), 1.0)
+            mat["spec"] = upsample_rgb(sig / peak,
+                                       skyC.WAVELENGTHS)[0] * peak
+        scale = float(desc.get("scale", 1.0))
+        mat["rgb"] = np.asarray(mat["rgb"]) * scale
+        mat["spec"] = np.asarray(mat["spec"]) * scale
+        mat["alpha"] = float(desc.get("longitudinal_roughness", 0.3))
+        int_ior = float(desc.get("int_ior", 1.55))       # amber
+        ext_ior = float(desc.get("ext_ior", 1.000277))
+        mat["ior"] = int_ior / ext_ior
+        mat["extra"] = np.array([
+            float(desc.get("azimuthal_roughness", 0.3)),
+            float(desc.get("scale_tilt", 2.0)),
+            0.0, 0.0, 0.0, 0.0, 0.0, 0.0], np.float64)
     elif t == "pplastic":
         mat["kind"] = PPLASTIC
         _refl(desc.get("diffuse_reflectance", 0.5))
