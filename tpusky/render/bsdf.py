@@ -77,6 +77,8 @@ RETARDER = 13       # linear retarder / wave plate (`retarder.cpp`)
 CIRCULAR = 14       # circular polarizer (`circular.cpp`)
 PRINCIPLED_THIN = 15  # thin Disney BSDF (`principledthin.cpp`)
 HAIR = 16           # Chiang et al. 2016 hair fiber (`hair.cpp`)
+MEASURED = 17       # RGL measured BRDF (`measured.cpp`; render/measured.py)
+MEASURED_POL = 18   # polarized measured pBRDF (`measured_polarized.cpp`)
 
 
 class MaterialTable(NamedTuple):
@@ -97,6 +99,11 @@ class MaterialTable(NamedTuple):
     blend_a: jnp.ndarray = None  # (M,) int32 first child row (kind 10)
     blend_b: jnp.ndarray = None  # (M,) int32 second child row (kind 10)
     blend_w: jnp.ndarray = None  # (M,) weight of child b (`blendbsdf.cpp`)
+    measured: object = None      # MeasuredBRDF dataset shared by the
+    #                              kind-17 rows (one per scene;
+    #                              render/measured.py)
+    measured_pol: object = None  # MeasuredPolarized dataset shared by
+    #                              the kind-18 rows (one per scene)
 
 
 # legacy alias used throughout the renderer
@@ -108,8 +115,8 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                         etas=None, ks=None, iors=None,
                         opacities=None, tex_indices=None,
                         extras=None, normal_tex_indices=None,
-                        blend_children=None, blend_weights=None
-                        ) -> MaterialTable:
+                        blend_children=None, blend_weights=None,
+                        measured=None, measured_pol=None) -> MaterialTable:
     import numpy as np
     a = np.atleast_2d(np.asarray(albedos, np.float32))
     m = a.shape[0]
@@ -156,7 +163,8 @@ def make_material_table(kinds=None, albedos=((0.5, 0.5, 0.5),),
                          jnp.asarray(normal_tex_indices),
                          jnp.asarray(blend_children[:, 0]),
                          jnp.asarray(blend_children[:, 1]),
-                         jnp.asarray(blend_weights))
+                         jnp.asarray(blend_weights), measured,
+                         measured_pol)
 
 
 def make_diffuse_table(albedos, twosided=None,
@@ -1133,6 +1141,24 @@ def _eval_pdf_core(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
         value = jnp.where(is_h[..., None], h_val, value)
         pdf = jnp.where(is_h, h_pdf, pdf)
 
+    # --- RGL measured BRDF (geometric upper hemisphere, reflection) ---
+    if has(MEASURED) and table.measured is not None:
+        from .measured import measured_eval_pdf
+        md_val, md_pdf = measured_eval_pdf(table.measured, wi_l, wo_l,
+                                           wavelengths)
+        is_md = kind == MEASURED
+        value = jnp.where(is_md[..., None], md_val, value)
+        pdf = jnp.where(is_md, md_pdf, pdf)
+
+    # --- polarized measured pBRDF (scalar M00 radiometry; the Mueller
+    #     transport lives in render/polarized.py) ---
+    if has(MEASURED_POL) and table.measured_pol is not None:
+        from .measured import mp_eval_pdf
+        mpv, mpp = mp_eval_pdf(table.measured_pol, wi_l, wo_l, wavelengths)
+        is_mp = kind == MEASURED_POL
+        value = jnp.where(is_mp[..., None], mpv, value)
+        pdf = jnp.where(is_mp, mpp, pdf)
+
     # mask wrapper: surviving (non-passthrough) interaction probability
     if any_mask:
         opac = take_scalars(table.opacity, mat_idx)
@@ -1371,6 +1397,29 @@ def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
                         jnp.where(pl_spec, f_i_pl,
                                   (1.0 - f_i_pl) * pdf_diff), pdf)
         is_delta = is_delta | (is_pl & pl_spec)
+
+    # --- RGL measured BRDF: luminance + VNDF warp sampling ---
+    if has(MEASURED) and table.measured is not None:
+        from .measured import measured_sample
+        wo_md, w_md, pdf_md = measured_sample(table.measured, wi_l,
+                                              sample2, wavelengths)
+        is_md = kind == MEASURED
+        wo = jnp.where(is_md[..., None], wo_md, wo)
+        weight = jnp.where(is_md[..., None], w_md, weight)
+        pdf = jnp.where(is_md, pdf_md, pdf)
+
+    # --- polarized measured pBRDF: cosine/GGX mixture sampling ---
+    if has(MEASURED_POL) and table.measured_pol is not None:
+        from .measured import mp_eval_pdf, mp_sample
+        wo_mp = mp_sample(table.measured_pol, wi_l, sample2, sample1)
+        mpv, mpp = mp_eval_pdf(table.measured_pol, wi_l, wo_mp,
+                               wavelengths)
+        w_mp = jnp.where((mpp > 1e-12)[..., None],
+                         mpv / jnp.maximum(mpp, 1e-12)[..., None], 0.0)
+        is_mp = kind == MEASURED_POL
+        wo = jnp.where(is_mp[..., None], wo_mp, wo)
+        weight = jnp.where(is_mp[..., None], w_mp, weight)
+        pdf = jnp.where(is_mp, mpp, pdf)
 
     # flip the local-frame lobes back to the geometric frame
     wo = jnp.where(geom_frame[..., None], wo, wo * sign3)

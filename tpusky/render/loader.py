@@ -406,10 +406,10 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
     branch-free core applies them per child row.
     """
     from .bsdf import (BLEND, CIRCULAR, CONDUCTOR, DIELECTRIC, DIFFUSE,
-                       HAIR, NULL_BSDF, PLASTIC, POLARIZER, PPLASTIC,
-                       PRINCIPLED, PRINCIPLED_THIN, RETARDER,
-                       ROUGH_CONDUCTOR, ROUGH_DIELECTRIC, ROUGH_PLASTIC,
-                       THIN_DIELECTRIC)
+                       HAIR, MEASURED, MEASURED_POL, NULL_BSDF, PLASTIC,
+                       POLARIZER, PPLASTIC, PRINCIPLED, PRINCIPLED_THIN,
+                       RETARDER, ROUGH_CONDUCTOR, ROUGH_DIELECTRIC,
+                       ROUGH_PLASTIC, THIN_DIELECTRIC)
     twosided = False
     opacity = 1.0
     normal_tex_idx = -1
@@ -570,6 +570,16 @@ def _build_bsdf(desc, mode, textures=None, materials=None):
             float(desc.get("sheen_tint", 0.0)),
             float(desc.get("flatness", 0.0)),
             float(desc.get("spec_tint", 0.0)), 0.0, 0.0], np.float64)
+    elif t == "measured":
+        mat["kind"] = MEASURED
+        # the dataset itself is attached scene-wide (one per scene);
+        # `load_dict` picks it up from this marker
+        mat["measured_file"] = desc["filename"]
+    elif t == "measured_polarized":
+        mat["kind"] = MEASURED_POL
+        mat["measured_pol_file"] = (
+            desc["filename"], float(desc.get("alpha_sample", 0.1)),
+            float(desc.get("wavelength", -1.0)))
     elif t == "hair":
         mat["kind"] = HAIR
         if "sigma_a" in desc and ("eumelanin" in desc
@@ -1156,6 +1166,28 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
 
     if not materials:
         materials = [_build_bsdf({"type": "diffuse"}, mode)]
+    measured_ds = None
+    measured_files = {m.pop("measured_file") for m in materials
+                      if "measured_file" in m}
+    if measured_files:
+        if len(measured_files) > 1:
+            raise ValueError("only one measured BRDF dataset per scene is "
+                             "supported")
+        from ..ops.tensorfile import read_tensor_file
+        from .measured import load_measured
+        measured_ds = load_measured(read_tensor_file(measured_files.pop()))
+    measured_pol_ds = None
+    mp_specs = {m.pop("measured_pol_file") for m in materials
+                if "measured_pol_file" in m}
+    if mp_specs:
+        if len(mp_specs) > 1:
+            raise ValueError("only one measured_polarized dataset per "
+                             "scene is supported")
+        from ..ops.tensorfile import read_tensor_file
+        from .measured import load_measured_polarized
+        fn, a_s, wl = mp_specs.pop()
+        measured_pol_ds = load_measured_polarized(read_tensor_file(fn),
+                                                  a_s, wl)
     dir_area_radiance = None
     if dir_areas:
         dir_area_radiance = np.zeros((max(len(shapes), 1), 3), np.float32)
@@ -1178,6 +1210,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_blend_children=[(m.get("blend_a", 0), m.get("blend_b", 0))
                              for m in materials],
         bsdf_blend_weights=[m.get("blend_w", 0.0) for m in materials],
+        measured=measured_ds,
+        measured_pol=measured_pol_ds,
         textures=textures or None,
         spectral_textures=(mode == "spectral"),
         area_radiance=area_radiance,

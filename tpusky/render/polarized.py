@@ -52,8 +52,9 @@ from . import bsdf as bsdf_mod
 from . import emitters as em
 from . import film as film_mod
 from . import sensors as sensors_mod
-from .bsdf import (CIRCULAR, CONDUCTOR, DIELECTRIC, POLARIZER, PPLASTIC,
-                   RETARDER, ROUGH_CONDUCTOR, fresnel_dielectric)
+from .bsdf import (CIRCULAR, CONDUCTOR, DIELECTRIC, MEASURED_POL,
+                   POLARIZER, PPLASTIC, RETARDER, ROUGH_CONDUCTOR,
+                   fresnel_dielectric)
 from .integrator import _SamplerCtx, _mis_weight, _SHADOW_EPS
 from .mesh import mesh_intersect
 from .scene import Scene, scene_occluded
@@ -205,6 +206,12 @@ def _pol_weight_eval(table, mat_idx, wi, wo, scalar_val, kinds,
         out_pp = _pplastic_mueller_eval(table, mat_idx, wi, wo, refl_tex)
         out = jnp.where((kind == PPLASTIC)[..., None, None, None],
                         out_pp, out)
+
+    if has(MEASURED_POL) and table.measured_pol is not None:
+        from .measured import mp_eval_mueller
+        out_mp = mp_eval_mueller(table.measured_pol, wi, wo, None)
+        out = jnp.where((kind == MEASURED_POL)[..., None, None, None],
+                        out_mp, out)
     return out
 
 
@@ -314,6 +321,13 @@ def _pol_weight_sample(table, mat_idx, wi, wo, scalar_w, pdf, kinds,
                      | (kind == CIRCULAR))
         m_f = _filter_mueller_local(table, mat_idx, kind, wi, trans)
         out = jnp.where(is_filter[..., None, None, None], m_f, out)
+
+    if has(MEASURED_POL) and table.measured_pol is not None:
+        from .measured import mp_eval_mueller
+        m_mp = mp_eval_mueller(table.measured_pol, wi, wo, None)
+        scale = jnp.where(pdf > 1e-12, 1.0 / jnp.maximum(pdf, 1e-12), 0.0)
+        out = jnp.where((kind == MEASURED_POL)[..., None, None, None],
+                        m_mp * scale[..., None, None, None], out)
     return out
 
 

@@ -73,7 +73,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                spectral_textures=False, bsdf_extras=None,
                bsdf_normal_tex_indices=None, medium=None,
                sdf=None, bsdf_blend_children=None,
-               bsdf_blend_weights=None, curves=None) -> Scene:
+               bsdf_blend_weights=None, curves=None,
+               measured=None, measured_pol=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -96,7 +97,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
         alphas=bsdf_alphas, etas=bsdf_etas, ks=bsdf_ks, iors=bsdf_iors,
         opacities=bsdf_opacities, tex_indices=bsdf_tex_indices,
         extras=bsdf_extras, normal_tex_indices=bsdf_normal_tex_indices,
-        blend_children=bsdf_blend_children, blend_weights=bsdf_blend_weights)
+        blend_children=bsdf_blend_children, blend_weights=bsdf_blend_weights,
+        measured=measured, measured_pol=measured_pol)
     tex_table = None
     if textures:
         from .texture import make_texture_table
