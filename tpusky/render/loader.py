@@ -824,6 +824,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     d = _expand_merge(_expand_instances(d))
 
     integrator = {"type": "path"}
+    top_level_sampler = None
     sensor_desc = None
     env_desc = None
     shapes, materials, areas, meshes = [], [], [], []
@@ -1083,6 +1084,11 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             # standalone BSDF/rfilter declaration (XML `id=` + `<ref>`
             # pattern, `xml.cpp`): shapes hold resolved copies, nothing to do
             continue
+        elif t in ("independent", "stratified", "multijitter",
+                   "orthogonal", "ldsampler", "sobol", "orthogonal_array"):
+            # top-level <sampler> outside the sensor (accepted by the
+            # reference's XML parser, e.g. Shader_Dragon.xml)
+            top_level_sampler = value
         elif t == "blender":
             # `blender.cpp` builds a Mesh from raw pointers into the
             # Blender process's memory — meaningful only inside the
@@ -1119,7 +1125,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         film = Film(h, w, len(bands) - 1, rfilter, bands)
     else:
         film = Film(h, w, 3, rfilter)
-    sampler_desc = sensor_desc.get("sampler", {})
+    sampler_desc = sensor_desc.get("sampler", top_level_sampler or {})
     spp = int(sampler_desc.get("sample_count", 16))
     sampler_kind = {"independent": "independent",
                     "stratified": "stratified",
@@ -1133,8 +1139,12 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     sensor = _build_sensor(sensor_desc, w, h)
 
     # ---- environment emitter ----
-    env_kind, env_params = None, None
+    env_kind, env_params, env_rot = None, None, None
     if env_desc is not None:
+        # emitter-local -> world rotation (`<transform name="to_world">`
+        # on the env emitter; e.g. the y-up Shader_Dragon.xml scene)
+        if "to_world" in env_desc:
+            env_rot = _parse_to_world(env_desc["to_world"])[:3, :3]
         if env_desc["type"] == "sunsky":
             env_kind = "sunsky"
             env_params = _sunsky_params_from_props(env_desc, mode)
@@ -1212,6 +1222,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         bsdf_blend_weights=[m.get("blend_w", 0.0) for m in materials],
         measured=measured_ds,
         measured_pol=measured_pol_ds,
+        env_to_world=env_rot,
         textures=textures or None,
         spectral_textures=(mode == "spectral"),
         area_radiance=area_radiance,
