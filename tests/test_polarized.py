@@ -309,3 +309,35 @@ def test_polarization_bsdfs_via_loader():
     # a retarder passes unpolarized light through (attenuated only)
     assert img[0, 0, 0].mean() == pytest.approx(0.9, abs=1e-4)
     np.testing.assert_allclose(img[0, 0, 1:], 0.0, atol=1e-5)
+
+
+def test_spectral_polarized_mode():
+    """`mode="spectral"` runs hero-wavelength polarized transport (the
+    reference's *_spectral_polarized variants): S0 approximates the RGB
+    render; polarization (conductor Fresnel) still shows up."""
+    base = {
+        "type": "scene",
+        "integrator": {"type": "stokes",
+                       "nested": {"type": "path", "max_depth": 4}},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": {"type": "look_at", "origin": [0, -4, 1.5],
+                                "target": [0, 0, 0.5], "up": [0, 0, 1]},
+                   "film": {"type": "hdrfilm", "width": 12, "height": 12}},
+        "ball": {"type": "sphere", "center": [0, 0, 0.8], "radius": 0.8,
+                 "bsdf": {"type": "conductor", "material": "Au"}},
+        "ground": {"type": "rectangle", "to_world": {"scale": [3, 3, 1]},
+                   "bsdf": {"type": "diffuse"}},
+        "env": {"type": "sunsky", "turbidity": 3.0},
+    }
+    st = np.asarray(loader.load_dict(base, mode="spectral").render(
+        seed=3, spp=16))
+    rgb = np.asarray(loader.load_dict(base, mode="rgb").render(
+        seed=3, spp=16))
+    assert st.shape == (12, 12, 4, 3) and np.isfinite(st).all()
+    # spectral and RGB S0 agree in the mean (different transports, same
+    # scene; tolerance like the spectral-vs-RGB sunsky study)
+    assert abs(st[..., 0, :].mean() - rgb[..., 0, :].mean()) \
+        < 0.1 * rgb[..., 0, :].mean()
+    dop = (np.linalg.norm(st[..., 1:, :], axis=-2)
+           / np.maximum(st[..., 0, :], 1e-6))
+    assert 0.03 < float(dop.max()) <= 1.001

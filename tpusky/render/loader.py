@@ -216,7 +216,8 @@ class SceneBundle:
             return render_stokes(scene, self.sensor, self.film, key,
                                  spp=spp, max_depth=self.max_depth,
                                  rr_depth=self.rr_depth,
-                                 sampler_kind=self.sampler_kind)
+                                 sampler_kind=self.sampler_kind,
+                                 mode=self.mode)
         return integrator_mod.render(
             scene, self.sensor, self.film, key,
             spp=spp, max_depth=self.max_depth,

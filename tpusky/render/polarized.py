@@ -180,8 +180,22 @@ def _polarize_scaled(m_fresnel, scalar):
     return m_fresnel * scale
 
 
+def _conductor_eta_k(table, mat_idx, wavelengths):
+    """Per-channel conductor IOR: RGB directly; spectral uses the
+    channel-mean like the scalar core (`bsdf.py` spectral branch)."""
+    eta = take_rows(table.eta, mat_idx)
+    k = take_rows(table.k, mat_idx)
+    if wavelengths is None:
+        return eta, k
+    nc = wavelengths.shape[-1]
+    return (jnp.broadcast_to(jnp.mean(eta, -1, keepdims=True),
+                             eta.shape[:-1] + (nc,)),
+            jnp.broadcast_to(jnp.mean(k, -1, keepdims=True),
+                             k.shape[:-1] + (nc,)))
+
+
 def _pol_weight_eval(table, mat_idx, wi, wo, scalar_val, kinds,
-                     refl_tex=None):
+                     refl_tex=None, wavelengths=None):
     """Mueller matrix for an *evaluated* direction pair (NEE): non-delta
     polarization-aware lobes get polarized Fresnel; everything else is a
     depolarizer of the scalar value. Local frame, (N, C, 4, 4)."""
@@ -197,25 +211,27 @@ def _pol_weight_eval(table, mat_idx, wi, wo, scalar_val, kinds,
         m = wi + wo
         m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True),
                             1e-12)
-        f = _specular_mueller_local(wi, wo, m, take_rows(table.eta, mat_idx),
-                                    take_rows(table.k, mat_idx))
+        eta_c, k_c = _conductor_eta_k(table, mat_idx, wavelengths)
+        f = _specular_mueller_local(wi, wo, m, eta_c, k_c)
         out = jnp.where((kind == ROUGH_CONDUCTOR)[..., None, None, None],
                         _polarize_scaled(f, scalar_val), out)
 
     if has(PPLASTIC):
-        out_pp = _pplastic_mueller_eval(table, mat_idx, wi, wo, refl_tex)
+        out_pp = _pplastic_mueller_eval(table, mat_idx, wi, wo, refl_tex,
+                                        wavelengths)
         out = jnp.where((kind == PPLASTIC)[..., None, None, None],
                         out_pp, out)
 
     if has(MEASURED_POL) and table.measured_pol is not None:
         from .measured import mp_eval_mueller
-        out_mp = mp_eval_mueller(table.measured_pol, wi, wo, None)
+        out_mp = mp_eval_mueller(table.measured_pol, wi, wo, wavelengths)
         out = jnp.where((kind == MEASURED_POL)[..., None, None, None],
                         out_mp, out)
     return out
 
 
-def _pplastic_mueller_eval(table, mat_idx, wi, wo, refl_tex=None):
+def _pplastic_mueller_eval(table, mat_idx, wi, wo, refl_tex=None,
+                           wavelengths=None):
     """Polarized plastic eval (`pplastic.cpp:280-369`): GGX specular
     reflection Mueller (half-vector frame) + depolarized base sandwiched
     between the two refraction Mueller matrices (normal frame)."""
@@ -224,7 +240,8 @@ def _pplastic_mueller_eval(table, mat_idx, wi, wo, refl_tex=None):
     cos_o = jnp.maximum(wo[..., 2], 0.0)
     alpha = jnp.maximum(take_scalars(table.alpha, mat_idx), 1e-3)
     ior = take_scalars(table.ior, mat_idx)
-    albedo = _apply_tex(_reflectance(table, mat_idx, None), refl_tex)
+    albedo = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                        refl_tex)
     c = albedo.shape[-1]
 
     h = wi + wo
@@ -268,7 +285,7 @@ def _pplastic_mueller_eval(table, mat_idx, wi, wo, refl_tex=None):
 
 
 def _pol_weight_sample(table, mat_idx, wi, wo, scalar_w, pdf, kinds,
-                       refl_tex=None):
+                       refl_tex=None, wavelengths=None):
     """Mueller weight for a *sampled* direction: delta polarization-aware
     lobes construct their Fresnel Mueller directly; non-delta pol-aware
     lobes reuse the eval path; the rest depolarize the scalar weight.
@@ -285,7 +302,7 @@ def _pol_weight_sample(table, mat_idx, wi, wo, scalar_w, pdf, kinds,
     if has(ROUGH_CONDUCTOR) or has(PPLASTIC):
         val = scalar_w * pdf[..., None]   # back out f*cos from weight
         m_ev = _pol_weight_eval(table, mat_idx, wi, wo, val, kinds,
-                                refl_tex)
+                                refl_tex, wavelengths)
         scale = jnp.where(pdf > 1e-12, 1.0 / jnp.maximum(pdf, 1e-12), 0.0)
         m_ev = m_ev * scale[..., None, None, None]
         sel = (kind == ROUGH_CONDUCTOR) | (kind == PPLASTIC)
@@ -294,9 +311,8 @@ def _pol_weight_sample(table, mat_idx, wi, wo, scalar_w, pdf, kinds,
     if has(CONDUCTOR):
         nrm = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), wi.shape)
         nrm = nrm * jnp.sign(wi[..., 2:3])    # twosided support
-        f = _specular_mueller_local(wi, wo, nrm,
-                                    take_rows(table.eta, mat_idx),
-                                    take_rows(table.k, mat_idx))
+        eta_c, k_c = _conductor_eta_k(table, mat_idx, wavelengths)
+        f = _specular_mueller_local(wi, wo, nrm, eta_c, k_c)
         out = jnp.where((kind == CONDUCTOR)[..., None, None, None],
                         _polarize_scaled(f, scalar_w), out)
 
@@ -316,7 +332,8 @@ def _pol_weight_sample(table, mat_idx, wi, wo, scalar_w, pdf, kinds,
 
     if has(POLARIZER) or has(RETARDER) or has(CIRCULAR):
         from .bsdf import _apply_tex, _reflectance
-        trans = _apply_tex(_reflectance(table, mat_idx, None), refl_tex)
+        trans = _apply_tex(_reflectance(table, mat_idx, wavelengths),
+                           refl_tex)
         is_filter = ((kind == POLARIZER) | (kind == RETARDER)
                      | (kind == CIRCULAR))
         m_f = _filter_mueller_local(table, mat_idx, kind, wi, trans)
@@ -324,7 +341,7 @@ def _pol_weight_sample(table, mat_idx, wi, wo, scalar_w, pdf, kinds,
 
     if has(MEASURED_POL) and table.measured_pol is not None:
         from .measured import mp_eval_mueller
-        m_mp = mp_eval_mueller(table.measured_pol, wi, wo, None)
+        m_mp = mp_eval_mueller(table.measured_pol, wi, wo, wavelengths)
         scale = jnp.where(pdf > 1e-12, 1.0 / jnp.maximum(pdf, 1e-12), 0.0)
         out = jnp.where((kind == MEASURED_POL)[..., None, None, None],
                         m_mp * scale[..., None, None, None], out)
@@ -358,22 +375,25 @@ def _scene_hit(scene, o, d):
     return t, p, ng, uv, shape_idx, mat_idx, hit
 
 
-def _env_stokes(scene, d, mode="rgb"):
+def _env_stokes(scene, d, wavelengths=None):
+    mode = "rgb" if wavelengths is None else "spectral"
+    nc = 3 if wavelengths is None else wavelengths.shape[-1]
     if scene.env is None:
-        return jnp.zeros(d.shape[:-1] + (3,)), jnp.zeros(d.shape[:-1])
-    return em.env_eval_pdf(scene.env, d, scene.env_to_world, None, mode)
+        return jnp.zeros(d.shape[:-1] + (nc,)), jnp.zeros(d.shape[:-1])
+    return em.env_eval_pdf(scene.env, d, scene.env_to_world, wavelengths,
+                           mode)
 
 
 def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
                           max_depth: int, rr_depth: int = 1000,
-                          kinds=None):
+                          kinds=None, wavelengths=None):
     """Estimate the Stokes radiance along primary rays -> (N, C, 4).
 
     The returned Stokes vectors are w.r.t. the implicit bases
     `stokes_basis(-d)` of the primary directions (rotate with
     `sensor_stokes_rotation` for display, like `stokes.cpp:100-110`)."""
     n = o.shape[0]
-    nc = 3
+    nc = 3 if wavelengths is None else wavelengths.shape[-1]
     sg = jax.lax.stop_gradient
 
     init = PolPathState(
@@ -391,7 +411,7 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
         escaped = state.active & ~hit
         col = _first_col(state.throughput)
         result = state.result
-        env_L, em_pdf_raw = _env_stokes(scene, state.d)
+        env_L, em_pdf_raw = _env_stokes(scene, state.d, wavelengths)
         em_pdf = jnp.where(state.prev_bsdf_delta, 0.0, em_pdf_raw)
         mis_em = _mis_weight(state.prev_bsdf_pdf, sg(em_pdf))
         result = result + jnp.where(
@@ -402,6 +422,10 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
         if n_area > 0:
             area_L = take_rows(scene.area_radiance,
                                jnp.maximum(shape_idx, 0))
+            if wavelengths is not None:
+                area_L = jnp.broadcast_to(
+                    jnp.mean(area_L, -1, keepdims=True),
+                    area_L.shape[:-1] + (nc,))
             facing = (dot(ng, -state.d) > 0.0) & (shape_idx >= 0)
             area_pdf = em.area_pdf_direction(scene, state.o, p, ng,
                                              jnp.maximum(shape_idx, 0))
@@ -422,7 +446,8 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
         if scene.textures is not None:
             from .texture import eval_texture
             tex_idx = take_ints(scene.bsdfs.tex_idx, mat_idx)
-            refl_tex = eval_texture(scene.textures, tex_idx, uv, None)
+            refl_tex = eval_texture(scene.textures, tex_idx, uv,
+                                    wavelengths)
 
         frame = Frame(ng)
         wi_local = frame.to_local(-state.d)
@@ -436,14 +461,17 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
         if scene.env is not None:
             u_nee = sg(smp.next(3 * depth + 0, 2))
             d_e, L_e, pdf_e = em.env_sample_eval(
-                scene.env, scene.env_to_world, u_nee, None, "rgb")
+                scene.env, scene.env_to_world, u_nee, wavelengths,
+                "rgb" if wavelengths is None else "spectral")
             pdf_e_d = sg(pdf_e)
             wo_local = frame.to_local(d_e)
             f_val, pdf_b = bsdf_mod.eval_pdf(scene.bsdfs, mat_idx,
-                                             wi_local, wo_local, None,
-                                             kinds=kinds, refl_tex=refl_tex)
+                                             wi_local, wo_local,
+                                             wavelengths, kinds=kinds,
+                                             refl_tex=refl_tex)
             m_local = _pol_weight_eval(scene.bsdfs, mat_idx, wi_local,
-                                       wo_local, f_val, kinds, refl_tex)
+                                       wo_local, f_val, kinds, refl_tex,
+                                       wavelengths)
             m_world = mu.to_world_mueller(frame, m_local, -wo_local,
                                           wi_local)
             tm = mu.matmul(state.throughput, m_world)
@@ -462,12 +490,16 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
                 scene, p, u_area[..., :2], u_area[..., 2])
             d_a = sg(d_a)
             pdf_a = sg(pdf_a)
+            if wavelengths is not None:
+                L_a = jnp.broadcast_to(jnp.mean(L_a, -1, keepdims=True),
+                                       L_a.shape[:-1] + (nc,))
             wo_a = frame.to_local(d_a)
             f_a, pdf_b_a = bsdf_mod.eval_pdf(scene.bsdfs, mat_idx,
-                                             wi_local, wo_a, None,
+                                             wi_local, wo_a, wavelengths,
                                              kinds=kinds, refl_tex=refl_tex)
             m_local = _pol_weight_eval(scene.bsdfs, mat_idx, wi_local,
-                                       wo_a, f_a, kinds, refl_tex)
+                                       wo_a, f_a, kinds, refl_tex,
+                                       wavelengths)
             m_world = mu.to_world_mueller(frame, m_local, -wo_a, wi_local)
             tm = mu.matmul(state.throughput, m_world)
             occ_a = scene_occluded(scene, offset(d_a), d_a,
@@ -488,15 +520,18 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
             d_l = to_l / dist[..., None]
             wo_l = frame.to_local(d_l)
             f_l, _ = bsdf_mod.eval_pdf(scene.bsdfs, mat_idx, wi_local,
-                                       wo_l, None, kinds=kinds,
+                                       wo_l, wavelengths, kinds=kinds,
                                        refl_tex=refl_tex)
             m_local = _pol_weight_eval(scene.bsdfs, mat_idx, wi_local,
-                                       wo_l, f_l, kinds, refl_tex)
+                                       wo_l, f_l, kinds, refl_tex,
+                                       wavelengths)
             m_world = mu.to_world_mueller(frame, m_local, -wo_l, wi_local)
             tm = mu.matmul(state.throughput, m_world)
             occ_l = scene_occluded(scene, offset(d_l), d_l,
                                    dist * (1 - 1e-3))
-            w = intensity / dist2[..., None]
+            inten_c = (intensity if wavelengths is None
+                       else jnp.mean(intensity, keepdims=True))
+            w = inten_c / dist2[..., None]
             result = result + jnp.where(
                 (active & ~occ_l)[..., None, None],
                 _first_col(tm) * w[..., None], 0.0)
@@ -505,11 +540,11 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
         u_bsdf = sg(smp.next(3 * depth + 1, 3))
         wo_local, weight, pdf_b, is_delta = bsdf_mod.sample(
             scene.bsdfs, mat_idx, wi_local, u_bsdf[..., :2],
-            u_bsdf[..., 2], None, kinds=kinds, refl_tex=refl_tex)
+            u_bsdf[..., 2], wavelengths, kinds=kinds, refl_tex=refl_tex)
         wo_local = sg(wo_local)
         m_local = _pol_weight_sample(scene.bsdfs, mat_idx, wi_local,
                                      wo_local, weight, pdf_b, kinds,
-                                     refl_tex)
+                                     refl_tex, wavelengths)
         m_world = mu.to_world_mueller(frame, m_local, -wo_local, wi_local)
         d_next = frame.to_world(wo_local)
         throughput = mu.matmul(state.throughput, m_world)
@@ -571,9 +606,11 @@ def sensor_stokes_rotation(sensor, d):
 
 
 @partial(jax.jit, static_argnames=("film_cfg", "spp", "max_depth",
-                                   "rr_depth", "sampler_kind", "kinds"))
+                                   "rr_depth", "sampler_kind", "kinds",
+                                   "mode"))
 def _render_stokes_impl(scene, sensor, film_cfg, key, spp, max_depth,
-                        rr_depth, sampler_kind="independent", kinds=None):
+                        rr_depth, sampler_kind="independent", kinds=None,
+                        mode="rgb"):
     h, w = film_cfg.height, film_cfg.width
     n = h * w * spp
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -586,8 +623,24 @@ def _render_stokes_impl(scene, sensor, film_cfg, key, spp, max_depth,
     uv = jnp.stack([(px + u_pos[:, 0]) / w, (py + u_pos[:, 1]) / h], -1)
     o, d = sensors_mod.sample_ray(sensor, uv)
 
-    stokes = path_sample_polarized(scene, o, d, smp, max_depth, rr_depth,
-                                   kinds=kinds)
+    if mode == "spectral":
+        # hero-wavelength polarized transport, like the reference's
+        # *_spectral_polarized variants; each Stokes component converts
+        # to sRGB with the shared pdf weight (`stokes.cpp:117-128`)
+        from ..ops import spectrum as spec_mod
+        u_wl = smp.next(20_000, 1)[..., 0]
+        shifted = spec_mod.sample_shifted(u_wl, 4)
+        wavelengths, wl_weight = spec_mod.sample_rgb_spectrum(shifted)
+        stokes_spec = path_sample_polarized(scene, o, d, smp, max_depth,
+                                            rr_depth, kinds=kinds,
+                                            wavelengths=wavelengths)
+        stokes = jnp.stack(
+            [spec_mod.spectrum_to_srgb(stokes_spec[..., si] * wl_weight,
+                                       wavelengths)
+             for si in range(4)], axis=-1)          # (N, 3, 4)
+    else:
+        stokes = path_sample_polarized(scene, o, d, smp, max_depth,
+                                       rr_depth, kinds=kinds)
     rot = sensor_stokes_rotation(sensor, d)[..., None, :, :]
     stokes = mu.apply_stokes(rot, stokes)
     stokes = jnp.where(jnp.isfinite(stokes), stokes, 0.0)
@@ -603,12 +656,14 @@ def _render_stokes_impl(scene, sensor, film_cfg, key, spp, max_depth,
 def render_stokes(scene: Scene, sensor, film: film_mod.Film, key,
                   spp: int = 16, max_depth: int = 4,
                   rr_depth: int = 1000,
-                  sampler_kind: str = "independent"):
+                  sampler_kind: str = "independent", mode: str = "rgb"):
     """Render the full polarization state -> (H, W, 4, 3): Stokes
     components S0 (radiance) and S1..S3 aligned with the sensor's
     horizontal axis, the output convention of the reference's `stokes`
-    integrator AOVs (`stokes.cpp:113-131`)."""
+    integrator AOVs (`stokes.cpp:113-131`). `mode="spectral"` runs
+    4-hero-wavelength polarized transport (the `*_spectral_polarized`
+    variants)."""
     kinds = bsdf_mod.table_kinds(scene.bsdfs)
     return _render_stokes_impl(scene, sensor, film,
                                jax.random.fold_in(key, 0), spp, max_depth,
-                               rr_depth, sampler_kind, kinds)
+                               rr_depth, sampler_kind, kinds, mode)
