@@ -1,0 +1,186 @@
+"""Projective (boundary-term) gradient tests vs finite differences.
+
+The reference validates its projective integrators by comparing AD
+gradients of shape poses against finite differences
+(`src/integrators/tests/test_ad_integrators.py` translation configs);
+interior-only AD is known-wrong there — only interior + boundary matches
+FD. Same harness here: common-random-number FD across a discontinuity
+sweep vs `jax.grad` (interior) + `tpusky.ad.projective` (boundary).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpusky as ts
+from tpusky.ad import projective as proj
+from tpusky.models.sunsky import model as M
+from tpusky.models.sunsky.tables import load_tables
+from tpusky.render import integrator
+from tpusky.render.film import Film
+from tpusky.render.scene import make_scene
+from tpusky.render.sensors import make_perspective, perspective_ray
+from tpusky.render import shapes as shapes_mod
+
+
+def _sky_env():
+    tables = load_tables("rgb")
+    p = ts.make_params(turbidity=3.0, albedo=0.3,
+                       sun_direction=[0.3, 0.2, 0.93], sun_scale=0.0)
+    return M.precompute(tables, p, "rgb")
+
+
+def _sphere_scene(x=0.0, env=None):
+    t = np.eye(4, dtype=np.float32)
+    t[0, 3] = x
+    t[2, 3] = 1.0
+    return make_scene(
+        shapes=[dict(kind=0, to_world=t, bsdf_idx=0)],
+        bsdf_albedos=[[0.6, 0.3, 0.2]], env=env)
+
+
+def _with_translation(scene, j, xyz):
+    """Scene with shape j translated by xyz (differentiable)."""
+    t2w = scene.shapes.to_world
+    t2w = t2w.at[j, :3, 3].add(xyz)
+    t2o = jnp.linalg.inv(t2w)
+    return scene._replace(shapes=scene.shapes._replace(
+        to_world=t2w, to_object=t2o))
+
+
+def test_sphere_silhouette_sides():
+    """Rays offset ±0.6 px across the projected silhouette must straddle
+    the sphere: exactly one side hits it (validates curve construction,
+    projection, and normals)."""
+    env = None
+    scene = _sphere_scene(0.0, env)
+    sensor = make_perspective([0, -5, 1.0], [0, 0, 1.0], fov_x_deg=40)
+    w = h = 128
+    t = jnp.linspace(0.0, 2 * np.pi, 257)[:-1]
+    eye = sensor.to_world[:3, 3]
+    x = proj._sphere_curve(scene.shapes.to_world[0], eye, t)
+    uv, valid = proj.film_uv(sensor, x)
+    assert bool(valid.all())
+    u_pix = uv * jnp.asarray([w, h], jnp.float32)
+    tau = jax.jvp(lambda tt: proj.film_uv(
+        sensor, proj._sphere_curve(scene.shapes.to_world[0], eye, tt))[0],
+        (t,), (jnp.ones_like(t),))[1] * jnp.asarray([w, h], jnp.float32)
+    nrm = jnp.stack([tau[:, 1], -tau[:, 0]], -1)
+    nrm = nrm / jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    hits = []
+    for sgn in (-1.0, 1.0):
+        up = (u_pix + sgn * 0.6 * nrm) / jnp.asarray([w, h], jnp.float32)
+        o, d = perspective_ray(sensor, up)
+        *_, idx, valid_h = shapes_mod.ray_intersect(scene.shapes, o, d)
+        hits.append(np.asarray(valid_h & (idx == 0)))
+    one_sided = hits[0] ^ hits[1]
+    assert one_sided.mean() > 0.97
+
+
+@pytest.mark.slow
+def test_primary_boundary_vs_fd():
+    """∂/∂x of mean(image) for a sky-lit sphere: FD == interior + boundary;
+    interior alone must be measurably wrong (the boundary term matters)."""
+    env = _sky_env()
+    # camera off-axis so x-translation changes projected coverage (the
+    # on-axis setup has near-cancelling left/right boundary motion, which
+    # amplifies FD noise relative to the net term)
+    sensor = make_perspective([2.5, -5, 1.0], [0, 0, 1.0], fov_x_deg=40)
+    w = h = 96
+    film = Film(h, w, 3)
+    spp = 256
+    key = jax.random.PRNGKey(3)
+    base = _sphere_scene(0.0, env)
+
+    def loss(dx):
+        sc = _with_translation(base, 0, jnp.asarray([dx, 0.0, 0.0]))
+        img = integrator.render(sc, sensor, film, key, spp, max_depth=2)
+        return img.mean()
+
+    # FD with common random numbers; h sweeps the silhouette across
+    # ~1.5 px so thousands of fixed sample points flip sides
+    eps = 3e-2
+    fd = float((loss(eps) - loss(-eps)) / (2 * eps))
+
+    interior = float(jax.grad(loss)(0.0))
+
+    grad_image = jnp.full((h, w, 3), 1.0 / (h * w * 3))
+    d_shapes, _ = proj.primary_boundary_grad(
+        base, sensor, film, grad_image, jax.random.PRNGKey(11),
+        n_samples=3072, probe_spp=8, max_depth=2)
+    boundary = float(d_shapes[0, 0, 3])     # d/d(translation x)
+
+    total = interior + boundary
+    # the boundary term must be a real correction ...
+    assert abs(boundary) > 3 * abs(fd) * 0.05
+    # ... and interior+boundary must match FD much better than interior
+    assert abs(total - fd) < 0.25 * abs(fd) + 1e-5
+    assert abs(total - fd) < 0.5 * abs(interior - fd) + 1e-6
+
+
+@pytest.mark.slow
+def test_shadow_boundary_vs_fd():
+    """Sun-shadow case: sphere over a ground plane under a delta
+    directional light, loss concentrated on the shadow's leading edge
+    (a mean-image loss is insensitive to a rigidly-translating shadow —
+    the closed-loop boundary integral cancels, verified by a shoelace
+    oracle — so the edge mask is what makes the term observable).
+    FD == interior + primary + shadow boundary, shadow dominating."""
+    ld = np.asarray([0.35, 0.1, -0.93])
+    ld = ld / np.linalg.norm(ld)
+    ground = np.diag([6.0, 6.0, 1.0, 1.0]).astype(np.float32)
+    sph = np.eye(4, dtype=np.float32)
+    sph[:3, :3] *= 0.5
+    sph[2, 3] = 1.0
+    base = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=0, to_world=sph, bsdf_idx=1)],
+        bsdf_albedos=[[0.7, 0.7, 0.7], [0.2, 0.4, 0.7]],
+        directional_lights=[list(ld) + [3.0, 3.0, 3.0]], env=None)
+    sensor = make_perspective([0, -4.5, 2.6], [0, 0, 0.4], fov_x_deg=45)
+    w = h = 96
+    film = Film(h, w, 3)
+    key = jax.random.PRNGKey(5)
+
+    # build a ±4 px mask around the right (leading) half of the
+    # projected shadow curve at θ=0
+    t = jnp.linspace(0, 2 * np.pi, 513)[:-1]
+    curve, _ = proj._CURVES[0]
+    ldj = jnp.asarray(ld, jnp.float32)
+    ve = base.shapes.to_world[1][:3, 3] - 1e5 * ldj
+    rt = proj._table_without(base.shapes, 1)
+    q = proj._shadow_curve(lambda a, b: curve(a, ve, b), ldj, rt,
+                           base.shapes.to_world[1], t)
+    uv_sh, _ = proj.film_uv(sensor, q)
+    px_sh = np.asarray(uv_sh) * [w, h]
+    right = px_sh[px_sh[:, 0] > px_sh[:, 0].mean()]
+    yy, xx = np.mgrid[0:h, 0:w]
+    ctr = np.stack([xx + 0.5, yy + 0.5], -1)
+    dist = np.min(np.linalg.norm(ctr[:, :, None, :]
+                                 - right[None, None, :, :], axis=-1), axis=2)
+    mask = (dist < 4.0).astype(np.float32)
+    gi = jnp.asarray(np.repeat(mask[:, :, None], 3, axis=2) / (h * w * 3))
+
+    def loss(dx):
+        sc = _with_translation(base, 1, jnp.asarray([dx, 0.0, 0.0]))
+        img = integrator.render(sc, sensor, film, key, 256, max_depth=2)
+        return (img * gi).sum()
+
+    eps = 4e-2
+    fd = float((loss(eps) - loss(-eps)) / (2 * eps))
+    interior = float(jax.grad(loss)(0.0))
+
+    d_prim, _ = proj.primary_boundary_grad(
+        base, sensor, film, gi, jax.random.PRNGKey(21),
+        n_samples=4096, probe_spp=8, max_depth=2, shape_indices=[1])
+    d_shad = proj.shadow_boundary_grad(
+        base, sensor, film, gi, jax.random.PRNGKey(22), ld,
+        blocker_indices=[1], n_samples=4096, probe_spp=8, max_depth=2)
+    shadow = float(d_shad[1, 0, 3])
+    total = interior + float(d_prim[1, 0, 3]) + shadow
+
+    # the shadow term must carry the gradient here ...
+    assert abs(shadow) > 0.5 * abs(fd)
+    # ... and the composed estimate must match FD tightly
+    assert abs(total - fd) < 0.1 * abs(fd) + 1e-5

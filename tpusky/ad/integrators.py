@@ -27,11 +27,13 @@ names onto the same engine:
 - ``prb``        -> path integrator, checkpointed replay backward (default)
 - ``prb_basic``  -> same, max_depth forced to 2 (reference prb_basic.py
                     handles only direct illumination)
-- ``direct_projective`` / ``prb_projective`` -> the continuous part of
-  the projective integrators (interior derivatives); visibility
-  discontinuity sampling is not implemented — gradients at silhouettes
-  are biased exactly like ``prb`` (reference ``common.py:784`` PSIntegrator
-  with ``sppc`` only, ``sppp=sppi=0``).
+- ``direct_projective`` / ``prb_projective`` -> interior derivatives from
+  the same engine + the boundary (visibility-discontinuity) term from
+  :mod:`tpusky.ad.projective` (silhouette/edge-curve sampling with
+  two-sided radiance probes; the reference's PSIntegrator ``common.py:784``
+  serves the same role). Shape-pose gradients therefore need BOTH:
+  `jax.grad` through the render (interior) + `projective.boundary_grad`
+  — see ``tests/test_projective.py`` for the FD-validated composition.
 """
 
 from __future__ import annotations

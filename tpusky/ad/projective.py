@@ -1,0 +1,479 @@
+"""Projective (boundary-term) gradients for visibility discontinuities.
+
+Reference parity for the projective AD integrators
+(`src/python/python/ad/integrators/direct_projective.py`,
+`prb_projective.py`, `PSIntegrator` in `common.py:784`): plain
+differentiation of the rendering integral misses the *boundary* term —
+the image changes discontinuously where object silhouettes/edges sweep
+across pixels, so ∂image/∂(shape pose) has a contribution supported on
+1D discontinuity curves that interior AD (and the reference's plain
+``prb``) cannot see.
+
+TPU-native design (not a port of the reference's projective-sampling
+machinery): for each shape we *parameterize its discontinuity curves
+analytically* as a differentiable function of the shape's ``to_world``
+transform, project them to the image plane, and Monte-Carlo the standard
+boundary integral (Reynolds transport / Li et al. 2018 form)
+
+    dI_p/dθ ⊇ ∫_curves k_p(u) · (f⁻(u) − f⁺(u)) · (v(u)·n̂(u)) dσ(u)
+
+in *pixel* coordinates, where
+
+* ``u(t, θ)``   — curve point in pixel space; ``v = ∂u/∂θ`` comes from
+  plain `jax.grad` through the curve construction (no hand-derived
+  silhouette velocities),
+* ``n̂``        — image-space curve normal (sign-invariant: flipping n̂
+  flips both factors, so no inside/outside orientation logic is needed),
+* ``f⁻ / f⁺``  — radiance just off the curve on either side, estimated
+  by tracing the scene's own path integrator through ``u ∓ δ n̂``
+  (δ a fraction of a pixel). Where the integrand is actually continuous
+  (e.g. a non-silhouette cube edge) the jump estimate vanishes, so *all*
+  candidate curves can be sampled without classification; occlusion of
+  an edge by other geometry likewise zeroes the jump automatically.
+
+Curves per shape kind (object space, mapped through ``to_world``):
+sphere — view-dependent silhouette circle (tangency is affine-invariant,
+so the object-space construction against the back-projected eye is exact
+for ellipsoids too); rectangle — the 4 boundary edges; disk — boundary
+circle; cube — the 12 edges; cylinder — both rim circles + the two
+view-dependent side silhouette lines. Triangle meshes: all unique edges,
+sampled length-weighted, differentiated w.r.t. a global mesh translation.
+
+Scope: primary (camera) visibility boundaries, plus shadow boundaries of
+delta directional lights (`shadow_boundary_grad` — the sun-shadow case);
+area-light penumbrae are smooth (no boundary term); point-light shadow
+boundaries and indirect (secondary-bounce) boundaries are not sampled,
+matching the practical scope of the reference's direct projective
+integrator. Validated against finite differences in
+``tests/test_projective.py``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import integrator as integ
+from ..render import sensors as sensors_mod
+from ..render import shapes as shapes_mod
+from ..render.shapes import CUBE, CYLINDER, DISK, RECTANGLE, SPHERE
+
+__all__ = ["film_uv", "primary_boundary_grad", "shadow_boundary_grad",
+           "boundary_grad"]
+
+
+# ---------------------------------------------------------------------------
+# camera projection (inverse of sensors.perspective_ray)
+
+def film_uv(sensor: sensors_mod.Perspective, p):
+    """World point -> (pixel-normalized uv in [0,1]^2, valid mask).
+
+    Differentiable; `valid` is False behind the camera.
+    """
+    r = sensor.to_world[:3, :3]
+    cam = jnp.einsum("ji,...j->...i", r, p - sensor.to_world[:3, 3])
+    z = cam[..., 2]
+    valid = z > sensor.near
+    zs = jnp.where(valid, z, 1.0)
+    tan_half = jnp.tan(0.5 * jnp.deg2rad(sensor.fov_x_deg))
+    u = (cam[..., 0] / (zs * tan_half) + 1.0) * 0.5
+    v = (1.0 - cam[..., 1] / zs * sensor.aspect / tan_half) * 0.5
+    return jnp.stack([u, v], axis=-1), valid
+
+
+# ---------------------------------------------------------------------------
+# discontinuity-curve parameterizations (object space -> world, diff. in t2w)
+
+def _xform_p(t2w, p):
+    return jnp.einsum("ij,...j->...i", t2w[:3, :3], p) + t2w[:3, 3]
+
+
+def _sphere_curve(t2w, eye, t):
+    """Silhouette circle of the unit sphere seen from `eye` (world).
+
+    Tangency is preserved by affine maps, so back-project the eye and
+    construct the circle in object space: points x with |x|=1 and
+    x·(x−o)=0  ⇒  x·o = 1 — a circle of radius √(1−1/|o|²) centred at
+    o/|o|² in the plane ⊥ o. t ∈ [0, 2π).
+    """
+    t2o = jnp.linalg.inv(t2w)
+    o = _xform_p(t2o, eye)
+    d2 = jnp.dot(o, o)
+    d2 = jnp.maximum(d2, 1.0 + 1e-6)          # eye inside -> degenerate
+    c = o / d2
+    rho = jnp.sqrt(1.0 - 1.0 / d2)
+    w = o / jnp.sqrt(d2)
+    a = jnp.where(jnp.abs(jax.lax.stop_gradient(w)[0]) < 0.9,
+                  jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    e1 = jnp.cross(w, a)
+    e1 = e1 / jnp.linalg.norm(e1)
+    e2 = jnp.cross(w, e1)
+    x = (c[None, :] + rho * (jnp.cos(t)[:, None] * e1[None, :]
+                             + jnp.sin(t)[:, None] * e2[None, :]))
+    return _xform_p(t2w, x)
+
+
+_RECT_CORNERS = np.array([[-1.0, -1.0, 0.0], [1.0, -1.0, 0.0],
+                          [1.0, 1.0, 0.0], [-1.0, 1.0, 0.0]], np.float32)
+
+_CUBE_EDGES = []
+for _axis in range(3):
+    for _sa in (-1.0, 1.0):
+        for _sb in (-1.0, 1.0):
+            _p0 = np.zeros(3); _p1 = np.zeros(3)
+            _o1, _o2 = (_axis + 1) % 3, (_axis + 2) % 3
+            _p0[_axis], _p1[_axis] = -1.0, 1.0
+            _p0[_o1] = _p1[_o1] = _sa
+            _p0[_o2] = _p1[_o2] = _sb
+            _CUBE_EDGES.append((_p0, _p1))
+_CUBE_E0 = np.asarray([e[0] for e in _CUBE_EDGES], np.float32)
+_CUBE_E1 = np.asarray([e[1] for e in _CUBE_EDGES], np.float32)
+
+
+def _polyline_curve(e0, e1, t2w, t):
+    """Piecewise-linear curve over segments; t in [0, n_seg)."""
+    n_seg = e0.shape[0]
+    seg = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n_seg - 1)
+    f = t - seg
+    p = e0[seg] + f[:, None] * (e1[seg] - e0[seg])
+    return _xform_p(t2w, p)
+
+
+def _rect_curve(t2w, eye, t):
+    e0 = jnp.asarray(_RECT_CORNERS)
+    e1 = jnp.asarray(np.roll(_RECT_CORNERS, -1, axis=0))
+    return _polyline_curve(e0, e1, t2w, t)
+
+
+def _cube_curve(t2w, eye, t):
+    return _polyline_curve(jnp.asarray(_CUBE_E0), jnp.asarray(_CUBE_E1),
+                           t2w, t)
+
+
+def _disk_curve(t2w, eye, t):
+    x = jnp.stack([jnp.cos(t), jnp.sin(t), jnp.zeros_like(t)], axis=-1)
+    return _xform_p(t2w, x)
+
+
+def _cylinder_curve(t2w, eye, t):
+    """Rims (t∈[0,4π)) + the two view-dependent side silhouette lines
+    (t∈[4π, 4π+2)): unit-circle 2D tangency against the back-projected
+    eye, same construction as the sphere but in the xy plane."""
+    t2o = jnp.linalg.inv(t2w)
+    o = _xform_p(t2o, eye)
+    oxy = o[:2]
+    d2 = jnp.maximum(jnp.dot(oxy, oxy), 1.0 + 1e-6)
+    c2 = oxy / d2
+    rho = jnp.sqrt(1.0 - 1.0 / d2)
+    perp = jnp.stack([-oxy[1], oxy[0]]) / jnp.sqrt(d2)
+    two_pi = 2.0 * math.pi
+    rim = t < 2.0 * two_pi
+    phi = jnp.where(rim, t, 0.0)
+    zr = jnp.where(phi < two_pi, 0.0, 1.0)
+    p_rim = jnp.stack([jnp.cos(phi), jnp.sin(phi), zr], axis=-1)
+    s = jnp.where(rim, 0.0, t - 2.0 * two_pi)   # [0,2): line idx + frac
+    side = jnp.where(s < 1.0, 1.0, -1.0)
+    fz = jnp.where(s < 1.0, s, s - 1.0)
+    xy = c2[None, :] + side[:, None] * rho * perp[None, :]
+    p_line = jnp.concatenate([xy, fz[:, None]], axis=-1)
+    return _xform_p(t2w, jnp.where(rim[:, None], p_rim, p_line))
+
+
+# curve parameter domain length per shape kind
+_CURVES = {
+    SPHERE: (_sphere_curve, 2.0 * math.pi),
+    RECTANGLE: (_rect_curve, 4.0),
+    DISK: (_disk_curve, 2.0 * math.pi),
+    CUBE: (_cube_curve, 12.0),
+    CYLINDER: (_cylinder_curve, 4.0 * math.pi + 2.0),
+}
+
+
+# ---------------------------------------------------------------------------
+# radiance probes
+
+def _probe_radiance(scene, sensor, film_cfg, u_pix, key, probe_spp,
+                    max_depth, rr_depth, mode, kinds, tag):
+    """Estimate radiance through pixel-space points u_pix (K, 2) with
+    `probe_spp` paths each -> (K, C). Uses the scene's own path engine so
+    jumps include shading, textures, shadows and nested occlusion."""
+    k_pts = u_pix.shape[0]
+    w, h = film_cfg.width, film_cfg.height
+    uv = u_pix / jnp.asarray([w, h], u_pix.dtype)
+    o, d = sensors_mod.sample_ray(sensor, uv)
+    o = jnp.repeat(o, probe_spp, axis=0)
+    d = jnp.repeat(d, probe_spp, axis=0)
+    lane = jnp.arange(k_pts * probe_spp, dtype=jnp.uint32)
+    smp = integ._SamplerCtx("independent", jax.random.fold_in(key, tag),
+                            lane // probe_spp, lane % probe_spp, probe_spp)
+    rad = integ._path_sample(jax.lax.stop_gradient(scene), o, d, smp,
+                             max_depth, rr_depth, mode, None, kinds=kinds)
+    rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+    return rad.reshape(k_pts, probe_spp, -1).mean(axis=1)
+
+
+def _gather_grad_image(grad_image, u_pix, valid):
+    """grad_image (H, W, C) sampled at pixel containing u_pix (box
+    filter); zero outside the film."""
+    h, w = grad_image.shape[:2]
+    ix = jnp.floor(u_pix[:, 0]).astype(jnp.int32)
+    iy = jnp.floor(u_pix[:, 1]).astype(jnp.int32)
+    inside = ((ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & valid)
+    ixc = jnp.clip(ix, 0, w - 1)
+    iyc = jnp.clip(iy, 0, h - 1)
+    g = grad_image[iyc, ixc]
+    return jnp.where(inside[:, None], g, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# the boundary estimator
+
+def _curve_boundary_grad(curve_fn, theta, t_len, scene, sensor, film_cfg,
+                         grad_image, key, n_samples, probe_spp, probe_delta,
+                         max_depth, rr_depth, mode, kinds, tag):
+    """d(loss)/dθ boundary contribution of one discontinuity-curve family.
+
+    curve_fn(theta, t (K,)) -> world points (K, 3), differentiable in θ.
+    """
+    w, h = film_cfg.width, film_cfg.height
+    scale = jnp.asarray([w, h], jnp.float32)
+    u01 = jax.random.uniform(jax.random.fold_in(key, tag + 17),
+                             (n_samples,))
+    t = (jnp.arange(n_samples) + u01) / n_samples * t_len   # stratified
+
+    def u_of(theta_, t_):
+        uv, valid = film_uv(sensor, curve_fn(theta_, t_))
+        return uv * scale, valid
+
+    # curve points, tangents, normals (all stop-gradient except u(θ))
+    u_pix, valid = u_of(theta, t)
+    tau = jax.jvp(lambda tt: u_of(theta, tt)[0], (t,),
+                  (jnp.ones_like(t),))[1]                   # (K, 2)
+    tau = jax.lax.stop_gradient(tau)
+    tau_n = jnp.linalg.norm(tau, axis=-1)
+    ok = valid & (tau_n > 1e-12) & jnp.isfinite(tau_n)
+    nrm = jnp.stack([tau[:, 1], -tau[:, 0]], axis=-1) \
+        / jnp.maximum(tau_n, 1e-12)[:, None]
+    u_sg = jax.lax.stop_gradient(u_pix)
+
+    # Two-point √δ-Richardson jump probes: near a curved silhouette the
+    # one-sided radiance behaves like f(δ) ≈ f(0) + c·√δ (grazing-cosine
+    # falloff), so probing at δ and 4δ and forming 2·f(δ) − f(4δ)
+    # cancels the √δ term exactly (and overcorrects a linear term only
+    # by O(δ)). Measured: raw δ=0.3 probes carry ~4% bias on a sphere
+    # silhouette; extrapolated probes are unbiased within FD noise.
+    def probe(offset, tg):
+        return _probe_radiance(scene, sensor, film_cfg, u_sg + offset,
+                               key, probe_spp, max_depth, rr_depth, mode,
+                               kinds, tg)
+
+    f_minus = 2.0 * probe(-probe_delta * nrm, tag) \
+        - probe(-4.0 * probe_delta * nrm, tag + 2)
+    f_plus = 2.0 * probe(probe_delta * nrm, tag + 1) \
+        - probe(4.0 * probe_delta * nrm, tag + 3)
+    g_px = _gather_grad_image(grad_image, u_sg, ok)          # (K, C)
+    jump = jnp.sum((f_minus - f_plus) * g_px, axis=-1)       # (K,)
+    wgt = jnp.where(ok, jump * tau_n, 0.0) * (t_len / n_samples)
+
+    def g(theta_):
+        u_, _ = u_of(theta_, t)
+        u_ = jnp.where(ok[:, None], u_, 0.0)     # NaN-safe: masked lanes
+        return jnp.sum(jax.lax.stop_gradient(wgt)
+                       * jnp.sum(jax.lax.stop_gradient(nrm) * u_, axis=-1))
+
+    return jax.grad(g)(theta)
+
+
+def primary_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
+                          n_samples: int = 4096, probe_spp: int = 4,
+                          probe_delta: float = 0.15, max_depth: int = 2,
+                          rr_depth: int = 1000, mode: str = "rgb",
+                          kinds=None, shape_indices=None):
+    """Boundary-term gradient of `loss = Σ grad_image · image` w.r.t.
+    each analytic shape's to_world matrix (and, if the scene has a mesh,
+    a global mesh translation).
+
+    Returns (d_to_world (N, 4, 4), d_mesh_offset (3,) | None).
+    """
+    if kinds is None:
+        from ..render.bsdf import table_kinds
+        kinds = table_kinds(scene.bsdfs)
+    eye = sensor.to_world[:3, 3]
+    t2w_all = scene.shapes.to_world
+    n_shapes = t2w_all.shape[0]
+    out = jnp.zeros_like(t2w_all)
+    idxs = range(n_shapes) if shape_indices is None else shape_indices
+    for j in idxs:
+        kind = scene.shapes.kind[j]
+        if kind not in _CURVES:
+            continue
+        curve, t_len = _CURVES[kind]
+        gj = _curve_boundary_grad(
+            lambda th, tt, c=curve: c(th, eye, tt), t2w_all[j], t_len,
+            scene, sensor, film_cfg, grad_image, key, n_samples, probe_spp,
+            probe_delta, max_depth, rr_depth, mode, kinds, tag=1000 + j)
+        out = out.at[j].set(gj)
+
+    d_mesh = None
+    if scene.mesh is not None:
+        e0, e1, lens = _mesh_edges(scene.mesh)
+        if e0.shape[0]:
+            cdf = jnp.cumsum(lens / lens.sum())
+
+            def mesh_curve(offset, t_):
+                # t in [0,1): edge by length-weighted CDF + frac along it
+                e = jnp.searchsorted(cdf, t_, side="right")
+                e = jnp.clip(e, 0, cdf.shape[0] - 1)
+                lo = jnp.where(e > 0, cdf[jnp.maximum(e - 1, 0)], 0.0)
+                f = (t_ - lo) / jnp.maximum(cdf[e] - lo, 1e-12)
+                p = e0[e] + f[:, None] * (e1[e] - e0[e])
+                return p + offset[None, :]
+
+            # dσ correction: sampling density along each edge is
+            # (len_e/L)/len_e = 1/L uniform in arclength -> the estimator
+            # with t_len = L_total and |du/dt| computed through the CDF
+            # param would double-count; instead reparameterize by
+            # arclength directly: t' uniform over [0, L).
+            d_mesh = _curve_boundary_grad(
+                lambda off, tt: mesh_curve(off, tt / float(lens.sum())),
+                jnp.zeros(3), float(lens.sum()), scene, sensor, film_cfg,
+                grad_image, key, n_samples, probe_spp, probe_delta,
+                max_depth, rr_depth, mode, kinds, tag=9000)
+    return out, d_mesh
+
+
+_EDGE_CACHE = {}
+
+
+def _mesh_edges(mesh):
+    """Unique edges of the mesh triangle soup (host-side, cached)."""
+    key_id = id(mesh.v0)
+    if key_id in _EDGE_CACHE:
+        return _EDGE_CACHE[key_id]
+    v0 = np.asarray(mesh.v0)
+    valid = np.asarray(mesh.valid)
+    v1 = v0 + np.asarray(mesh.e1)
+    v2 = v0 + np.asarray(mesh.e2)
+    tris = np.stack([v0, v1, v2], axis=1)[valid]           # (T, 3, 3)
+    quant = np.round(tris * 1e5).astype(np.int64)
+    seen = {}
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        for i in range(tris.shape[0]):
+            ka = tuple(quant[i, a]); kb = tuple(quant[i, b])
+            k = (ka, kb) if ka <= kb else (kb, ka)
+            if k not in seen:
+                seen[k] = (tris[i, a], tris[i, b])
+    if seen:
+        e0 = np.asarray([p[0] for p in seen.values()], np.float32)
+        e1 = np.asarray([p[1] for p in seen.values()], np.float32)
+    else:
+        e0 = np.zeros((0, 3), np.float32)
+        e1 = np.zeros((0, 3), np.float32)
+    lens = np.linalg.norm(e1 - e0, axis=-1)
+    keep = lens > 1e-9
+    res = (jnp.asarray(e0[keep]), jnp.asarray(e1[keep]),
+           jnp.asarray(lens[keep]))
+    _EDGE_CACHE[key_id] = res
+    return res
+
+
+# ---------------------------------------------------------------------------
+# shadow boundaries of delta directional lights (the sun-shadow case)
+
+def _shadow_curve(curve_fn, light_dir, receiver_table, theta, t):
+    """Project a blocker's light-silhouette curve along the light
+    direction onto the receiving geometry (a ShapeTable *excluding* the
+    blocker, so tangency roundoff cannot re-hit it); differentiable in θ
+    through the silhouette point (receiver static)."""
+    y = curve_fn(theta, t)                                   # (K, 3)
+    d = jnp.broadcast_to(light_dir / jnp.linalg.norm(light_dir), y.shape)
+    o = y + 1e-4 * d
+    t_hit, p, _, _, _, valid = shapes_mod.ray_intersect(receiver_table,
+                                                        o, d)
+    return jnp.where(valid[:, None], p, jnp.nan)
+
+
+def _table_without(table: shapes_mod.ShapeTable, j: int):
+    """ShapeTable with shape j removed (host-side static surgery)."""
+    keep = [i for i in range(len(table.kind)) if i != j]
+    if not keep:
+        ph = np.eye(4, dtype=np.float32)
+        ph[:3, 3] = 3e4
+        return shapes_mod.make_shape_table(
+            [dict(kind=0, to_world=ph, bsdf_idx=0, emitter_idx=-1)])
+    sel = jnp.asarray(keep)
+    return shapes_mod.ShapeTable(
+        tuple(table.kind[i] for i in keep), table.to_world[sel],
+        table.to_object[sel], table.bsdf_idx[sel], table.emitter_idx[sel],
+        table.area[sel])
+
+
+def shadow_boundary_grad(scene, sensor, film_cfg, grad_image, key,
+                         light_dir, *, blocker_indices=None,
+                         n_samples: int = 4096, probe_spp: int = 4,
+                         probe_delta: float = 0.15, max_depth: int = 2,
+                         rr_depth: int = 1000, mode: str = "rgb",
+                         kinds=None):
+    """Boundary gradient from shadow curves cast by blocker shapes under a
+    delta directional light along `light_dir` (pointing FROM the light,
+    i.e. the propagation direction). Returns d_to_world (N, 4, 4).
+
+    The discontinuity curve on the receiver is the projection, along the
+    light, of the blocker's silhouette as seen from the light
+    (directional ⇒ silhouette w.r.t. a direction: for the sphere this is
+    the same tangency construction with the eye at infinity — implemented
+    by passing a far-away virtual eye). The image-space jump (lit vs
+    shadowed radiance) is again measured by two-sided probes.
+    """
+    if kinds is None:
+        from ..render.bsdf import table_kinds
+        kinds = table_kinds(scene.bsdfs)
+    ld = jnp.asarray(light_dir, jnp.float32)
+    ld = ld / jnp.linalg.norm(ld)
+    t2w_all = scene.shapes.to_world
+    out = jnp.zeros_like(t2w_all)
+    idxs = (range(t2w_all.shape[0]) if blocker_indices is None
+            else blocker_indices)
+    far = 1e5
+    for j in idxs:
+        kind = scene.shapes.kind[j]
+        if kind not in _CURVES:
+            continue
+        curve, t_len = _CURVES[kind]
+        center = jax.lax.stop_gradient(t2w_all[j][:3, 3])
+        virtual_eye = center - far * ld      # directional silhouette
+        receiver = jax.lax.stop_gradient(
+            _table_without(scene.shapes, j))
+
+        def cfn(th, tt, c=curve, ve=virtual_eye, rt=receiver):
+            return _shadow_curve(lambda th2, t2: c(th2, ve, t2),
+                                 ld, rt, th, tt)
+
+        gj = _curve_boundary_grad(
+            cfn, t2w_all[j], t_len, scene, sensor, film_cfg, grad_image,
+            key, n_samples, probe_spp, probe_delta, max_depth, rr_depth,
+            mode, kinds, tag=5000 + j)
+        out = out.at[j].set(gj)
+    return out
+
+
+def boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
+                  light_dir=None, **kw):
+    """Primary + (optional) directional-shadow boundary gradients.
+
+    The full projective backward pass is then
+        interior (jax.vjp through the render) + this boundary term;
+    see `tests/test_projective.py` for the FD-validated composition.
+    """
+    d_shapes, d_mesh = primary_boundary_grad(scene, sensor, film_cfg,
+                                             grad_image, key, **kw)
+    if light_dir is not None:
+        d_shapes = d_shapes + shadow_boundary_grad(
+            scene, sensor, film_cfg, grad_image,
+            jax.random.fold_in(key, 77), light_dir, **kw)
+    return d_shapes, d_mesh
