@@ -98,7 +98,8 @@ def _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref, misc_ref):
     # everything below stays rank-2 (1, B)
 
     # one-hot (45, B) @ via dot_general: coefs (72, B) = sun (72, 45) x oh
-    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (_N_SEG, BLOCK), 0)
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (_N_SEG, dx.shape[-1]),
+                                       0)
     onehot = (seg_ids == pos[0:1, :]).astype(jnp.float32)  # (45, B)
     coefs = jax.lax.dot_general(sun_ref[:, :], onehot,
                                 (((1,), (0,)), ((), ())),
@@ -199,14 +200,13 @@ def _hit_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref,
     out_ref[3:4, :] = pdf
 
 
-def _nee_kernel(u_ref, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref,
-                out_ref):
-    """u2 (2, B) -> [d (3), radiance (3), pdf (1)] rows.
+def _nee_rows(u0, u1, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref):
+    """NEE core: uniform rows (1, B) -> (dx, dy, dz, r, g, b, pdf) rows.
 
     Bitwise-mirrors `model.sample_direction`: strategy pick + uniform
-    rescale, TGMM inverse-CDF (sky) / concentric-disk cone (sun)."""
-    u0 = u_ref[0:1, :]
-    u1 = u_ref[1:2, :]
+    rescale, TGMM inverse-CDF (sky) / concentric-disk cone (sun).
+    Shared by the standalone NEE kernel and the direct-illumination
+    megakernel (megakernel.py)."""
     w_mix = misc_ref[0, _M_WMIX]
     sun_phi = misc_ref[0, _M_SUN_PHI]
     cos_cut = misc_ref[0, _M_COS_CUT]
@@ -293,7 +293,15 @@ def _nee_kernel(u_ref, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref,
     pdf = jnp.where(dz >= 0.0, pdf, 0.0)
     r, g, b = _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref,
                              misc_ref)
+    return dx, dy, dz, r, g, b, pdf
 
+
+def _nee_kernel(u_ref, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref,
+                out_ref):
+    """u2 (2, B) -> [d (3), radiance (3), pdf (1)] rows."""
+    dx, dy, dz, r, g, b, pdf = _nee_rows(u_ref[0:1, :], u_ref[1:2, :],
+                                         skyp_ref, skyr_ref, sun_ref,
+                                         misc_ref, g_ref)
     out_ref[0:1, :] = dx
     out_ref[1:2, :] = dy
     out_ref[2:3, :] = dz

@@ -696,6 +696,44 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
     return accum
 
 
+def _megakernel_ok(scene, sensor, film_cfg, spp, max_depth, mode,
+                   sampler_kind, kinds) -> bool:
+    """Static eligibility for the fused direct-illumination megakernel
+    (ops/pallas/megakernel.py). Everything checked here is pytree aux
+    data / Python config — no traced values."""
+    import os
+    if os.environ.get("TPUSKY_DISABLE_PALLAS") == "1":
+        return False
+    if jax.default_backend() != "tpu" and not os.environ.get(
+            "TPUSKY_MEGAKERNEL_INTERPRET"):
+        return False
+    from ..models.sunsky.model import SunskyState
+    if not (mode == "rgb" and max_depth == 2
+            and sampler_kind == "independent"
+            and film_cfg.rfilter == "box" and film_cfg.n_channels == 3):
+        return False
+    if not isinstance(scene.env, SunskyState):
+        return False
+    if (scene.mesh is not None or scene.sdf is not None
+            or scene.curve is not None or scene.medium is not None
+            or scene.textures is not None or scene.spot_lights):
+        return False
+    if kinds is None or kinds != ((0,), False):   # diffuse-only, no masks
+        return False
+    if any(k not in (0, 1, 2) for k in scene.shapes.kind):
+        return False
+    if not isinstance(sensor, sensors_mod.Perspective):
+        return False
+    # delta/area emitters are traced arrays with static shapes
+    if (scene.point_lights.shape[0] or scene.directional_lights.shape[0]
+            or scene.area_emitter_shapes.shape[0]):
+        return False
+    w, h = film_cfg.width, film_cfg.height
+    if spp & (spp - 1) or w & (w - 1):
+        return False
+    return True
+
+
 @partial(jax.jit,
          static_argnames=("film_cfg", "spp", "max_depth", "rr_depth",
                           "mode", "sampler_kind", "kinds", "nmaps",
@@ -703,6 +741,32 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
 def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
                  mode, sampler_kind="independent", kinds=None, nmaps=False,
                  tkinds=None):
+    if _megakernel_ok(scene, sensor, film_cfg, spp, max_depth, mode,
+                      sampler_kind, kinds):
+        import os
+        from ..ops.pallas.megakernel import direct_rgb_megakernel
+
+        @jax.custom_jvp
+        def mega(sc, se, k):
+            radiance = direct_rgb_megakernel(
+                sc, se, sc.env, k, spp, film_cfg.width, film_cfg.height,
+                interpret=bool(
+                    os.environ.get("TPUSKY_MEGAKERNEL_INTERPRET")))
+            radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
+            return film_mod.splat_ordered(film_cfg, radiance, spp)
+
+        @mega.defjvp
+        def mega_jvp(primals, tangents):
+            # AD never touches the kernel: both primal and tangent come
+            # from the pure-jnp wavefront path (same estimator)
+            def f(sc, se, k):
+                return render_rows(sc, se, film_cfg, k, spp, max_depth,
+                                   rr_depth, mode, 0, film_cfg.height,
+                                   sampler_kind=sampler_kind, kinds=kinds,
+                                   nmaps=nmaps, tkinds=tkinds)
+            return jax.jvp(f, primals, tangents)
+
+        return mega(scene, sensor, key)
     return render_rows(scene, sensor, film_cfg, key, spp, max_depth,
                        rr_depth, mode, 0, film_cfg.height,
                        sampler_kind=sampler_kind, kinds=kinds, nmaps=nmaps,
