@@ -90,6 +90,16 @@ def make_mesh_table(meshes) -> MeshTable:
     uv = np.concatenate(uvs) if uvs else np.zeros((0, 3, 2), np.float32)
     col = np.concatenate(cols) if cols else np.zeros((0, 3, 3), np.float32)
 
+    # Morton-order triangles by centroid so each 128-tri tile is
+    # spatially compact — this is what makes the per-tile AABBs tight
+    # enough for the ray-block culling in `_mesh_intersect_culled` to
+    # skip most tiles (the sort replaces a BVH's spatial hierarchy).
+    if len(v0) > _TILE:
+        order = _morton_order(v0 + (e1 + e2) / 3.0)
+        v0, e1, e2 = v0[order], e1[order], e2[order]
+        n0, n1, n2 = n0[order], n1[order], n2[order]
+        mat, uv, col = mat[order], uv[order], col[order]
+
     t = len(v0)
     pad = (-t) % _TILE
     zpad3 = np.zeros((pad, 3), np.float32)
@@ -106,6 +116,26 @@ def make_mesh_table(meshes) -> MeshTable:
                      jnp.asarray(np.concatenate(
                          [col, np.zeros((pad, 3, 3), np.float32)]))
                      if any_cols else None)
+
+
+def _morton_order(c):
+    """Argsort by 30-bit Morton code of points quantised to 1024^3 over
+    their bounds (host-side numpy, build time only)."""
+    lo = c.min(axis=0)
+    ext = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.clip(((c - lo) / ext * 1023.0).astype(np.uint32), 0, 1023)
+
+    def spread(x):
+        x = x.astype(np.uint64)
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    return np.argsort(code, kind="stable")
 
 
 def _tile_hits(mesh: MeshTable, tile: int, o, d):
@@ -155,11 +185,142 @@ def mesh_interp_color(mesh: MeshTable, tri, b1, b2):
             + b2[..., None] * corner[..., 2, :])
 
 
+_RAY_BLOCK = 8192        # coherent wavefront slice per culling decision
+_CULL_MIN_TRIS = 512
+
+
+def _cull_enabled() -> bool:
+    """Tile culling is always on for the CPU backend; on TPU it is
+    opt-in (TPUSKY_MESH_CULL=1) because this terminal's TPU compile
+    service hangs on the nested map/scan/cond program (2026-08, same
+    class of bug as the 2-D-grid Pallas hang recorded in BASELINE.md)."""
+    import os
+    if os.environ.get("TPUSKY_MESH_CULL") == "1":
+        return True
+    if os.environ.get("TPUSKY_MESH_CULL") == "0":
+        return False
+    return jax.default_backend() != "tpu"
+
+
+def _mesh_intersect_culled(mesh: MeshTable, o, d):
+    """Ray-block x triangle-tile culled closest hit (see mesh_intersect)."""
+    lo, hi = _tile_aabbs(mesh)
+    n_tiles = mesh.v0.shape[0] // _TILE
+    B = _RAY_BLOCK
+
+    def one_block(od):
+        o_b, d_b = od
+
+        def tile_step(carry, tile):
+            bt, bb1, bb2, btri = carry
+            far = jnp.max(bt)
+
+            def hit_fn(c):
+                bt, bb1, bb2, btri = c
+                t, b1, b2, local, _h = _tile_hits(mesh, tile, o_b, d_b)
+                closer = t < bt
+                return (jnp.where(closer, t, bt),
+                        jnp.where(closer, b1, bb1),
+                        jnp.where(closer, b2, bb2),
+                        jnp.where(closer, tile * _TILE + local, btri))
+
+            pred = _block_hits_aabb(o_b, d_b, lo[tile], hi[tile], far)
+            return jax.lax.cond(pred, hit_fn, lambda c: c, carry), None
+
+        init = (jnp.full((B,), jnp.inf), jnp.zeros((B,)),
+                jnp.zeros((B,)), jnp.full((B,), -1, jnp.int32))
+        out, _ = jax.lax.scan(tile_step, init, jnp.arange(n_tiles))
+        return out
+
+    nb = o.shape[0] // B
+    t, b1, b2, tri = jax.lax.map(
+        one_block, (o.reshape(nb, B, 3), d.reshape(nb, B, 3)))
+    t = t.reshape(-1)
+    b1 = b1.reshape(-1)
+    b2 = b2.reshape(-1)
+    tri = tri.reshape(-1)
+    hit = jnp.isfinite(t)
+    tri_c = jnp.maximum(tri, 0)
+    n = ((1.0 - b1 - b2)[..., None] * mesh.n0[tri_c]
+         + b1[..., None] * mesh.n1[tri_c] + b2[..., None] * mesh.n2[tri_c])
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    return t, n, mesh.bsdf_idx[tri_c], b1, b2, tri, hit
+
+
+def _mesh_test_culled(mesh: MeshTable, o, d, maxt):
+    lo, hi = _tile_aabbs(mesh)
+    n_tiles = mesh.v0.shape[0] // _TILE
+    B = _RAY_BLOCK
+    maxt_b = jnp.broadcast_to(jnp.asarray(maxt, o.dtype), o.shape[:-1])
+
+    def one_block(odm):
+        o_b, d_b, mt_b = odm
+
+        def tile_step(occ, tile):
+            def hit_fn(occ):
+                t, _, _, _, hit = _tile_hits(mesh, tile, o_b, d_b)
+                return occ | (hit & (t < mt_b))
+
+            pred = (~jnp.all(occ)) & _block_hits_aabb(
+                o_b, d_b, lo[tile], hi[tile], jnp.max(mt_b))
+            return jax.lax.cond(pred, hit_fn, lambda c: c, occ), None
+
+        occ, _ = jax.lax.scan(tile_step, jnp.zeros((B,), bool),
+                              jnp.arange(n_tiles))
+        return occ
+
+    nb = o.shape[0] // B
+    occ = jax.lax.map(one_block, (o.reshape(nb, B, 3),
+                                  d.reshape(nb, B, 3),
+                                  maxt_b.reshape(nb, B)))
+    return occ.reshape(-1)
+
+
+def _tile_aabbs(mesh: MeshTable):
+    """(n_tiles, 6) [lo, hi] bounds per 128-triangle tile (tight over
+    valid triangles; padding tris are degenerate at the last vertex)."""
+    T = mesh.v0.shape[0]
+    v0, v1, v2 = mesh.v0, mesh.v0 + mesh.e1, mesh.v0 + mesh.e2
+    big = jnp.where(mesh.valid[:, None], 0.0, jnp.inf)
+    lo = jnp.minimum(jnp.minimum(v0 + big, v1 + big), v2 + big)
+    hi = jnp.maximum(jnp.maximum(v0 - big, v1 - big), v2 - big)
+    lo = lo.reshape(T // _TILE, _TILE, 3).min(axis=1)
+    hi = hi.reshape(T // _TILE, _TILE, 3).max(axis=1)
+    return lo, hi
+
+
+def _block_hits_aabb(o, d, lo, hi, maxt):
+    """Does ANY ray in the block enter the AABB within (0, maxt)?
+    Branch-free slab test -> a single scalar predicate."""
+    inv = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+    t0 = (lo[None, :] - o) * inv
+    t1 = (hi[None, :] - o) * inv
+    tn = jnp.minimum(t0, t1).max(axis=-1)
+    tf = jnp.maximum(t0, t1).min(axis=-1)
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < maxt)
+    return jnp.any(hit)
+
+
 def mesh_intersect(mesh: MeshTable, o, d):
     """Closest hit against all triangles -> (t, n_shading, mat_idx, b1, b2,
-    tri_idx, hit). t = inf on miss."""
-    n_tiles = mesh.v0.shape[0] // _TILE
+    tri_idx, hit). t = inf on miss.
+
+    TPU-native acceleration without a BVH: triangles are Morton-ordered
+    into 128-tri tiles at load (`make_mesh_table`), and the ray wavefront
+    is processed in coherent blocks; for each (ray block, tile) pair a
+    scalar any-ray-enters-AABB predicate drives a `lax.cond`, so whole
+    tiles of Möller–Trumbore work are SKIPPED at runtime (TPU executes
+    cond as a real branch). Ray blocks are pixel-ordered by construction,
+    which is exactly the coherence the culling needs — the ray-packet
+    idea recast for a 1D wavefront."""
     batch = o.shape[:-1]
+    T = mesh.v0.shape[0]
+
+    if T > _CULL_MIN_TRIS and o.ndim == 2 \
+            and o.shape[0] % _RAY_BLOCK == 0 and _cull_enabled():
+        return _mesh_intersect_culled(mesh, o, d)
+
+    n_tiles = T // _TILE
 
     def body(carry, tile):
         bt, bb1, bb2, btri = carry
@@ -186,7 +347,11 @@ def mesh_intersect(mesh: MeshTable, o, d):
 
 def mesh_test(mesh: MeshTable, o, d, maxt):
     """Any-hit within (eps, maxt)."""
-    n_tiles = mesh.v0.shape[0] // _TILE
+    T = mesh.v0.shape[0]
+    if T > _CULL_MIN_TRIS and o.ndim == 2 \
+            and o.shape[0] % _RAY_BLOCK == 0 and _cull_enabled():
+        return _mesh_test_culled(mesh, o, d, maxt)
+    n_tiles = T // _TILE
 
     def body(occ, tile):
         t, _, _, _, hit = _tile_hits(mesh, tile, o, d)
