@@ -316,7 +316,8 @@ def primary_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
         gj = _curve_boundary_grad(
             lambda th, tt, c=curve: c(th, eye, tt), t2w_all[j], t_len,
             scene, sensor, film_cfg, grad_image, key, n_samples, probe_spp,
-            probe_delta, max_depth, rr_depth, mode, kinds, tag=1000 + j)
+            probe_delta, max_depth, rr_depth, mode, kinds,
+            tag=1000 + 32 * j)
         out = out.at[j].set(gj)
 
     d_mesh = None
@@ -343,19 +344,27 @@ def primary_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
                 lambda off, tt: mesh_curve(off, tt / float(lens.sum())),
                 jnp.zeros(3), float(lens.sum()), scene, sensor, film_cfg,
                 grad_image, key, n_samples, probe_spp, probe_delta,
-                max_depth, rr_depth, mode, kinds, tag=9000)
+                max_depth, rr_depth, mode, kinds, tag=900000)
     return out, d_mesh
 
 
 _EDGE_CACHE = {}
+_EDGE_CACHE_MAX = 8
 
 
 def _mesh_edges(mesh):
-    """Unique edges of the mesh triangle soup (host-side, cached)."""
-    key_id = id(mesh.v0)
+    """Unique edges of the mesh triangle soup (host-side, cached).
+
+    Cache key is content-based (shape/dtype/byte digest of v0) — an id()
+    key could be recycled by CPython after the previous mesh table is
+    garbage-collected, silently returning a stale edge list.
+    """
+    import hashlib
+    v0 = np.asarray(mesh.v0)
+    key_id = (v0.shape, str(v0.dtype),
+              hashlib.sha1(v0.tobytes()).hexdigest())
     if key_id in _EDGE_CACHE:
         return _EDGE_CACHE[key_id]
-    v0 = np.asarray(mesh.v0)
     valid = np.asarray(mesh.valid)
     v1 = v0 + np.asarray(mesh.e1)
     v2 = v0 + np.asarray(mesh.e2)
@@ -378,6 +387,8 @@ def _mesh_edges(mesh):
     keep = lens > 1e-9
     res = (jnp.asarray(e0[keep]), jnp.asarray(e1[keep]),
            jnp.asarray(lens[keep]))
+    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+        _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
     _EDGE_CACHE[key_id] = res
     return res
 
@@ -457,7 +468,7 @@ def shadow_boundary_grad(scene, sensor, film_cfg, grad_image, key,
         gj = _curve_boundary_grad(
             cfn, t2w_all[j], t_len, scene, sensor, film_cfg, grad_image,
             key, n_samples, probe_spp, probe_delta, max_depth, rr_depth,
-            mode, kinds, tag=5000 + j)
+            mode, kinds, tag=500000 + 32 * j)
         out = out.at[j].set(gj)
     return out
 
@@ -470,10 +481,14 @@ def boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
         interior (jax.vjp through the render) + this boundary term;
     see `tests/test_projective.py` for the FD-validated composition.
     """
-    d_shapes, d_mesh = primary_boundary_grad(scene, sensor, film_cfg,
-                                             grad_image, key, **kw)
+    shape_indices = kw.pop("shape_indices", None)
+    blocker_indices = kw.pop("blocker_indices", None)
+    d_shapes, d_mesh = primary_boundary_grad(
+        scene, sensor, film_cfg, grad_image, key,
+        shape_indices=shape_indices, **kw)
     if light_dir is not None:
         d_shapes = d_shapes + shadow_boundary_grad(
             scene, sensor, film_cfg, grad_image,
-            jax.random.fold_in(key, 77), light_dir, **kw)
+            jax.random.fold_in(key, 77), light_dir,
+            blocker_indices=blocker_indices, **kw)
     return d_shapes, d_mesh

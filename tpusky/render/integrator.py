@@ -697,7 +697,7 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
 
 
 def _megakernel_ok(scene, sensor, film_cfg, spp, max_depth, mode,
-                   sampler_kind, kinds) -> bool:
+                   sampler_kind, kinds, rr_depth=1000) -> bool:
     """Static eligibility for the fused direct-illumination megakernel
     (ops/pallas/megakernel.py). Everything checked here is pytree aux
     data / Python config — no traced values."""
@@ -711,6 +711,10 @@ def _megakernel_ok(scene, sensor, film_cfg, spp, max_depth, mode,
     if not (mode == "rgb" and max_depth == 2
             and sampler_kind == "independent"
             and film_cfg.rfilter == "box" and film_cfg.n_channels == 3):
+        return False
+    # the megakernel has no Russian-roulette logic; require that RR can
+    # never trigger before the path terminates (depth 2 -> RR off)
+    if rr_depth <= max_depth - 1:
         return False
     if not isinstance(scene.env, SunskyState):
         return False
@@ -742,7 +746,7 @@ def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
                  mode, sampler_kind="independent", kinds=None, nmaps=False,
                  tkinds=None):
     if _megakernel_ok(scene, sensor, film_cfg, spp, max_depth, mode,
-                      sampler_kind, kinds):
+                      sampler_kind, kinds, rr_depth):
         import os
         from ..ops.pallas.megakernel import direct_rgb_megakernel
 

@@ -7,16 +7,28 @@ replacement for the reference's dynamic `PluginManager`, `plugin.h:54` —
 no shared objects, no RTTI; SURVEY.md H14). Register custom plugins with
 `register_plugin(kind, name, builder)`.
 
-Supported types (round 1):
-  integrators: path, direct, depth
-  sensors:     perspective, orthographic, spherical
-  film:        hdrfilm (rfilter box/gaussian)
-  sampler:     independent
-  shapes:      rectangle, sphere, disk, cube
-  bsdfs:       diffuse, twosided(diffuse)
-  emitters:    sunsky, constant, area (on shapes)
-  spectra:     float | [r, g, b] | {'type': 'rgb'|'uniform'|'regular'|
-               'irregular', ...}
+Supported types:
+  integrators: path, direct, depth, aov, moment, ptracer, stokes,
+               volpath, volpathmis, prbvolpath
+  sensors:     perspective, orthographic, spherical, thinlens, distant,
+               radiancemeter, irradiancemeter, batch
+  film:        hdrfilm, specfilm (rfilter box/gaussian/tent/lanczos/
+               mitchell/catmullrom)
+  sampler:     independent, stratified, multijitter, orthogonal, sobol
+  shapes:      rectangle, sphere, disk, cube, cylinder, obj, ply,
+               serialized, sdfgrid, linearcurve, bsplinecurve,
+               instance/shapegroup, merge
+  bsdfs:       diffuse, twosided, mask, null, conductor, roughconductor,
+               dielectric, roughdielectric, thindielectric, plastic,
+               roughplastic, principled, principledthin, hair, measured,
+               blendbsdf, bumpmap, normalmap, polarizer, retarder,
+               circular, pplastic, measured_polarized
+  emitters:    sunsky, constant, envmap, area (on shapes), point,
+               directional, spot, projector, directionalarea
+  media:       homogeneous, heterogeneous (gridvolume); 6 phase functions
+  spectra:     float | [r, g, b] | {'type': 'rgb'|'srgb'|'uniform'|
+               'regular'|'irregular'|'blackbody'|'d65', ...}
+  textures:    bitmap, checkerboard (+scale/to_uv transforms)
 """
 
 from __future__ import annotations

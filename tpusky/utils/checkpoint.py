@@ -2,8 +2,9 @@
 
 The reference keeps Adam state in Python with no serialisation
 (`ad/optimizers.py`); long TPU optimisation loops want restartability, so
-this provides orbax-backed save/restore of the full (params, opt_state,
-rng, step) pytree with a pickle fallback.
+this provides atomic pickle save/restore of the full (params, opt_state,
+rng, step) pytree (arrays are pulled to host as numpy first, so
+checkpoints are device-independent).
 """
 
 from __future__ import annotations
