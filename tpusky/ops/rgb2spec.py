@@ -127,6 +127,75 @@ def upsample_rgb(rgb, wavelengths):
     return spec
 
 
+def upsample_rgb_jnp(rgb, wavelengths, iters: int = 48):
+    """Differentiable, trace-safe `upsample_rgb`: RGB (..., 3) ->
+    reflectance spectrum at ``wavelengths`` (jnp, runs under jit).
+
+    The Levenberg–Marquardt fit runs on-device under `stop_gradient`;
+    gradients come from ONE differentiable Newton correction step at the
+    solution (implicit-function theorem — exact first-order sensitivity
+    without differentiating through the iteration)."""
+    import jax
+    import jax.numpy as jnp
+    a_np, basis_np, _ = _solver_tables()
+    a = jnp.asarray(a_np)                                 # (3, N)
+    basis = jnp.asarray(basis_np)                         # (N, 3)
+    rgb = jnp.asarray(rgb, jnp.float64) \
+        if jax.config.jax_enable_x64 else jnp.asarray(rgb, jnp.float32)
+    squeeze = rgb.ndim == 1
+    rgb2 = jnp.atleast_2d(rgb)                            # (M, 3)
+    scale = jnp.maximum(jnp.max(rgb2, -1), 1.0)
+    tgt = rgb2 / scale[:, None]
+
+    def sig(t):
+        return 0.5 + 0.5 * t / jnp.sqrt(1.0 + t * t)
+
+    def dsig(t):
+        return 0.5 / (1.0 + t * t) ** 1.5
+
+    def newton_system(c, target):
+        p = c @ basis.T                                   # (M, N)
+        r = sig(p) @ a.T - target                         # (M, 3)
+        jac = (a[None] * dsig(p)[:, None, :]) @ basis     # (M, 3, 3)
+        jtj = jnp.einsum("mij,mik->mjk", jac, jac)
+        jtr = jnp.einsum("mij,mi->mj", jac, r)
+        return jtj, jtr
+
+    def lm_body(_, carry):
+        c, lam = carry
+        jtj, jtr = newton_system(c, jax.lax.stop_gradient(tgt))
+        jtj = jtj + lam[:, None, None] * jnp.eye(3, dtype=jtj.dtype)
+        delta = jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
+        c_new = c - delta
+        def err(cc):
+            return jnp.sum((sig(cc @ basis.T) @ a.T
+                            - jax.lax.stop_gradient(tgt)) ** 2, -1)
+        improved = err(c_new) <= err(c)
+        c = jnp.where(improved[:, None], c_new, c)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        return c, lam
+
+    m0 = jnp.clip(jnp.mean(jax.lax.stop_gradient(tgt), -1),
+                  1e-4, 1.0 - 1e-4)
+    t0 = (2.0 * m0 - 1.0) / jnp.sqrt(jnp.clip(
+        1.0 - (2.0 * m0 - 1.0) ** 2, 1e-12, None))
+    c0 = jnp.concatenate([jnp.zeros((rgb2.shape[0], 2), t0.dtype),
+                          t0[:, None]], -1)
+    c_star, _ = jax.lax.fori_loop(
+        0, iters, lm_body, (c0, jnp.full((rgb2.shape[0],), 1e-4, t0.dtype)))
+    c_star = jax.lax.stop_gradient(c_star)
+    # one differentiable Newton step (target is attached here)
+    jtj, jtr = newton_system(c_star, tgt)
+    jtj = jtj + 1e-9 * jnp.eye(3, dtype=jtj.dtype)
+    c = c_star - jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
+
+    x = (jnp.asarray(wavelengths, c.dtype) - _LAM_MIN) \
+        / (_LAM_MAX - _LAM_MIN)
+    eb = jnp.stack([x * x, x, jnp.ones_like(x)], -1)      # (W, 3)
+    spec = sig(c @ eb.T) * scale[:, None]
+    return spec[0] if squeeze else spec
+
+
 def rgb_of_spectrum(spectrum, wavelengths):
     """Integrate a spectrum back to linear sRGB (test helper)."""
     a, _, lam = _solver_tables()

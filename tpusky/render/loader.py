@@ -171,27 +171,120 @@ class SceneBundle:
     env_params: Any                      # SunskyParams | ConstantEnv | None
     scene_desc: dict = field(default_factory=dict)
     _scene_static: Any = None
+    param_map: dict = field(default_factory=dict)
 
     @property
     def params(self):
         return self.env_params
 
     def traverse(self):
-        """Differentiable-parameter dictionary, the `mi.traverse` analogue
-        (`util.py:13-331`): flat {path: leaf} over the emitter parameters.
-        Mutate values and pass the rebuilt pytree to `render`."""
-        import jax
-        if self.env_params is None:
-            return {}
-        leaves, treedef = jax.tree.flatten(self.env_params)
-        if hasattr(self.env_params, "_fields"):
-            names = self.env_params._fields
-            return {f"emitter.{k}": v
-                    for k, v in zip(names, self.env_params)}
-        return {f"emitter.{i}": v for i, v in enumerate(leaves)}
+        """Scene-wide differentiable-parameter dictionary, the
+        `mi.traverse` analogue (`util.py:13-331`): flat {path: leaf}
+        spanning the emitter parameters, per-shape `to_world` transforms,
+        BSDF reflectance/roughness, area-emitter radiance, texture data
+        and medium extinction, with reference-style key names (e.g.
+        `'plane.bsdf.reflectance.value'`). Mutate values and pass the
+        dict back via `render(params=...)` / `build_scene(params=...)` —
+        the scene (including the sunsky precompute) is re-derived inside
+        the traced function, so everything here is differentiable."""
+        out = {}
+        if self.env_params is not None:
+            if hasattr(self.env_params, "_fields"):
+                out.update({f"emitter.{k}": v
+                            for k, v in zip(self.env_params._fields,
+                                            self.env_params)})
+            else:
+                import jax
+                leaves, _ = jax.tree.flatten(self.env_params)
+                out.update({f"emitter.{i}": v
+                            for i, v in enumerate(leaves)})
+        sc = self._scene_static
+        for name, info in self.param_map.items():
+            if info.get("shape") is not None:
+                j = info["shape"]
+                out[f"{name}.to_world"] = sc.shapes.to_world[j]
+                if info.get("emitter") is not None:
+                    out[f"{name}.emitter.radiance.value"] = \
+                        sc.area_radiance[j]
+            if info.get("bsdf") is not None:
+                b = info["bsdf"]
+                out[f"{name}.bsdf.reflectance.value"] = sc.bsdfs.albedo[b]
+                out[f"{name}.bsdf.alpha.value"] = sc.bsdfs.alpha[b]
+                tex = int(info.get("mat", {}).get("tex_idx", -1))
+                if tex >= 0 and sc.textures is not None:
+                    t = sc.textures
+                    off = int(t.offset[tex])
+                    wd, hg = int(t.width[tex]), int(t.height[tex])
+                    out[f"{name}.bsdf.reflectance.data"] = \
+                        t.atlas[off:off + wd * hg, :3].reshape(hg, wd, 3)
+            if info.get("medium"):
+                out[f"{name}.sigma_t"] = sc.medium.sigma_t
+                out[f"{name}.albedo"] = sc.medium.albedo
+        return out
 
-    def build_scene(self, env_params=None):
+    def _apply_params(self, scene, overrides):
+        """Functionally apply a (possibly modified) `traverse()` dict to
+        the scene pytree. Shape `to_world` updates re-derive `to_object`
+        and `area` differentiably (`shapes.world_area_jnp`)."""
+        from .shapes import world_area_jnp
+        shapes, bsdfs = scene.shapes, scene.bsdfs
+        tex, med = scene.textures, scene.medium
+        area_rad = scene.area_radiance
+        for key, v in overrides.items():
+            if key.startswith("emitter."):
+                continue                       # handled in build_scene
+            name, _, rest = key.partition(".")
+            info = self.param_map.get(name)
+            if info is None:
+                raise KeyError(f"unknown scene parameter {key!r}")
+            v = jnp.asarray(v)
+            if rest == "to_world":
+                j = info["shape"]
+                shapes = shapes._replace(
+                    to_world=shapes.to_world.at[j].set(v),
+                    to_object=shapes.to_object.at[j].set(
+                        jnp.linalg.inv(v)),
+                    area=shapes.area.at[j].set(
+                        world_area_jnp(shapes.kind[j], v)))
+            elif rest == "bsdf.reflectance.value":
+                b = info["bsdf"]
+                bsdfs = bsdfs._replace(
+                    albedo=bsdfs.albedo.at[b].set(v))
+                if self.mode == "spectral":
+                    from ..ops.rgb2spec import upsample_rgb_jnp
+                    wl = jnp.asarray(skyC.WAVELENGTHS, jnp.float32)
+                    bsdfs = bsdfs._replace(
+                        albedo_spec=bsdfs.albedo_spec.at[b].set(
+                            upsample_rgb_jnp(v, wl)))
+            elif rest == "bsdf.alpha.value":
+                bsdfs = bsdfs._replace(
+                    alpha=bsdfs.alpha.at[info["bsdf"]].set(v))
+            elif rest == "bsdf.reflectance.data":
+                t_i = int(info["mat"]["tex_idx"])
+                off = int(tex.offset[t_i])
+                flat = v.reshape(-1, 3)
+                block = jnp.concatenate(
+                    [flat, tex.atlas[off:off + flat.shape[0], 3:]], -1)
+                tex = tex._replace(atlas=jax.lax.dynamic_update_slice(
+                    tex.atlas, block, (off, 0)))
+            elif rest == "emitter.radiance.value":
+                area_rad = area_rad.at[info["shape"]].set(v)
+            elif rest == "sigma_t":
+                med = med._replace(sigma_t=v)
+            elif rest == "albedo" and info.get("medium"):
+                med = med._replace(albedo=v)
+            else:
+                raise KeyError(f"unknown scene parameter {key!r}")
+        return scene._replace(shapes=shapes, bsdfs=bsdfs, textures=tex,
+                              medium=med, area_radiance=area_rad)
+
+    def build_scene(self, env_params=None, params=None):
         env_params = self.env_params if env_params is None else env_params
+        if params:
+            em = {k.split(".", 1)[1]: v for k, v in params.items()
+                  if k.startswith("emitter.")}
+            if em and hasattr(env_params, "_replace"):
+                env_params = env_params._replace(**em)
         if self.env_kind == "sunsky":
             tables = load_tables(self.mode)
             env = sunsky_model.precompute(tables, env_params, self.mode)
@@ -199,11 +292,14 @@ class SceneBundle:
             env = env_params
         else:
             env = None
-        return self._scene_static._replace(env=env)
+        scene = self._scene_static._replace(env=env)
+        if params:
+            scene = self._apply_params(scene, params)
+        return scene
 
     def render(self, seed: int = 0, spp: Optional[int] = None,
-               env_params=None):
-        scene = self.build_scene(env_params)
+               env_params=None, params=None):
+        scene = self.build_scene(env_params, params)
         key = jax.random.PRNGKey(seed)
         spp = spp or self.spp
         if self.integrator in ("aov", "depth"):
@@ -847,6 +943,9 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     dir_areas = {}   # shape list index -> radiance (directionalarea)
     medium = None    # homogeneous participating medium (render/medium.py)
     sdf_grid = None  # SDF grid shape (render/sdf.py)
+    param_map = {}   # scene-dict key -> {"shape"/"bsdf"/"mesh"/...: row}
+    #                  (drives SceneBundle.traverse(), the scene-wide
+    #                   SceneParameters analogue of `util.py:13-331`)
 
     _SENSORS = ("perspective", "orthographic", "spherical", "thinlens",
                 "distant", "radiancemeter", "irradiancemeter", "batch")
@@ -910,6 +1009,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 nrm = np.zeros_like(pos)     # geometric normals at hit time
             mat = _build_bsdf(value.get("bsdf", {"type": "diffuse"}), mode,
                               textures, materials)
+            param_map[key] = {"mesh": len(meshes), "bsdf": len(materials),
+                              "mat": mat}
             meshes.append(dict(positions=pos, normals=nrm, indices=idx,
                                uvs=uvs,
                                colors=vcols if t == "ply" else None,
@@ -1051,6 +1152,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                     kind=t, density=density,
                     n_steps=int(idesc.get("n_steps", 64)),
                     **phase_kwargs)
+                param_map[key] = {"medium": True}
                 continue
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             mat = _build_bsdf(bsdf_desc, mode, textures, materials)
@@ -1079,6 +1181,10 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 frame[:3, 2] = zl * length
                 frame[:3, 3] = p0
                 to_world = to_world @ frame.astype(np.float32)
+            param_map[key] = {"shape": len(shapes), "bsdf": len(materials),
+                              "mat": mat,
+                              "emitter": (len(areas) if emitter
+                                          and not is_dir_area else None)}
             shapes.append(dict(kind=_SHAPE_KINDS[t],
                                to_world=to_world,
                                bsdf_idx=len(materials),
@@ -1268,7 +1374,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                        max_depth=max_depth, rr_depth=rr_depth, spp=spp,
                        mode=mode, sampler_kind=sampler_kind,
                        env_kind=env_kind, env_params=env_params,
-                       scene_desc=d, _scene_static=scene_static)
+                       scene_desc=d, _scene_static=scene_static,
+                       param_map=param_map)
 
 
 def _sunsky_params_from_props(props: dict, mode: str):

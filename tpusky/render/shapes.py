@@ -81,6 +81,29 @@ def _world_area(kind: int, t2w) -> float:
     return 8.0 * (c01 + c12 + c02)
 
 
+def world_area_jnp(kind: int, t2w):
+    """Differentiable surface area of a canonical shape under `t2w` (4,4).
+
+    jnp mirror of `_world_area` (kind is a static Python int) so
+    `ShapeTable.area` can be re-derived when `to_world` is a traced,
+    differentiated parameter (scene-wide traverse/update,
+    reference `util.py:13-331` SceneParameters semantics)."""
+    lin = t2w[:3, :3]
+    cr01 = jnp.linalg.norm(jnp.cross(lin[:, 0], lin[:, 1]))
+    if kind == RECTANGLE:
+        return 4.0 * cr01
+    if kind == DISK:
+        return jnp.pi * cr01
+    if kind == SPHERE:
+        s = jnp.abs(jnp.linalg.det(lin)) ** (2.0 / 3.0)
+        return 4.0 * jnp.pi * s
+    cr12 = jnp.linalg.norm(jnp.cross(lin[:, 1], lin[:, 2]))
+    cr02 = jnp.linalg.norm(jnp.cross(lin[:, 0], lin[:, 2]))
+    if kind == CYLINDER:
+        return jnp.pi * (cr02 + cr12)
+    return 8.0 * (cr01 + cr12 + cr02)   # cube
+
+
 def make_shape_table(shapes) -> ShapeTable:
     """Build a ShapeTable from a list of dicts:
     {kind, to_world (4x4), bsdf_idx, emitter_idx}."""
