@@ -1,0 +1,128 @@
+"""Multi-host scaffolding: 2-D (hosts, chips) meshes and mesh-shape /
+process-count invariance (SURVEY §2c "Multi-host execution").
+
+Real multi-host hardware is not reachable here; the contract these tests
+pin down is the one that makes multi-host correct by construction:
+
+* the SPMD render program accepts ANY `(N, M)` factorisation of the
+  device pool as a `Mesh((hosts, chips))`, and
+* the image is bitwise invariant to that factorisation (every random
+  number is keyed on the global lane index, never the device index),
+
+so running the same program over 1 process x 8 chips, 2 x 4, or 8 x 1
+yields identical renders — which is exactly process-count invariance
+once `init_distributed()` has sized the outer axis by process count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import tpusky as ts
+from tpusky.models.sunsky import model as M
+from tpusky.models.sunsky.tables import load_tables
+from tpusky.parallel.render import (host_local_rows, init_distributed,
+                                    make_mesh, make_mesh_2d, make_train_step,
+                                    render_sharded)
+from tpusky.render import integrator
+from tpusky.render.film import Film, develop
+from tpusky.render.scene import make_scene
+from tpusky.render.sensors import make_perspective
+
+
+def _scene():
+    env = M.precompute(load_tables("rgb"),
+                       ts.make_params(turbidity=3.0, albedo=0.3,
+                                      sun_direction=[0.3, 0.2, 0.93]), "rgb")
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    sphere = np.eye(4, dtype=np.float32)
+    sphere[2, 3] = 1.0
+    scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=0, to_world=sphere, bsdf_idx=1)],
+        bsdf_albedos=[[0.4, 0.4, 0.4], [0.6, 0.2, 0.2]], env=env)
+    sensor = make_perspective(origin=[4, -4, 2.0], target=[0, 0, 1.0],
+                              fov_x_deg=45)
+    return scene, sensor
+
+
+def test_mesh_shape_invariance():
+    """1x8 / 2x4 / 4x2 / 8x1 meshes and the plain 1-D mesh all render the
+    single-device image bitwise (process-count invariance analogue)."""
+    scene, sensor = _scene()
+    film = Film(32, 32, 3)
+    key = jax.random.PRNGKey(11)
+    single = np.asarray(develop(integrator.render_rows(
+        scene, sensor, film, key, 4, 2, 1000, "rgb", 0, 32)))
+
+    images = {}
+    mesh1 = make_mesh(jax.devices()[:8])
+    images["1d"] = np.asarray(render_sharded(scene, sensor, film, key, 4,
+                                             mesh1, max_depth=2))
+    for shape in [(1, 8), (2, 4), (4, 2), (8, 1)]:
+        mesh = make_mesh_2d(shape)
+        images[shape] = np.asarray(render_sharded(scene, sensor, film, key,
+                                                  4, mesh, max_depth=2))
+    for name, img in images.items():
+        np.testing.assert_allclose(img, single, atol=1e-5,
+                                   err_msg=str(name))
+    # bitwise across factorisations (same reduction layout per row block)
+    for shape in [(2, 4), (4, 2), (8, 1)]:
+        assert np.array_equal(images[(1, 8)], images[shape]), shape
+
+
+def test_train_step_2d_mesh():
+    """The full train step (render + grad psum over BOTH mesh axes +
+    adam) runs over a 2-D (hosts, chips) mesh and matches the 1-D mesh
+    step bitwise on the updated parameters."""
+    tables = load_tables("rgb")
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    base = make_scene(shapes=[dict(kind=1, to_world=ground, bsdf_idx=0)],
+                      bsdf_albedos=[[0.4, 0.4, 0.4]], env=None)
+    sensor = make_perspective([4, -4, 2.0], [0, 0, 0.5], fov_x_deg=45)
+    film = Film(16, 16, 3)
+    opt = optax.adam(1e-2)
+
+    def scene_builder(p):
+        return base._replace(env=M.precompute(tables, p, "rgb"))
+
+    params = ts.make_params(turbidity=3.0, albedo=0.3,
+                            sun_direction=[0.3, 0.2, 0.93])
+    target = jnp.zeros((16, 16, 3))
+
+    results = []
+    for mesh in [make_mesh(jax.devices()[:8]), make_mesh_2d((2, 4)),
+                 make_mesh_2d((4, 2))]:
+        step = make_train_step(tables, scene_builder, sensor, film, spp=2,
+                               mesh=mesh, optimizer=opt, max_depth=2)
+        st = opt.init(params)
+        _, p1, loss = step(st, params, target, jax.random.PRNGKey(0))
+        results.append((float(loss), float(p1.turbidity)))
+    losses = {r[0] for r in results}
+    turbs = {r[1] for r in results}
+    assert len(losses) == 1, results
+    assert len(turbs) == 1, results
+
+
+def test_init_distributed_single_process_noop():
+    """In a single-process environment init_distributed() degrades to a
+    no-op instead of raising; process_count stays 1."""
+    init_distributed()
+    assert jax.process_count() == 1
+    init_distributed()               # idempotent
+
+
+def test_host_local_rows_single_process():
+    """host_local_rows returns this process's row shards in order; in a
+    single process that is the full film."""
+    scene, sensor = _scene()
+    film = Film(32, 32, 3)
+    mesh = make_mesh_2d((2, 4))
+    img = render_sharded(scene, sensor, film, jax.random.PRNGKey(3), 2,
+                         mesh, max_depth=2)
+    shards = host_local_rows(img)
+    assert [r0 for r0, _ in shards] == [0, 4, 8, 12, 16, 20, 24, 28]
+    full = np.concatenate([rows for _, rows in shards], axis=0)
+    np.testing.assert_array_equal(full, np.asarray(img))

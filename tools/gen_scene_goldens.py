@@ -1,0 +1,135 @@
+"""Generate stored full-scene golden renders for the Z-test regression.
+
+Reference parity: `src/render/tests/test_renders.py` keeps per-scene
+reference mean + variance images (from the `moment` integrator) and
+Z-tests every fresh render against them at alpha=0.01 with Šidák
+correction (`test_renders.py:159-224`). This script renders the committed
+scene set once at high spp with the moment integrator and stores
+mean + per-sample variance (+ the exact scene/spp metadata) in
+`tests/golden/scene_goldens.npz`, consumed by
+`tests/test_render_regression.py`.
+
+    python tools/gen_scene_goldens.py    # regenerates the golden file
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+
+if jax.default_backend() not in ("cpu",):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+import numpy as np
+import jax.numpy as jnp
+
+import tpusky as ts
+from tpusky.models.sunsky import model as M
+from tpusky.models.sunsky.tables import load_tables
+from tpusky.render import integrator
+from tpusky.render.emitters import ConstantEnv
+from tpusky.render.film import Film, develop
+from tpusky.render.scene import make_scene
+from tpusky.render.sensors import make_perspective
+
+SPP_REF = 512
+SIZE = 48
+
+
+def _sunsky_env(turbidity=3.0, sun_scale=1.0):
+    return M.precompute(
+        load_tables("rgb"),
+        ts.make_params(turbidity=turbidity, albedo=0.3,
+                       sun_direction=[0.3, 0.2, 0.93],
+                       sun_scale=sun_scale), "rgb")
+
+
+def scene_sunsky_sphere():
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    sphere = np.eye(4, dtype=np.float32)
+    sphere[2, 3] = 1.0
+    scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=0, to_world=sphere, bsdf_idx=1)],
+        bsdf_albedos=[[0.4, 0.4, 0.4], [0.6, 0.2, 0.2]],
+        env=_sunsky_env())
+    sensor = make_perspective([4, -4, 2.0], [0, 0, 1.0], fov_x_deg=45)
+    return scene, sensor, 2
+
+
+def scene_sunsky_sky_only():
+    """Sky dome only (no sun disc): smooth radiance field."""
+    scene = make_scene(shapes=[], env=_sunsky_env(turbidity=6.0,
+                                                  sun_scale=0.0))
+    sensor = make_perspective([0, 0, 1.0], [1, 0, 1.4], fov_x_deg=60)
+    return scene, sensor, 2
+
+
+def scene_constant_cube_gi():
+    """Cube on a plane under constant light, depth 4 (indirect bounces)."""
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    cube = np.diag([0.6, 0.6, 0.6, 1.0]).astype(np.float32)
+    cube[2, 3] = 0.6
+    scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=3, to_world=cube, bsdf_idx=1)],
+        bsdf_albedos=[[0.6, 0.6, 0.6], [0.7, 0.3, 0.2]],
+        env=ConstantEnv(jnp.asarray([1.0, 1.0, 1.0])))
+    sensor = make_perspective([3, -3, 2.0], [0, 0, 0.6], fov_x_deg=45)
+    return scene, sensor, 4
+
+
+def scene_area_light():
+    """Diffuse plane lit by an area-emitter rectangle (NEE + MIS path)."""
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    panel = np.diag([0.8, 0.8, 1.0, 1.0]).astype(np.float32)
+    panel[2, 3] = 2.0
+    panel[:3, :3] = panel[:3, :3] @ np.diag([1.0, -1.0, -1.0])  # face down
+    rad = np.zeros((2, 3), np.float32)
+    rad[1] = [8.0, 7.0, 6.0]
+    scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=1, to_world=panel, bsdf_idx=1, emitter_idx=0)],
+        bsdf_albedos=[[0.5, 0.5, 0.5], [0.0, 0.0, 0.0]],
+        area_radiance=rad, env=None)
+    sensor = make_perspective([3, -3, 1.5], [0, 0, 0.5], fov_x_deg=45)
+    return scene, sensor, 2
+
+
+SCENES = {
+    "sunsky_sphere": scene_sunsky_sphere,
+    "sky_only": scene_sunsky_sky_only,
+    "constant_cube_gi": scene_constant_cube_gi,
+    "area_light": scene_area_light,
+}
+
+
+def main():
+    out = {}
+    film = Film(SIZE, SIZE, 3)
+    for name, build in SCENES.items():
+        scene, sensor, depth = build()
+        mean, m2 = integrator.render_moments(
+            scene, sensor, film, jax.random.PRNGKey(7), spp=SPP_REF,
+            max_depth=depth)
+        mean = np.asarray(mean, np.float64)
+        var = np.asarray(m2, np.float64) - mean ** 2
+        out[f"{name}_mean"] = mean.astype(np.float32)
+        out[f"{name}_var"] = np.maximum(var, 0.0).astype(np.float32)
+        out[f"{name}_depth"] = np.int32(depth)
+        print(f"{name}: mean range [{mean.min():.4g}, {mean.max():.4g}]")
+    out["spp_ref"] = np.int32(SPP_REF)
+    out["size"] = np.int32(SIZE)
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "tests",
+                        "golden", "scene_goldens.npz")
+    np.savez_compressed(path, **out)
+    print("wrote", os.path.abspath(path))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,12 +20,38 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..render import film as film_mod
 from ..render import integrator
 
 AXIS = "rays"
+HOST_AXIS = "hosts"
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None, **kw) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` (SURVEY §2c
+    "Multi-host execution" — the same SPMD render program then spans ICI
+    within a slice and DCN across hosts).
+
+    With no arguments, relies on the cluster environment (TPU pod metadata
+    / SLURM / GKE) the way `jax.distributed.initialize()` does; explicit
+    coordinator/process args are forwarded for manual bring-up. Safe to
+    call twice (second call is a no-op). Call BEFORE any other jax API.
+    """
+    if jax.process_count() > 1:
+        return                          # already initialised
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id, **kw)
+    except (ValueError, RuntimeError):
+        # single-process environment with no coordinator configured —
+        # proceed single-host (jax.process_count() stays 1)
+        if num_processes not in (None, 1):
+            raise
 
 
 def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
@@ -35,30 +61,120 @@ def make_mesh(devices=None, axis_name: str = AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_2d(shape=None, devices=None,
+                 axis_names=(HOST_AXIS, AXIS)) -> Mesh:
+    """2-D `(hosts, chips)` device mesh. Default shape is
+    `(jax.process_count(), local chips per process)` so the outer axis
+    spans DCN and the inner axis rides ICI; any `(N, M)` factorisation of
+    the device count is accepted (the render is mesh-shape-invariant —
+    see `tests/test_multihost.py`)."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (jax.process_count(), devices.size // jax.process_count())
+    n = shape[0] * shape[1]
+    return Mesh(devices[:n].reshape(shape), axis_names)
+
+
+def _flat_shard_index(mesh: Mesh):
+    """Global shard index: row-major over the mesh axes (static sizes)."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    i = 0
+    for ax in mesh.axis_names:
+        i = i * sizes[ax] + jax.lax.axis_index(ax)
+    return i
+
+
 def render_sharded(scene, sensor, film_cfg: film_mod.Film, key, spp: int,
                    mesh: Mesh, max_depth: int = 2, rr_depth: int = 1000,
                    mode: str = "rgb"):
-    """Render with film rows sharded over `mesh`; returns (H, W, C) image.
+    """Render with film rows sharded over `mesh` (1-D `(chips,)` or 2-D
+    `(hosts, chips)`); returns the (H, W, C) image.
 
-    H must be divisible by the mesh size. The result is identical (bitwise,
-    modulo reduction order inside a row block) to the single-device render.
+    H must be divisible by the total mesh size. The result is identical
+    (bitwise, modulo reduction order inside a row block) to the
+    single-device render AND invariant to the mesh factorisation, because
+    every random number is keyed on the global lane index. Under
+    multi-host execution the returned image is a global `jax.Array` whose
+    addressable shards are this host's film rows; use
+    `host_local_rows` for per-host assembly/IO without a cross-DCN
+    gather.
     """
     n_dev = mesh.devices.size
     h = film_cfg.height
     assert h % n_dev == 0, f"film height {h} not divisible by mesh {n_dev}"
     rows_per = h // n_dev
+    names = tuple(mesh.axis_names)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(), P(), P()),
-             out_specs=P(AXIS))
+             out_specs=P(names))
     def shard_render(scene_, sensor_, key_):
-        i = jax.lax.axis_index(AXIS)
+        i = _flat_shard_index(mesh)
         return integrator.render_rows(scene_, sensor_, film_cfg, key_, spp,
                                       max_depth, rr_depth, mode,
                                       i * rows_per, rows_per,
-                                      vma_axes=(AXIS,))
+                                      vma_axes=names)
 
     accum = shard_render(scene, sensor, key)
     return film_mod.develop(accum)
+
+
+def host_local_rows(image) -> list:
+    """Per-host film assembly (SURVEY §2c: "film shards gathered at
+    develop time" — or, here, NOT gathered: each host keeps its rows).
+
+    Returns [(row0, rows_ndarray), ...] for the shards addressable from
+    this process, sorted by row — the building block for per-host EXR
+    tile IO in a multi-host render without any cross-DCN collective.
+    """
+    shards = []
+    for s in image.addressable_shards:
+        r0 = s.index[0].start or 0
+        shards.append((int(r0), np.asarray(s.data)))
+    shards.sort(key=lambda t: t[0])
+    return shards
+
+
+def make_train_step_single(scene_builder, sensor, film_cfg, spp,
+                           optimizer, max_depth: int = 2,
+                           mode: str = "rgb", project=None):
+    """Single-device inverse-rendering step (BASELINE config 5 on the one
+    real chip): ONE fused XLA program = sunsky precompute + render + grad
+    + optimizer update. Note the terminal's TPU compile service hangs on
+    the fused *forward* precompute+render program (2026-08 compiler bug)
+    but compiles the fused *train-step* (grad) program fine — so no
+    program-splitting workaround is needed here; `bench.py --train`
+    exercises this on the chip.
+
+    Returns step(opt_state, params, target, key) -> (opt_state, params,
+    loss). Matches the reference's param-update lifecycle
+    (`sunsky.cpp:242-285` parameters_changed + `common.py:623`
+    render_backward) but as one traced program.
+    """
+    import optax
+    from ..render import integrator
+    from ..render.bsdf import table_kinds
+
+    def loss_fn(params, target, key):
+        scene = scene_builder(params)
+        kinds = table_kinds(scene.bsdfs)
+        img = film_mod.develop(integrator.render_rows(
+            scene, sensor, film_cfg, key, spp, max_depth, 1000, mode,
+            0, film_cfg.height, kinds=kinds))
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(opt_state, params, target, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if project is not None:
+            params = project(params)
+        return opt_state, params, loss
+
+    return step
 
 
 def make_train_step(tables, scene_builder, sensor, film_cfg, spp, mesh,

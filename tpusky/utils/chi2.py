@@ -26,7 +26,7 @@ def spherical_to_point(d):
 
 def chi2_test(sample_fn, pdf_fn, *, key, sample_count=4_000_000,
               res_phi=128, res_cos=64, cos_range=(-1.0, 1.0), ires=8,
-              batch=1_000_000, significance=0.01):
+              batch=1_000_000, significance=0.01, device_hist=False):
     """Run the chi-square test.
 
     sample_fn(key, n) -> directions (n, 3); pdf_fn(directions) -> (n,)
@@ -34,26 +34,57 @@ def chi2_test(sample_fn, pdf_fn, *, key, sample_count=4_000_000,
     Mirrors the reference's histogram/integration/pooling scheme
     (`chi2.py:100-239`: trapezoid pdf integration at `ires` sub-resolution,
     pooling of cells with expected < 5, Sidak-less single test).
+
+    device_hist=True bins each batch on the accelerator (jnp.bincount
+    scatter-add) and transfers only the (res_cos, res_phi) counts — the
+    path that makes reference-scale runs (N=1e8, res 215; reference
+    `test_sunsky.py:256-263`) practical on a tunnelled TPU where pulling
+    1e8 sample triplets to the host would dominate.
     """
     cos_lo, cos_hi = cos_range
 
     # ---- histogram of samples (batched to bound memory) ----
-    hist = np.zeros((res_cos, res_phi), np.int64)
-    n_done = 0
-    bi = 0
-    while n_done < sample_count:
-        n = min(batch, sample_count - n_done)
-        d = np.asarray(sample_fn(jax.random.fold_in(key, bi), n))
-        phi = np.arctan2(d[:, 1], d[:, 0])
-        ct = d[:, 2]
-        ix = np.clip(((phi + np.pi) / (2 * np.pi) * res_phi).astype(np.int64),
-                     0, res_phi - 1)
-        iy = np.clip(((ct - cos_lo) / (cos_hi - cos_lo) * res_cos)
-                     .astype(np.int64), 0, res_cos - 1)
-        inside = (ct >= cos_lo) & (ct <= cos_hi)
-        np.add.at(hist, (iy[inside], ix[inside]), 1)
-        n_done += n
-        bi += 1
+    if device_hist:
+        n_cells = res_cos * res_phi
+
+        @jax.jit
+        def hist_batch(k, counts):
+            d = sample_fn(k, batch)
+            phi = jnp.arctan2(d[:, 1], d[:, 0])
+            ct = d[:, 2]
+            ix = jnp.clip(((phi + jnp.pi) / (2 * jnp.pi)
+                           * res_phi).astype(jnp.int32), 0, res_phi - 1)
+            iy = jnp.clip(((ct - cos_lo) / (cos_hi - cos_lo)
+                           * res_cos).astype(jnp.int32), 0, res_cos - 1)
+            flat = iy * res_phi + ix
+            flat = jnp.where((ct >= cos_lo) & (ct <= cos_hi),
+                             flat, n_cells)           # overflow bin
+            return counts + jnp.bincount(flat, length=n_cells + 1)
+
+        assert sample_count % batch == 0, "device_hist needs batch | N"
+        counts = jnp.zeros((n_cells + 1,), jnp.int64 if
+                           jax.config.jax_enable_x64 else jnp.int32)
+        for bi in range(sample_count // batch):
+            counts = hist_batch(jax.random.fold_in(key, bi), counts)
+        counts = np.asarray(jax.block_until_ready(counts), np.int64)
+        hist = counts[:n_cells].reshape(res_cos, res_phi)
+    else:
+        hist = np.zeros((res_cos, res_phi), np.int64)
+        n_done = 0
+        bi = 0
+        while n_done < sample_count:
+            n = min(batch, sample_count - n_done)
+            d = np.asarray(sample_fn(jax.random.fold_in(key, bi), n))
+            phi = np.arctan2(d[:, 1], d[:, 0])
+            ct = d[:, 2]
+            ix = np.clip(((phi + np.pi) / (2 * np.pi)
+                          * res_phi).astype(np.int64), 0, res_phi - 1)
+            iy = np.clip(((ct - cos_lo) / (cos_hi - cos_lo) * res_cos)
+                         .astype(np.int64), 0, res_cos - 1)
+            inside = (ct >= cos_lo) & (ct <= cos_hi)
+            np.add.at(hist, (iy[inside], ix[inside]), 1)
+            n_done += n
+            bi += 1
     n_outside = sample_count - hist.sum()
 
     # ---- integrate the pdf per cell (midpoint rule at sub-resolution).
