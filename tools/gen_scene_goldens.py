@@ -19,11 +19,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 import jax
 
-if jax.default_backend() not in ("cpu",):
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass
+# set BEFORE any backend query — jax.default_backend() would initialise
+# the axon TPU backend first and the cpu override would then be ignored
+# (goldens must match the CPU test suite bit-for-bit at the boundary
+# pixels where TPU f32 rounding flips grazing intersections)
+try:
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass
 
 import numpy as np
 import jax.numpy as jnp
@@ -37,7 +40,7 @@ from tpusky.render.film import Film, develop
 from tpusky.render.scene import make_scene
 from tpusky.render.sensors import make_perspective
 
-SPP_REF = 512
+SPP_REF = 4096
 SIZE = 48
 
 

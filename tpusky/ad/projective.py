@@ -76,7 +76,7 @@ def film_uv(sensor: sensors_mod.Perspective, p):
     Differentiable; `valid` is False behind the camera.
     """
     r = sensor.to_world[:3, :3]
-    cam = jnp.einsum("ji,...j->...i", r, p - sensor.to_world[:3, 3])
+    cam = jnp.einsum("ji,...j->...i", r, p - sensor.to_world[:3, 3], precision=jax.lax.Precision.HIGHEST)
     z = cam[..., 2]
     valid = z > sensor.near
     zs = jnp.where(valid, z, 1.0)
@@ -90,7 +90,7 @@ def film_uv(sensor: sensors_mod.Perspective, p):
 # discontinuity-curve parameterizations (object space -> world, diff. in t2w)
 
 def _xform_p(t2w, p):
-    return jnp.einsum("ij,...j->...i", t2w[:3, :3], p) + t2w[:3, 3]
+    return jnp.einsum("ij,...j->...i", t2w[:3, :3], p, precision=jax.lax.Precision.HIGHEST) + t2w[:3, 3]
 
 
 def _sphere_curve(t2w, eye, t):

@@ -335,7 +335,8 @@ def _eval_sun_ld(state, idx_low, idx_high, lerp_f, gamma):
                      C.N_SUN_LD_PARAMS)                        # (..., 6)
     # all 11 channels via one static matmul (sun_ld is (11, 6)), then
     # mask-select the two lerp endpoints — no per-lane gathers
-    ld_all = jnp.einsum("...p,cp->...c", cp, state.sun_ld)     # (..., 11)
+    ld_all = jnp.einsum("...p,cp->...c", cp, state.sun_ld,
+                        precision=jax.lax.Precision.HIGHEST)   # (..., 11)
     ld_all = jnp.broadcast_to(ld_all,
                               idx_low.shape[:-1] + ld_all.shape[-1:])
     return lerp(_select_channels(ld_all, idx_low),

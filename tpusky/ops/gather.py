@@ -10,6 +10,7 @@ instead.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -17,10 +18,17 @@ def take_rows(table, idx):
     """table (K, F) float, idx (...,) int -> (..., F) via one-hot matmul.
 
     Equivalent to `table[idx]` but lowered as an MXU contraction. K must
-    be small-ish (the one-hot is materialised as (..., K))."""
+    be small-ish (the one-hot is materialised as (..., K)).
+
+    precision=HIGHEST is load-bearing: the TPU MXU's default precision
+    truncates the multiplicands to bf16, i.e. the *gathered values* would
+    silently round to 8 mantissa bits (measured: 1.8e-3 rad mean
+    displacement of TGMM-sampled directions vs CPU, enough to fail the
+    reference-scale sampling chi^2 at N=1e8)."""
     k = table.shape[0]
     onehot = (idx[..., None] == jnp.arange(k)).astype(table.dtype)
-    return jnp.einsum("...k,kf->...f", onehot, table)
+    return jnp.einsum("...k,kf->...f", onehot, table,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def take_scalars(table, idx):

@@ -132,9 +132,20 @@ class Frame:
 
 
 def erfinv(x):
-    """Inverse error function (jax provides jax.scipy.special.erfinv)."""
-    from jax.scipy.special import erfinv as _erfinv
-    return _erfinv(x)
+    """Inverse error function with one Newton polish step.
+
+    XLA:TPU lowers `erfinv` to a coarse polynomial — measured |err| up to
+    3.0e-5 vs 1e-7 on CPU — which systematically displaces inverse-CDF
+    samples enough to fail the reference-scale sampling chi^2 (N=1e8,
+    res 215, `test_sunsky.py:256`). One Newton step against erf
+    (y -= (erf(y) - x) * sqrt(pi)/2 * exp(y^2)) restores ~1e-6 accuracy
+    wherever the probability mass lives, on every backend.
+    """
+    from jax.scipy.special import erfinv as _erfinv, erf as _erf
+    y0 = _erfinv(x)
+    yc = jnp.clip(y0, -5.9, 5.9)          # exp(y^2) stays finite in f32
+    y = yc - (_erf(yc) - x) * (jnp.sqrt(jnp.pi) / 2.0) * jnp.exp(yc * yc)
+    return jnp.where(jnp.isfinite(y0) & (jnp.abs(y0) < 5.9), y, y0)
 
 
 def gaussian_cdf(mu, sigma, x):

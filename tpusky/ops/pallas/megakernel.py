@@ -43,7 +43,8 @@ import os
 
 from . import trig
 from .sunsky_kernel import (_CONST_SPECS, _GAUSS_SPEC, _gauss_rows,
-                            _misc_row, _nee_rows, _pdf_row, _radiance_rows)
+                            _misc_row, _nee_sample_rows, _pdf_row,
+                            _radiance_rows)
 
 BLOCK = int(os.environ.get("TPUSKY_MEGABLOCK", "2048"))
 
@@ -255,10 +256,17 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     wi_z = cos_i * fsg
 
     # ---- NEE (sunsky sample + pdf + radiance, env frame) ----
+    # NOTE: batching this pdf/radiance with the env-hit lookup in one
+    # wide (1, 2B) pass was tried and REVERTED: Mosaic cannot concat
+    # lane vectors with mismatched sublane offsets ("result/input offset
+    # mismatch on non-concat dimension", 2026-08).
     un0 = _rand(lane, 0, 0, seed)
     un1 = _rand(lane, 0, 1, seed)
-    edx, edy, edz, Lr, Lg, Lb, pdf_e = _nee_rows(
-        un0, un1, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref)
+    edx, edy, edz, pick_sky = _nee_sample_rows(un0, un1, misc_ref, g_ref)
+    pdf_e = _pdf_row(edx, edy, edz, g_ref, misc_ref, pick_sky)
+    pdf_e = jnp.where(edz >= 0.0, pdf_e, 0.0)
+    Lr, Lg, Lb = _radiance_rows(edx, edy, edz, skyp_ref, skyr_ref,
+                                sun_ref, misc_ref)
     wdx, wdy, wdz = env_world(edx, edy, edz)
     # diffuse eval toward d_e: f = albedo/pi * cos_o, valid if both sides
     cos_o = wdx * fnx + wdy * fny + wdz * fnz
@@ -272,13 +280,6 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     osy = pyw + jnp.sign(ndote) * ny * eps_l
     osz = pzw + jnp.sign(ndote) * nz * eps_l
     occ = _occluded(kinds, shp_ref, osx, osy, osz, wdx, wdy, wdz)
-    mis_nee = _mis(pdf_e, pdf_b_nee)
-    wgt_nee = mis_nee / jnp.maximum(pdf_e, 1e-20)
-    ok_nee = hit & ~occ & (pdf_e > 0.0) & valid_nee
-    scale_nee = jnp.where(ok_nee, wgt_nee * cos_o * (1.0 / jnp.pi), 0.0)
-    res_r = scale_nee * ar * Lr
-    res_g = scale_nee * ag * Lg
-    res_b = scale_nee * ab * Lb
 
     # ---- BSDF cosine sample -> continuation direction ----
     ub0 = _rand(lane, 1, 0, seed)
@@ -317,6 +318,16 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
                                 misc_ref)
     em_pdf = _pdf_row(ex, ey, ez, g_ref, misc_ref,
                       jnp.ones_like(ex, dtype=bool))
+
+    # ---- NEE contribution ----
+    mis_nee = _mis(pdf_e, pdf_b_nee)
+    wgt_nee = mis_nee / jnp.maximum(pdf_e, 1e-20)
+    ok_nee = hit & ~occ & (pdf_e > 0.0) & valid_nee
+    scale_nee = jnp.where(ok_nee, wgt_nee * cos_o * (1.0 / jnp.pi), 0.0)
+    res_r = scale_nee * ar * Lr
+    res_g = scale_nee * ag * Lg
+    res_b = scale_nee * ab * Lb
+
     mis_em = _mis(pdf_next, em_pdf)
     esc_cam = ~hit                              # camera ray escaped: w=1
     esc_cont = cont & ~occ2                     # continuation escaped

@@ -50,9 +50,9 @@ _M_SUNX, _M_SUNY, _M_SUNZ, _M_HALF_AP, _M_SKY_SCALE, _M_SUN_SCALE = range(6)
 _M_SUN_PHI, _M_WMIX, _M_COS_CUT, _M_SX, _M_SY, _M_SZ, _M_TX, _M_TY, \
     _M_TZ, _M_PAD = range(6, 16)
 
-# per-gaussian row layout (13, 20)
+# per-gaussian row layout (14, 20)
 _G_MU1, _G_MU2, _G_S1, _G_S2, _G_INV_S1, _G_INV_S2, _G_A, _G_CDF, \
-    _G_PMF, _G_CA1, _G_CB1, _G_CA2, _G_CB2 = range(13)
+    _G_PMF, _G_CA1, _G_CB1, _G_CA2, _G_CB2, _G_CDF_PREV = range(14)
 
 
 def _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref, misc_ref):
@@ -105,43 +105,52 @@ def _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref, misc_ref):
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
 
-    # powers of x (4) and cos_psi (6) via iterated products, all (1, B)
+    # powers of x (4); the cos_psi polynomial is Horner-evaluated below
     xp = [jnp.ones_like(x), x, x * x, x * x * x]
-    cp = [jnp.ones_like(cos_psi)]
-    for _ in range(5):
-        cp.append(cp[-1] * cos_psi)
 
     hit_sun = cos_gamma >= jnp.cos(half_ap)
 
+    # ---- sky formula, batched over channels as (3, B) tiles (per-channel
+    # scalar extracts from skyp_ref forced one broadcast relayout per
+    # coefficient per channel; column slices of the (3, 9) table broadcast
+    # natively and the transcendentals run once on the (3, B) tile) ----
+    bsz = dx.shape[-1]
+    ct3 = jnp.broadcast_to(cos_theta_c, (3, bsz))
+    cg3 = jnp.broadcast_to(cos_gamma, (3, bsz))
+    cg2_3 = jnp.broadcast_to(cos_gamma_sqr, (3, bsz))
+    gam3 = jnp.broadcast_to(gamma, (3, bsz))
+    ka = skyp_ref[:, 0:1]
+    kb = skyp_ref[:, 1:2]
+    kc = skyp_ref[:, 2:3]
+    kd = skyp_ref[:, 3:4]
+    ke = skyp_ref[:, 4:5]
+    kf = skyp_ref[:, 5:6]
+    kg = skyp_ref[:, 6:7]
+    ki = skyp_ref[:, 7:8]
+    kh = skyp_ref[:, 8:9]
+    c1 = 1.0 + ka * jnp.exp(kb / (ct3 + 0.01))
+    base = 1.0 + kh * kh - 2.0 * kh * cg3
+    chi = (1.0 + cg2_3) / (base * jnp.sqrt(jnp.maximum(base, 1e-12)))
+    c2 = (kc + kd * jnp.exp(ke * gam3) + kf * cg2_3
+          + kg * chi + ki * jnp.sqrt(ct3))
+    skyr_col = skyr_ref[0, :][:, None]                   # (3, 1)
+    sky3 = c1 * c2 * skyr_col
+
     out_rows = []
     for c in range(3):
-        # ---- sky formula for channel c ----
-        a = skyp_ref[c, 0]
-        b = skyp_ref[c, 1]
-        cc = skyp_ref[c, 2]
-        dd = skyp_ref[c, 3]
-        e = skyp_ref[c, 4]
-        f = skyp_ref[c, 5]
-        g = skyp_ref[c, 6]
-        i = skyp_ref[c, 7]
-        h = skyp_ref[c, 8]
-        c1 = 1.0 + a * jnp.exp(b / (cos_theta_c + 0.01))
-        base = 1.0 + h * h - 2.0 * h * cos_gamma
-        chi = (1.0 + cos_gamma_sqr) / (base * jnp.sqrt(
-            jnp.maximum(base, 1e-12)))
-        c2 = (cc + dd * jnp.exp(e * gamma) + f * cos_gamma_sqr
-              + g * chi + i * jnp.sqrt(cos_theta_c))
-        sky = c1 * c2 * skyr_ref[0, c]
-
-        # ---- sun polynomial for channel c ----
-        sun = jnp.zeros_like(sky)
+        # ---- sun polynomial for channel c: Horner in cos_psi per
+        # x-power (48 mul/adds vs 216 for the expanded triple product) ----
+        sun = jnp.zeros_like(cos_theta_c)
         for k in range(4):
-            for j in range(6):
-                row = c * 24 + k * 6 + j
-                sun = sun + coefs[row:row + 1, :] * xp[k] * cp[j]
+            row0 = c * 24 + k * 6
+            acc = coefs[row0 + 5:row0 + 6, :]
+            for j in range(4, -1, -1):
+                acc = acc * cos_psi + coefs[row0 + j:row0 + j + 1, :]
+            sun = sun + xp[k] * acc
         sun = jnp.where(hit_sun, sun, 0.0)
 
-        val = (sky_scale * sky + sun_scale_conv * sun) * C.CIE_Y_NORMALIZATION
+        val = (sky_scale * sky3[c:c + 1, :] + sun_scale_conv * sun) \
+            * C.CIE_Y_NORMALIZATION
         out_rows.append(jnp.where(below, 0.0, val))
     return out_rows
 
@@ -170,11 +179,24 @@ def _pdf_row(dx, dy, dz, g_ref, misc_ref, check_sun):
                         phi_rel)
     in_range = (theta >= 0.0) & (theta <= 0.5 * jnp.pi)
 
-    tg = jnp.zeros_like(dx)
-    for gi in range(_N_GAUSS):
-        z1 = (phi_rel - g_ref[_G_MU1, gi]) * g_ref[_G_INV_S1, gi]
-        z2 = (theta - g_ref[_G_MU2, gi]) * g_ref[_G_INV_S2, gi]
-        tg = tg + g_ref[_G_A, gi] * jnp.exp(-0.5 * (z1 * z1 + z2 * z2))
+    # Batched (20, B) mixture evaluation: ONE big exp tile + an MXU
+    # (1,20)x(20,B) reduction instead of a 20-iteration scalar-extract
+    # loop (each g_ref[row, gi] scalar read forced a broadcast relayout
+    # per gaussian — measured ~2x the cost of the math itself). A
+    # per-gaussian `lax.cond` skip of zero-amplitude components was also
+    # tried and REVERTED: Mosaic's predicated execution cost more than
+    # the 10 saved exps (286 vs 372 M rays/s on the bench frame).
+    b = dx.shape[-1]
+    mu1 = jnp.broadcast_to(g_ref[_G_MU1, :][:, None], (_N_GAUSS, b))
+    mu2 = jnp.broadcast_to(g_ref[_G_MU2, :][:, None], (_N_GAUSS, b))
+    is1 = jnp.broadcast_to(g_ref[_G_INV_S1, :][:, None], (_N_GAUSS, b))
+    is2 = jnp.broadcast_to(g_ref[_G_INV_S2, :][:, None], (_N_GAUSS, b))
+    amp = g_ref[_G_A, :][None, :]                       # (1, 20)
+    z1 = (phi_rel - mu1) * is1                          # (20, B)
+    z2 = (theta - mu2) * is2
+    gauss = jnp.exp(-0.5 * (z1 * z1 + z2 * z2))
+    tg = jax.lax.dot_general(amp, gauss, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     sky_pdf = jnp.where(active & in_range, tg / sin_theta_c, 0.0)
 
     dot_sun = dx * sun_nx + dy * sun_ny + dz * sun_nz
@@ -200,13 +222,14 @@ def _hit_kernel(d_ref, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref,
     out_ref[3:4, :] = pdf
 
 
-def _nee_rows(u0, u1, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref):
-    """NEE core: uniform rows (1, B) -> (dx, dy, dz, r, g, b, pdf) rows.
+def _nee_sample_rows(u0, u1, misc_ref, g_ref):
+    """NEE sampling core: uniform rows (1, B) -> (dx, dy, dz, pick_sky).
 
-    Bitwise-mirrors `model.sample_direction`: strategy pick + uniform
-    rescale, TGMM inverse-CDF (sky) / concentric-disk cone (sun).
-    Shared by the standalone NEE kernel and the direct-illumination
-    megakernel (megakernel.py)."""
+    Bitwise-mirrors `model.sample_direction`'s direction construction:
+    strategy pick + uniform rescale, TGMM inverse-CDF (sky) /
+    concentric-disk cone (sun). The pdf/radiance of the sampled
+    direction are evaluated by the caller (the megakernel batches them
+    with the env-hit lookup in one wide pass)."""
     w_mix = misc_ref[0, _M_WMIX]
     sun_phi = misc_ref[0, _M_SUN_PHI]
     cos_cut = misc_ref[0, _M_COS_CUT]
@@ -217,35 +240,33 @@ def _nee_rows(u0, u1, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref):
                       0.0, 1.0)
 
     # ---- discrete gaussian pick (matches discrete_sample_reuse with a
-    # normalized cdf: total == 1) ----
-    idx = jnp.zeros_like(u0, dtype=jnp.int32)
-    for gi in range(_N_GAUSS):
-        idx = idx + (g_ref[_G_CDF, gi] <= sky_u0).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, _N_GAUSS - 1)
+    # normalized cdf: total == 1). Batched (20, B) compare + ONE MXU
+    # one-hot matmul fetches all 10 per-gaussian parameters at once —
+    # replaces a 20-iteration loop of scalar-extract broadcasts and 10
+    # selects per gaussian (same relayout pathology as _pdf_row). ----
+    b = u0.shape[-1]
+    cdf_col = jnp.broadcast_to(g_ref[_G_CDF, :][:, None], (_N_GAUSS, b))
+    le = (cdf_col <= sky_u0).astype(jnp.float32)        # (20, B)
+    idx_f = jax.lax.dot_general(
+        jnp.ones((1, _N_GAUSS), jnp.float32), le,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    idx = jnp.clip(idx_f.astype(jnp.int32), 0, _N_GAUSS - 1)
 
-    mu1 = jnp.zeros_like(u0)
-    mu2 = jnp.zeros_like(u0)
-    s1 = jnp.zeros_like(u0)
-    s2 = jnp.zeros_like(u0)
-    ca1 = jnp.zeros_like(u0)
-    cb1 = jnp.zeros_like(u0)
-    ca2 = jnp.zeros_like(u0)
-    cb2 = jnp.zeros_like(u0)
-    cdf_prev = jnp.zeros_like(u0)
-    pmf = jnp.zeros_like(u0)
-    for gi in range(_N_GAUSS):
-        sel = idx == gi
-        mu1 = jnp.where(sel, g_ref[_G_MU1, gi], mu1)
-        mu2 = jnp.where(sel, g_ref[_G_MU2, gi], mu2)
-        s1 = jnp.where(sel, g_ref[_G_S1, gi], s1)
-        s2 = jnp.where(sel, g_ref[_G_S2, gi], s2)
-        ca1 = jnp.where(sel, g_ref[_G_CA1, gi], ca1)
-        cb1 = jnp.where(sel, g_ref[_G_CB1, gi], cb1)
-        ca2 = jnp.where(sel, g_ref[_G_CA2, gi], ca2)
-        cb2 = jnp.where(sel, g_ref[_G_CB2, gi], cb2)
-        if gi > 0:
-            cdf_prev = jnp.where(sel, g_ref[_G_CDF, gi - 1], cdf_prev)
-        pmf = jnp.where(sel, g_ref[_G_PMF, gi], pmf)
+    gsel = jax.lax.broadcasted_iota(jnp.int32, (_N_GAUSS, b), 0)
+    onehot = (gsel == idx).astype(jnp.float32)          # (20, B)
+    params = jax.lax.dot_general(g_ref[...], onehot,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    mu1 = params[_G_MU1:_G_MU1 + 1, :]
+    mu2 = params[_G_MU2:_G_MU2 + 1, :]
+    s1 = params[_G_S1:_G_S1 + 1, :]
+    s2 = params[_G_S2:_G_S2 + 1, :]
+    ca1 = params[_G_CA1:_G_CA1 + 1, :]
+    cb1 = params[_G_CB1:_G_CB1 + 1, :]
+    ca2 = params[_G_CA2:_G_CA2 + 1, :]
+    cb2 = params[_G_CB2:_G_CB2 + 1, :]
+    pmf = params[_G_PMF:_G_PMF + 1, :]
+    cdf_prev = params[_G_CDF_PREV:_G_CDF_PREV + 1, :]
     reused = jnp.clip((sky_u0 - cdf_prev) / jnp.maximum(pmf, 1e-37),
                       0.0, 1.0)
 
@@ -288,7 +309,13 @@ def _nee_rows(u0, u1, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref):
     dx = jnp.where(pick_sky, d_sky_x, d_sun_x)
     dy = jnp.where(pick_sky, d_sky_y, d_sun_y)
     dz = jnp.where(pick_sky, d_sky_z, d_sun_z)
+    return dx, dy, dz, pick_sky
 
+
+def _nee_rows(u0, u1, skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref):
+    """NEE core: uniform rows (1, B) -> (dx, dy, dz, r, g, b, pdf) rows
+    (sample + pdf + radiance; the standalone NEE kernel's body)."""
+    dx, dy, dz, pick_sky = _nee_sample_rows(u0, u1, misc_ref, g_ref)
     pdf = _pdf_row(dx, dy, dz, g_ref, misc_ref, pick_sky)
     pdf = jnp.where(dz >= 0.0, pdf, 0.0)
     r, g, b = _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref,
@@ -340,7 +367,7 @@ def _misc_row(state):
 
 
 def _gauss_rows(state):
-    """(13, 20) per-gaussian constants; cdf/pmf normalised to total 1,
+    """(14, 20) per-gaussian constants; cdf/pmf normalised to total 1,
     truncation CDFs precomputed once per parameter set (the reference
     recomputes them per query, `sunsky.cpp:752` — SURVEY.md hard-part 1)."""
     from jax.scipy.special import erf as jerf
@@ -359,10 +386,12 @@ def _gauss_rows(state):
     total = jnp.maximum(jnp.sum(w), 1e-30)
     pmf = w / total
     cdf = jnp.cumsum(pmf)
+    cdf_prev = jnp.concatenate([jnp.zeros((1,), cdf.dtype), cdf[:-1]])
     return jnp.stack([
         mu[:, 0], mu[:, 1], sigma[:, 0], sigma[:, 1],
         1.0 / sigma[:, 0], 1.0 / sigma[:, 1], amp, cdf, pmf,
-        cdf_a[:, 0], cdf_b[:, 0], cdf_a[:, 1], cdf_b[:, 1]], axis=0)
+        cdf_a[:, 0], cdf_b[:, 0], cdf_a[:, 1], cdf_b[:, 1],
+        cdf_prev], axis=0)
 
 
 _CONST_SPECS = [
@@ -372,7 +401,7 @@ _CONST_SPECS = [
                  memory_space=pltpu.VMEM),
     pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
 ]
-_GAUSS_SPEC = pl.BlockSpec((13, _N_GAUSS), lambda i: (0, 0),
+_GAUSS_SPEC = pl.BlockSpec((14, _N_GAUSS), lambda i: (0, 0),
                            memory_space=pltpu.VMEM)
 
 

@@ -127,9 +127,23 @@ def upsample_rgb(rgb, wavelengths):
     return spec
 
 
-def upsample_rgb_jnp(rgb, wavelengths, iters: int = 48):
-    """Differentiable, trace-safe `upsample_rgb`: RGB (..., 3) ->
-    reflectance spectrum at ``wavelengths`` (jnp, runs under jit).
+def eval_coeff_spectrum(coeffs, wavelengths):
+    """Evaluate sigmoid-polynomial spectra (jnp, trace-safe).
+
+    coeffs (..., 4) = (c0, c1, c2, scale); wavelengths (..., W) nm ->
+    (..., W). The per-emitter storage format of the reference's rgb2spec
+    pipeline (`srgb.cpp:14-38`: 3 polynomial coefficients + unbounded
+    scale per RGB input)."""
+    import jax.numpy as jnp
+    x = (wavelengths - _LAM_MIN) / (_LAM_MAX - _LAM_MIN)
+    t = (coeffs[..., 0:1] * x * x + coeffs[..., 1:2] * x
+         + coeffs[..., 2:3])
+    return (0.5 + 0.5 * t / jnp.sqrt(1.0 + t * t)) * coeffs[..., 3:4]
+
+
+def fit_sigmoid_coeffs_jnp(rgb, iters: int = 48):
+    """Differentiable, trace-safe sigmoid-coefficient fit: RGB (..., 3) ->
+    (..., 4) coeffs (c0, c1, c2, scale) for `eval_coeff_spectrum`.
 
     The Levenberg–Marquardt fit runs on-device under `stop_gradient`;
     gradients come from ONE differentiable Newton correction step at the
@@ -145,7 +159,9 @@ def upsample_rgb_jnp(rgb, wavelengths, iters: int = 48):
     squeeze = rgb.ndim == 1
     rgb2 = jnp.atleast_2d(rgb)                            # (M, 3)
     scale = jnp.maximum(jnp.max(rgb2, -1), 1.0)
-    tgt = rgb2 / scale[:, None]
+    # zero input -> zero spectrum (scale carries the amplitude)
+    scale = jnp.where(jnp.max(rgb2, -1) <= 0.0, 0.0, scale)
+    tgt = rgb2 / jnp.where(scale > 0.0, scale, 1.0)[:, None]
 
     def sig(t):
         return 0.5 + 0.5 * t / jnp.sqrt(1.0 + t * t)
@@ -153,12 +169,15 @@ def upsample_rgb_jnp(rgb, wavelengths, iters: int = 48):
     def dsig(t):
         return 0.5 / (1.0 + t * t) ** 1.5
 
+    hp = jax.lax.Precision.HIGHEST
+
     def newton_system(c, target):
-        p = c @ basis.T                                   # (M, N)
-        r = sig(p) @ a.T - target                         # (M, 3)
-        jac = (a[None] * dsig(p)[:, None, :]) @ basis     # (M, 3, 3)
-        jtj = jnp.einsum("mij,mik->mjk", jac, jac)
-        jtr = jnp.einsum("mij,mi->mj", jac, r)
+        p = jnp.matmul(c, basis.T, precision=hp)          # (M, N)
+        r = jnp.matmul(sig(p), a.T, precision=hp) - target  # (M, 3)
+        jac = jnp.matmul(a[None] * dsig(p)[:, None, :], basis,
+                         precision=hp)                    # (M, 3, 3)
+        jtj = jnp.einsum("mij,mik->mjk", jac, jac, precision=jax.lax.Precision.HIGHEST)
+        jtr = jnp.einsum("mij,mi->mj", jac, r, precision=jax.lax.Precision.HIGHEST)
         return jtj, jtr
 
     def lm_body(_, carry):
@@ -168,7 +187,9 @@ def upsample_rgb_jnp(rgb, wavelengths, iters: int = 48):
         delta = jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
         c_new = c - delta
         def err(cc):
-            return jnp.sum((sig(cc @ basis.T) @ a.T
+            return jnp.sum((jnp.matmul(sig(jnp.matmul(cc, basis.T,
+                                                      precision=hp)),
+                                       a.T, precision=hp)
                             - jax.lax.stop_gradient(tgt)) ** 2, -1)
         improved = err(c_new) <= err(c)
         c = jnp.where(improved[:, None], c_new, c)
@@ -188,12 +209,15 @@ def upsample_rgb_jnp(rgb, wavelengths, iters: int = 48):
     jtj, jtr = newton_system(c_star, tgt)
     jtj = jtj + 1e-9 * jnp.eye(3, dtype=jtj.dtype)
     c = c_star - jnp.linalg.solve(jtj, jtr[..., None])[..., 0]
+    out = jnp.concatenate([c, scale[:, None]], -1)
+    return out[0] if squeeze else out
 
-    x = (jnp.asarray(wavelengths, c.dtype) - _LAM_MIN) \
-        / (_LAM_MAX - _LAM_MIN)
-    eb = jnp.stack([x * x, x, jnp.ones_like(x)], -1)      # (W, 3)
-    spec = sig(c @ eb.T) * scale[:, None]
-    return spec[0] if squeeze else spec
+
+def upsample_rgb_jnp(rgb, wavelengths, iters: int = 48):
+    """Differentiable, trace-safe `upsample_rgb`: RGB (..., 3) ->
+    spectrum at ``wavelengths`` (jnp, runs under jit)."""
+    return eval_coeff_spectrum(fit_sigmoid_coeffs_jnp(rgb, iters),
+                               wavelengths)
 
 
 def rgb_of_spectrum(spectrum, wavelengths):

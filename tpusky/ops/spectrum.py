@@ -84,7 +84,10 @@ def cie_d65(wavelengths):
 
 
 def luminance_rgb(rgb):
-    return jnp.einsum("...c,c->...", rgb, jnp.asarray(LUMINANCE_WEIGHTS_RGB))
+    import jax
+    return jnp.einsum("...c,c->...", rgb,
+                      jnp.asarray(LUMINANCE_WEIGHTS_RGB),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def luminance_spectral(values, wavelengths):
@@ -99,11 +102,15 @@ def spectrum_to_xyz(values, wavelengths):
 
 
 def xyz_to_srgb(xyz):
-    return jnp.einsum("rc,...c->...r", jnp.asarray(XYZ_TO_SRGB), xyz)
+    import jax
+    return jnp.einsum("rc,...c->...r", jnp.asarray(XYZ_TO_SRGB), xyz,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def srgb_to_xyz(rgb):
-    return jnp.einsum("rc,...c->...r", jnp.asarray(SRGB_TO_XYZ), rgb)
+    import jax
+    return jnp.einsum("rc,...c->...r", jnp.asarray(SRGB_TO_XYZ), rgb,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def spectrum_to_srgb(values, wavelengths):

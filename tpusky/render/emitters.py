@@ -29,16 +29,21 @@ class ConstantEnv(NamedTuple):
 def env_eval(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
     """Environment radiance toward world direction d (pointing at the sky)."""
     if isinstance(env, sunsky.SunskyState):
-        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         return sunsky.eval(env, d_local, wavelengths=wavelengths, mode=mode)
     if isinstance(env, ConstantEnv):
         shape = d_world.shape[:-1]
         if wavelengths is not None:
-            return jnp.broadcast_to(env.radiance[..., :1],
+            # rgb2spec upsampling (`srgb.cpp:14-38`): fit once per trace
+            # (loop-invariant), evaluate at the hero wavelengths
+            from ..ops.rgb2spec import (eval_coeff_spectrum,
+                                        fit_sigmoid_coeffs_jnp)
+            cf = fit_sigmoid_coeffs_jnp(env.radiance)
+            return jnp.broadcast_to(eval_coeff_spectrum(cf, wavelengths),
                                     wavelengths.shape)
         return jnp.broadcast_to(env.radiance, shape + env.radiance.shape)
     if isinstance(env, EnvMapState):
-        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         rgb = envmap_eval(env, d_local)
         if wavelengths is not None:
             return jnp.broadcast_to(jnp.mean(rgb, -1, keepdims=True),
@@ -55,7 +60,7 @@ def env_sample_direction(env, env_to_world, sample2):
     """
     if isinstance(env, sunsky.SunskyState):
         d_local, pdf = sunsky.sample_direction(env, sample2)
-        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local)
+        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local, precision=jax.lax.Precision.HIGHEST)
         return d_world, pdf
     if isinstance(env, ConstantEnv):
         d = warp.square_to_uniform_sphere(sample2)
@@ -63,7 +68,7 @@ def env_sample_direction(env, env_to_world, sample2):
         return d, pdf
     if isinstance(env, EnvMapState):
         d_local, pdf = envmap_sample_direction(env, sample2)
-        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local)
+        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local, precision=jax.lax.Precision.HIGHEST)
         return d_world, pdf
     raise TypeError(f"unknown environment {type(env)}")
 
@@ -72,7 +77,7 @@ def env_eval_pdf(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
     """(radiance, solid-angle pdf) toward d_world in one call — fused into
     a single Pallas pass for sunsky RGB (the emitter-hit MIS block)."""
     if isinstance(env, sunsky.SunskyState):
-        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         return sunsky.eval_pdf(env, d_local, wavelengths=wavelengths,
                                mode=mode)
     return (env_eval(env, d_world, env_to_world, wavelengths=wavelengths,
@@ -89,7 +94,7 @@ def env_sample_eval(env, env_to_world, sample2, wavelengths=None,
         d_local, rad, pdf = sunsky.sample_eval(env, sample2,
                                                wavelengths=wavelengths,
                                                mode=mode)
-        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local)
+        d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local, precision=jax.lax.Precision.HIGHEST)
         return jnp.asarray(jax.lax.stop_gradient(d_world)), rad, pdf
     d_world, pdf = env_sample_direction(env, env_to_world, sample2)
     d_world = jnp.asarray(jax.lax.stop_gradient(d_world))
@@ -100,12 +105,12 @@ def env_sample_eval(env, env_to_world, sample2, wavelengths=None,
 
 def env_pdf_direction(env, env_to_world, d_world):
     if isinstance(env, sunsky.SunskyState):
-        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         return sunsky.pdf_direction(env, d_local)
     if isinstance(env, ConstantEnv):
         return jnp.full(d_world.shape[:-1], warp.INV_FOUR_PI)
     if isinstance(env, EnvMapState):
-        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world)
+        d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         return envmap_pdf_direction(env, d_local)
     raise TypeError(f"unknown environment {type(env)}")
 
@@ -197,7 +202,7 @@ def area_sample_direction(scene, p_ref, u2, u1):
     Picks an emitter shape uniformly (reference scene emitter selection,
     `scene.cpp:311`), samples its surface uniformly in area, converts to
     the solid-angle measure. Returns (d, dist, pdf_solid, radiance (..,3),
-    n_emit) with pdf 0 when the sampled point faces away.
+    n_emit, shape_idx) with pdf 0 when the sampled point faces away.
     """
     from .shapes import sample_position
     n_area = scene.area_emitter_shapes.shape[0]
@@ -216,7 +221,7 @@ def area_sample_direction(scene, p_ref, u2, u1):
                           / n_area, 0.0)
     from ..ops.gather import take_rows
     radiance = take_rows(scene.area_radiance, shape_idx)
-    return d, dist, pdf_solid, radiance, n_emit
+    return d, dist, pdf_solid, radiance, n_emit, shape_idx
 
 
 def area_pdf_direction(scene, p_ref, p_hit, n_hit, shape_idx):

@@ -94,6 +94,15 @@ class PathState(NamedTuple):
     prev_bsdf_delta: jnp.ndarray  # (N,) whether it was a delta sample
 
 
+def _spec_rows(coeffs_table, rows_idx, wavelengths):
+    """Per-lane emitter spectrum: gather fitted (c0,c1,c2,scale) rows and
+    evaluate at the hero wavelengths -> (..., W)."""
+    from ..ops.gather import take_rows
+    from ..ops.rgb2spec import eval_coeff_spectrum
+    return eval_coeff_spectrum(take_rows(coeffs_table, rows_idx),
+                               wavelengths)
+
+
 def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                  rr_depth: int, mode: str, wavelengths, vma_axes=(),
                  kinds=None, nmaps=False, tkinds=None):
@@ -107,6 +116,24 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
     n = o.shape[0]
     n_chan = (3 if wavelengths is None else wavelengths.shape[-1])
     sg = jax.lax.stop_gradient
+
+    # rgb2spec emitter spectra (reference `srgb.cpp:14-38`): in spectral
+    # mode every RGB emitter quantity is upsampled to a sigmoid-polynomial
+    # spectrum ONCE per render (table-level fit — loop-invariant, hoisted
+    # by XLA) and evaluated at the hero wavelengths per lane, replacing
+    # the earlier channel-mean approximation.
+    emit_cf = None
+    if wavelengths is not None:
+        from ..ops.rgb2spec import fit_sigmoid_coeffs_jnp as _fit
+        emit_cf = dict(
+            area=(_fit(scene.area_radiance)
+                  if scene.area_emitter_shapes.shape[0] else None),
+            point=(_fit(scene.point_lights[:, 3:])
+                   if scene.point_lights.shape[0] else None),
+            dirl=(_fit(scene.directional_lights[:, 3:])
+                  if scene.directional_lights.shape[0] else None),
+            spot=tuple(_fit(light.intensity)
+                       for light in scene.spot_lights))
 
     def varying(x):
         if not vma_axes:
@@ -235,7 +262,10 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                               jnp.maximum(shape_idx, 0))
         if wavelengths is None:
             area_L = area_rows
-        else:  # constant-spectrum area emitters in spectral mode
+        elif emit_cf["area"] is not None:   # rgb2spec-upsampled spectra
+            area_L = _spec_rows(emit_cf["area"], jnp.maximum(shape_idx, 0),
+                                wavelengths)
+        else:
             area_L = jnp.mean(area_rows, axis=-1, keepdims=True)
         facing = (dot(ng, -state.d) > 0.0) & (shape_idx >= 0)
         if n_area > 0:
@@ -340,12 +370,13 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         # ---- next-event estimation toward area emitters ----
         if n_area > 0:
             u_area = sg(smp.next(3 * depth + 3, 3))
-            d_a, dist_a, pdf_a, L_a, _n_emit = em.area_sample_direction(
+            (d_a, dist_a, pdf_a, L_a, _n_emit,
+             emit_shape_a) = em.area_sample_direction(
                 scene, p, u_area[..., :2], u_area[..., 2])
             d_a = sg(d_a)
             pdf_a = sg(pdf_a)
             if wavelengths is not None:
-                L_a = jnp.mean(L_a, axis=-1, keepdims=True)
+                L_a = _spec_rows(emit_cf["area"], emit_shape_a, wavelengths)
             wo_a = frame.to_local(d_a)
             f_a, pdf_b_a = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_a, wavelengths,
@@ -378,8 +409,10 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
+            from ..ops.rgb2spec import eval_coeff_spectrum
             I_l = (intensity if wavelengths is None
-                   else jnp.mean(intensity, keepdims=True))
+                   else eval_coeff_spectrum(emit_cf["point"][li],
+                                            wavelengths))
             contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
                          / dist2_l[..., None])
             result = result + jnp.where((active & ~occ_l)[..., None],
@@ -399,13 +432,15 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_l = scene_occluded(scene, off_l, d_b,
                                    jnp.full((n,), jnp.inf))
+            from ..ops.rgb2spec import eval_coeff_spectrum
             E_l = (irr if wavelengths is None
-                   else jnp.mean(irr, keepdims=True))
+                   else eval_coeff_spectrum(emit_cf["dirl"][li],
+                                            wavelengths))
             contrib_l = (thr_s * f_l * E_l
                          * shadow_T(off_l, d_b, jnp.full((n,), jnp.inf)))
             result = result + jnp.where((active & ~occ_l)[..., None],
                                         contrib_l, 0.0)
-        for light in scene.spot_lights:   # spot / projector (`spot.cpp`)
+        for si, light in enumerate(scene.spot_lights):   # spot / projector
             to_l = light.position - p
             dist2_l = jnp.sum(to_l * to_l, axis=-1)
             dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
@@ -419,8 +454,15 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
-            I_l = (falloff if wavelengths is None
-                   else jnp.mean(falloff, axis=-1, keepdims=True))
+            if wavelengths is None:
+                I_l = falloff
+            else:
+                # spectral intensity x scalar (falloff+texture) modulation
+                from ..ops.rgb2spec import eval_coeff_spectrum
+                ratio = (jnp.sum(falloff, -1)
+                         / jnp.maximum(jnp.sum(light.intensity), 1e-12))
+                I_l = (eval_coeff_spectrum(emit_cf["spot"][si], wavelengths)
+                       * ratio[..., None])
             contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
                          / dist2_l[..., None])
             result = result + jnp.where((active & ~occ_l)[..., None],
@@ -564,7 +606,13 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
     n_area = scene.area_emitter_shapes.shape[0]
     area_rows = take_rows(scene.area_radiance, jnp.maximum(shape_idx, 0))
     if wavelengths is not None:
-        area_rows = jnp.mean(area_rows, axis=-1, keepdims=True)
+        if n_area > 0:
+            from ..ops.rgb2spec import fit_sigmoid_coeffs_jnp
+            area_rows = _spec_rows(fit_sigmoid_coeffs_jnp(
+                scene.area_radiance), jnp.maximum(shape_idx, 0),
+                wavelengths)
+        else:
+            area_rows = jnp.mean(area_rows, axis=-1, keepdims=True)
     facing = (dot(ng, -state.d) > 0.0) & (shape_idx >= 0)
     if n_area > 0:
         area_pdf = em.area_pdf_direction(scene, state.o, p, ng,

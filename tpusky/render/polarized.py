@@ -486,7 +486,7 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
         # ---- NEE toward area emitters ----
         if scene.area_emitter_shapes.shape[0] > 0:
             u_area = sg(smp.next(3 * depth + 3, 3))
-            d_a, dist_a, pdf_a, L_a, _ = em.area_sample_direction(
+            d_a, dist_a, pdf_a, L_a, _, _ = em.area_sample_direction(
                 scene, p, u_area[..., :2], u_area[..., 2])
             d_a = sg(d_a)
             pdf_a = sg(pdf_a)

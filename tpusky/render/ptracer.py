@@ -56,7 +56,7 @@ def _sensor_connect(sensor: Perspective, p):
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
     d = to_cam / dist[..., None]
     # direction from the camera toward p, in camera space
-    d_cam = jnp.einsum("ji,...j->...i", sensor.to_world[:3, :3], -d)
+    d_cam = jnp.einsum("ji,...j->...i", sensor.to_world[:3, :3], -d, precision=jax.lax.Precision.HIGHEST)
     z = d_cam[..., 2]
     valid = z > 1e-6
     zs = jnp.maximum(z, 1e-6)

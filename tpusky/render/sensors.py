@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,7 +47,7 @@ def perspective_ray(sensor: Perspective, uv):
     x = (2.0 * uv[..., 0] - 1.0) * tan_half
     y = (1.0 - 2.0 * uv[..., 1]) * tan_half / sensor.aspect
     d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
-    d = jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], d_cam)
+    d = jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], d_cam, precision=jax.lax.Precision.HIGHEST)
     d = normalize(d)
     o = jnp.broadcast_to(sensor.to_world[:3, 3], d.shape)
     return o, d
@@ -97,9 +98,9 @@ def thinlens_ray(sensor: ThinLens, uv, lens_uv):
     o_cam = jnp.stack([lens[..., 0], lens[..., 1],
                        jnp.zeros_like(lens[..., 0])], -1)
     d_cam = focus - o_cam
-    d = jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], d_cam)
+    d = jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], d_cam, precision=jax.lax.Precision.HIGHEST)
     d = normalize(d)
-    o = (jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], o_cam)
+    o = (jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], o_cam, precision=jax.lax.Precision.HIGHEST)
          + sensor.to_world[:3, 3])
     return o, d
 
@@ -113,7 +114,7 @@ def orthographic_ray(sensor: Orthographic, uv):
     x = (2.0 * uv[..., 0] - 1.0) * sensor.scale
     y = (1.0 - 2.0 * uv[..., 1]) * sensor.scale
     o_cam = jnp.stack([x, y, jnp.zeros_like(x)], axis=-1)
-    o = (jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], o_cam)
+    o = (jnp.einsum("ij,...j->...i", sensor.to_world[:3, :3], o_cam, precision=jax.lax.Precision.HIGHEST)
          + sensor.to_world[:3, 3])
     d = jnp.broadcast_to(sensor.to_world[:3, 2], o.shape)
     return o, d

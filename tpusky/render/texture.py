@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -252,7 +253,7 @@ def eval_texture(tex: TextureTable, tex_idx, uv, wavelengths=None,
     if has_kind(VOLUME) and p is not None:
         m4 = jnp.einsum("...k,kij->...ij",
                         (idx[..., None] == jnp.arange(tex.kind.shape[0]))
-                        .astype(tex.world_to_tex.dtype), tex.world_to_tex)
+                        .astype(tex.world_to_tex.dtype), tex.world_to_tex, precision=jax.lax.Precision.HIGHEST)
         q = jnp.stack([
             m4[..., r, 0] * p[..., 0] + m4[..., r, 1] * p[..., 1]
             + m4[..., r, 2] * p[..., 2] + m4[..., r, 3] for r in range(3)],
@@ -309,7 +310,7 @@ def eval_texture(tex: TextureTable, tex_idx, uv, wavelengths=None,
     # apply the affine to_uv transform (small static T: one-hot fetch)
     m = jnp.einsum("...k,kij->...ij",
                    (idx[..., None] == jnp.arange(tex.kind.shape[0]))
-                   .astype(tex.uv_transform.dtype), tex.uv_transform)
+                   .astype(tex.uv_transform.dtype), tex.uv_transform, precision=jax.lax.Precision.HIGHEST)
     u = m[..., 0, 0] * uv[..., 0] + m[..., 0, 1] * uv[..., 1] + m[..., 0, 2]
     v = m[..., 1, 0] * uv[..., 0] + m[..., 1, 1] * uv[..., 1] + m[..., 1, 2]
 

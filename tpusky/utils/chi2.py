@@ -93,25 +93,49 @@ def chi2_test(sample_fn, pdf_fn, *, key, sample_count=4_000_000,
     # that would wreck a trapezoid estimate. ----
     n_sub_p = res_phi * ires
     n_sub_c = res_cos * ires
-    phi_mid = -np.pi + (np.arange(n_sub_p) + 0.5) * (2 * np.pi / n_sub_p)
-    cos_mid = cos_lo + (np.arange(n_sub_c) + 0.5) * ((cos_hi - cos_lo)
-                                                     / n_sub_c)
-    pg, cg = np.meshgrid(phi_mid, cos_mid)
-    st = np.sqrt(np.maximum(1.0 - cg ** 2, 0.0))
-    dirs = np.stack([np.cos(pg) * st, np.sin(pg) * st, cg], -1)
-
-    pdf_vals = np.zeros(pg.shape, np.float64)
-    rows_per_chunk = max(1, (1 << 22) // pg.shape[1])
-    for r0 in range(0, pg.shape[0], rows_per_chunk):
-        r1 = min(r0 + rows_per_chunk, pg.shape[0])
-        pdf_vals[r0:r1] = np.asarray(
-            pdf_fn(jnp.asarray(dirs[r0:r1].reshape(-1, 3), jnp.float32))
-        ).reshape(r1 - r0, -1)
-
     dphi = 2 * np.pi / n_sub_p
     dcos = (cos_hi - cos_lo) / n_sub_c
-    cell_int = pdf_vals * (dphi * dcos)
-    expected = cell_int.reshape(res_cos, ires, res_phi, ires).sum((1, 3))
+    phi_mid = -np.pi + (np.arange(n_sub_p) + 0.5) * dphi
+
+    if device_hist:
+        # integrate on-device: only the (rc, res_phi) cell sums come back
+        # per chunk (at ires>=32 the host path would ship GBs of
+        # direction triplets over a tunnelled link)
+        rc = next(c for c in range(8, 0, -1) if res_cos % c == 0)
+        phi_j = jnp.asarray(phi_mid, jnp.float32)
+
+        @jax.jit
+        def exp_rows(row0):
+            sub = row0 * ires + jnp.arange(rc * ires)
+            cg = (cos_lo + (sub + 0.5) * dcos)[:, None]
+            st = jnp.sqrt(jnp.clip(1.0 - cg * cg, 0.0, None))
+            dirs = jnp.stack(
+                [jnp.cos(phi_j)[None, :] * st,
+                 jnp.sin(phi_j)[None, :] * st,
+                 jnp.broadcast_to(cg, (rc * ires, n_sub_p))], -1)
+            pv = pdf_fn(dirs.reshape(-1, 3)).reshape(rc, ires,
+                                                     res_phi, ires)
+            return jnp.sum(pv, axis=(1, 3), dtype=jnp.float32) \
+                * (dphi * dcos)
+
+        expected = np.concatenate(
+            [np.asarray(exp_rows(r0), np.float64)
+             for r0 in range(0, res_cos, rc)], axis=0)
+    else:
+        cos_mid = cos_lo + (np.arange(n_sub_c) + 0.5) * dcos
+        pg, cg = np.meshgrid(phi_mid, cos_mid)
+        st = np.sqrt(np.maximum(1.0 - cg ** 2, 0.0))
+        dirs = np.stack([np.cos(pg) * st, np.sin(pg) * st, cg], -1)
+        pdf_vals = np.zeros(pg.shape, np.float64)
+        rows_per_chunk = max(1, (1 << 22) // pg.shape[1])
+        for r0 in range(0, pg.shape[0], rows_per_chunk):
+            r1 = min(r0 + rows_per_chunk, pg.shape[0])
+            pdf_vals[r0:r1] = np.asarray(
+                pdf_fn(jnp.asarray(dirs[r0:r1].reshape(-1, 3),
+                                   jnp.float32))).reshape(r1 - r0, -1)
+        cell_int = pdf_vals * (dphi * dcos)
+        expected = cell_int.reshape(res_cos, ires, res_phi,
+                                    ires).sum((1, 3))
     expected = expected * sample_count
 
     # ---- pooled Pearson chi-square (cells with expected < 5 merged) ----

@@ -15,22 +15,49 @@ import math
 import numpy as np
 
 
-def z_test(mean, sample_count, reference, reference_var, alpha=0.01):
+def _local_contrast(ref):
+    """Per-pixel 3x3 neighbourhood max-min of the reference image."""
+    pad = np.pad(ref, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    mx = ref.copy()
+    mn = ref.copy()
+    h, w = ref.shape[:2]
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sl = pad[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            mx = np.maximum(mx, sl)
+            mn = np.minimum(mn, sl)
+    return mx - mn
+
+
+def z_test(mean, sample_count, reference, reference_var, alpha=0.01,
+           boundary_model=True):
     """Two-sided per-pixel Z-test.
 
     mean: (H, W, C) candidate image averaged over `sample_count` samples.
     reference / reference_var: per-pixel mean and *per-sample* variance of
     the reference estimator (e.g. from the moment integrator:
     var = m2 - mean^2). Returns (passed, n_failed, min_p, alpha_corrected).
+
+    boundary_model: pixels cut by a geometric discontinuity (silhouettes,
+    emitter edges) carry binomial sub-pixel-coverage noise that a
+    finite-spp reference can entirely miss (all reference samples land on
+    one side -> stored variance 0, yet a fresh seed straddles the edge).
+    The per-sample value there is a two-level mixture with std bounded by
+    0.5 * (local contrast), so that bound is added in quadrature to the
+    stored variance — zero wherever the reference is locally smooth.
     """
     mean = np.asarray(mean, np.float64)
     reference = np.asarray(reference, np.float64)
     reference_var = np.asarray(reference_var, np.float64)
 
-    sigma = np.sqrt(np.maximum(reference_var, 0.0) / sample_count)
-    # guard pixels with (near-)zero variance like the reference (epsilon
-    # floor keeps black-sky pixels from producing infinite z-scores)
-    sigma = np.maximum(sigma, 1e-4 * np.maximum(np.abs(reference), 1e-4))
+    # absolute variance floor, exactly like the reference
+    # (`test_renders.py:161` `np.maximum(reference_var, 1e-4)`): dark /
+    # deterministic pixels and rare heavy-tail events otherwise produce
+    # unbounded z-scores the Gaussian model cannot honour
+    var = np.maximum(reference_var, 1e-4)
+    if boundary_model and reference.ndim == 3:
+        var = var + (0.5 * _local_contrast(reference)) ** 2
+    sigma = np.sqrt(var / sample_count)
     z = np.abs(mean - reference) / sigma
     # two-sided p-value: erfc(z / sqrt(2))
     p = np.vectorize(math.erfc)(z / math.sqrt(2.0))
@@ -38,7 +65,11 @@ def z_test(mean, sample_count, reference, reference_var, alpha=0.01):
     n_tests = p.size
     alpha_corr = 1.0 - (1.0 - alpha) ** (1.0 / n_tests)   # Šidák
     failed = p < alpha_corr
-    return (not failed.any(), int(failed.sum()), float(p.min()),
+    # the reference accepts when >= 99.75% of pixel tests pass
+    # (`test_renders.py:224` `0.9975 * pixel_count`) — a small failing
+    # budget absorbs the heavy-tail pixels a Gaussian Z cannot model
+    passed = failed.sum() <= (1.0 - 0.9975) * n_tests
+    return (bool(passed), int(failed.sum()), float(p.min()),
             float(alpha_corr))
 
 
