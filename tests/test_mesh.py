@@ -82,3 +82,31 @@ def test_render_mesh_scene():
 
 def test_native_available():
     assert have_native(), "native library should build in this image"
+
+
+def test_pallas_mesh_kernel_matches_xla():
+    """The Pallas VMEM-resident mesh intersector (interpret mode) agrees
+    with the XLA scan path on hits, t, barycentrics and triangle ids."""
+    from tpusky.ops.pallas.mesh_kernel import mesh_intersect_pallas
+    rng = np.random.default_rng(3)
+    n_tri = 700
+    v = rng.uniform(-1, 1, (n_tri, 3, 3)).astype(np.float32)
+    v[:, 1:] = v[:, :1] + 0.2 * (v[:, 1:] - v[:, :1])   # small tris
+    pos = v.reshape(-1, 3)
+    idx = np.arange(3 * n_tri, dtype=np.int32).reshape(-1, 3)
+    mesh = make_mesh_table([dict(positions=pos, indices=idx,
+                                 normals=np.zeros_like(pos), bsdf_idx=0)])
+    n = 4096
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = (rng.normal(size=(n, 3)) * 0.5 - [0, 3, 0]).astype(np.float32)
+    t_ref, _, _, b1r, b2r, trir, hitr = mesh_intersect(mesh, o, d)
+    t_p, b1p, b2p, trip, hitp = mesh_intersect_pallas(mesh, o, d,
+                                                      interpret=True)
+    hitr = np.asarray(hitr)
+    hitp = np.asarray(hitp)
+    assert (hitr == hitp).all()
+    m = hitr
+    np.testing.assert_allclose(np.asarray(t_p)[m], np.asarray(t_ref)[m],
+                               rtol=1e-4, atol=1e-5)
+    assert (np.asarray(trip)[m] == np.asarray(trir)[m]).mean() > 0.999

@@ -316,6 +316,13 @@ def mesh_intersect(mesh: MeshTable, o, d):
     batch = o.shape[:-1]
     T = mesh.v0.shape[0]
 
+    if o.ndim == 2 and _mesh_pallas_enabled():
+        from ..ops.pallas.mesh_kernel import (mesh_intersect_pallas,
+                                              mesh_tables_pallas)
+        t, b1, b2, tri, hit = mesh_intersect_pallas(
+            mesh, o, d, tables=mesh_tables_pallas(mesh))
+        return (t,) + _shade_at_hit(mesh, b1, b2, tri) + (b1, b2, tri, hit)
+
     if T > _CULL_MIN_TRIS and o.ndim == 2 \
             and o.shape[0] % _RAY_BLOCK == 0 and _cull_enabled():
         return _mesh_intersect_culled(mesh, o, d)
@@ -336,18 +343,39 @@ def mesh_intersect(mesh: MeshTable, o, d):
             jnp.full(batch, -1, jnp.int32))
     (t, b1, b2, tri), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
     hit = jnp.isfinite(t)
+    return (t,) + _shade_at_hit(mesh, b1, b2, tri) + (b1, b2, tri, hit)
 
+
+def _shade_at_hit(mesh: MeshTable, b1, b2, tri):
+    """(shading normal, material idx) at barycentric (b1, b2) of tri."""
     tri_c = jnp.maximum(tri, 0)
     n = ((1.0 - b1 - b2)[..., None] * mesh.n0[tri_c]
          + b1[..., None] * mesh.n1[tri_c] + b2[..., None] * mesh.n2[tri_c])
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-    mat = mesh.bsdf_idx[tri_c]
-    return t, n, mat, b1, b2, tri, hit
+    return n, mesh.bsdf_idx[tri_c]
+
+
+def _mesh_pallas_enabled() -> bool:
+    """Pallas VMEM-resident mesh intersection: default ON for the TPU
+    backend (see ops/pallas/mesh_kernel.py; 150-500x the XLA scan path
+    at 82k-327k triangles, sub-linear for coherent wavefronts)."""
+    import os
+    if os.environ.get("TPUSKY_DISABLE_PALLAS") == "1":
+        return False
+    if os.environ.get("TPUSKY_MESH_PALLAS") == "0":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def mesh_test(mesh: MeshTable, o, d, maxt):
     """Any-hit within (eps, maxt)."""
     T = mesh.v0.shape[0]
+    if o.ndim == 2 and _mesh_pallas_enabled():
+        from ..ops.pallas.mesh_kernel import (mesh_intersect_pallas,
+                                              mesh_tables_pallas)
+        t, _, _, _, hit = mesh_intersect_pallas(
+            mesh, o, d, tables=mesh_tables_pallas(mesh))
+        return hit & (t < maxt)
     if T > _CULL_MIN_TRIS and o.ndim == 2 \
             and o.shape[0] % _RAY_BLOCK == 0 and _cull_enabled():
         return _mesh_test_culled(mesh, o, d, maxt)
