@@ -110,3 +110,43 @@ def test_tgmm_vs_envmap_cross_validation():
     l_e = lum(np.array(M.eval(state, d_e, mode="rgb")))
     est_env = np.mean(l_e / np.maximum(np.array(pdf_e), 1e-12))
     assert abs(est_tgmm - est_env) / est_env < 0.02, (est_tgmm, est_env)
+
+
+def test_tgmm_pdf_vs_envmap_pdf_pointwise():
+    """With the bilinear-continuous envmap warp, the envmap pdf of a
+    rasterised sky is a usable *reference pdf* for the TGMM sampler
+    pointwise — the reference's `sky_data_test.py:72-85` cross-check.
+    The TGMM is a 20-gaussian FIT of the sky, so agreement is
+    statistical, not exact: we require high correlation and a bounded
+    median relative deviation over the upper hemisphere."""
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+
+    state = M.precompute(load_tables("rgb"),
+                         ts.make_params(turbidity=3.5, albedo=0.3,
+                                        sun_direction=[0.35, 0.15, 0.92],
+                                        sun_scale=0.0), "rgb")
+    h, w = 128, 256
+    theta = (jnp.arange(h) + 0.5) / h * jnp.pi
+    phi = (jnp.arange(w) + 0.5) / w * 2 * jnp.pi
+    pg, tg = jnp.meshgrid(phi, theta)
+    dirs = jnp.stack([jnp.cos(pg) * jnp.sin(tg), jnp.sin(pg) * jnp.sin(tg),
+                      jnp.cos(tg)], -1)
+    bm = M.eval(state, dirs.reshape(-1, 3), mode="rgb").reshape(h, w, 3)
+    env = make_envmap(np.array(bm))
+
+    # probe directions away from horizon/zenith
+    key = jax.random.PRNGKey(5)
+    u = jax.random.uniform(key, (50_000, 2))
+    ct = 0.15 + 0.7 * u[:, 0]
+    st = jnp.sqrt(1 - ct * ct)
+    ph = 2 * jnp.pi * u[:, 1]
+    d = jnp.stack([jnp.cos(ph) * st, jnp.sin(ph) * st, ct], -1)
+    p_env = np.asarray(envmap_pdf_direction(env, d))
+    p_tgmm = np.asarray(M.pdf_direction(state, d))
+    m = (p_env > 1e-4) & (p_tgmm > 1e-4)
+    rel = np.abs(p_tgmm[m] - p_env[m]) / p_env[m]
+    corr = np.corrcoef(np.log(p_tgmm[m]), np.log(p_env[m]))[0, 1]
+    assert corr > 0.97, corr
+    assert np.median(rel) < 0.25, np.median(rel)

@@ -33,7 +33,8 @@ import numpy as np
 
 __all__ = ["Marginal2D", "make_marginal_2d", "marginal_sample",
            "marginal_pdf", "Hierarchical2D", "make_hierarchical_2d",
-           "hierarchical_sample", "hierarchical_pdf"]
+           "hierarchical_sample", "hierarchical_pdf", "Bilinear2D",
+           "make_bilinear_2d", "bilinear_sample", "bilinear_pdf"]
 
 
 # ---------------------------------------------------------------------------
@@ -174,3 +175,122 @@ def hierarchical_pdf(h2d: Hierarchical2D, xy):
     col = jnp.clip((xy[..., 0] * w).astype(jnp.int32), 0, w - 1)
     row = jnp.clip((xy[..., 1] * h).astype(jnp.int32), 0, h - 1)
     return h2d.density[row, col]
+
+
+# ---------------------------------------------------------------------------
+# Bilinear2D — continuous bilinear vertex density (the reference's
+# Marginal2D<1>/Hierarchical2D<0> *bilinear* mode used by the envmap
+# warp, `envmap.cpp:103,:233`)
+
+
+class Bilinear2D(NamedTuple):
+    """Continuous density over [0,1]^2: bilinear interpolation of a
+    (H+1, W+1) vertex grid. Closed-form marginal sampling: the row band
+    is linear in v (quadratic inverse), and because the conditional CDF
+    of a lerp of two row densities is the lerp of their CDFs, the
+    conditional in u needs only the two bounding vertex-row prefix
+    tables — no per-sample hierarchy walk."""
+    vtx: jnp.ndarray        # (H+1, W+1) vertex densities (>= 0)
+    colcdf: jnp.ndarray     # (H+1, W+1) per-row trapezoid prefix over u
+    row_edge: jnp.ndarray   # (H+1,) = colcdf[:, -1]
+    row_cdf: jnp.ndarray    # (H,) inclusive prefix of band masses
+
+
+def make_bilinear_2d(vertices) -> Bilinear2D:
+    v = jnp.maximum(jnp.asarray(vertices, jnp.float32), 1e-12)
+    seg = 0.5 * (v[:, :-1] + v[:, 1:])                  # (H+1, W)
+    colcdf = jnp.concatenate(
+        [jnp.zeros((v.shape[0], 1)), jnp.cumsum(seg, axis=1)], axis=1)
+    row_edge = colcdf[:, -1]                            # (H+1,)
+    band = 0.5 * (row_edge[:-1] + row_edge[1:])         # (H,)
+    return Bilinear2D(v, colcdf, row_edge, jnp.cumsum(band))
+
+
+def _inv_linear_cdf(b, slope2, rho):
+    """Solve b*t + slope2*t^2 = rho for t in [0, 1] (b >= 0, stable)."""
+    disc = jnp.maximum(b * b + 4.0 * slope2 * rho, 0.0)
+    denom = b + jnp.sqrt(disc)
+    return jnp.clip(2.0 * rho / jnp.maximum(denom, 1e-30), 0.0, 1.0)
+
+
+def _bilinear_sample_flat(d: Bilinear2D, u2):
+    h = d.row_cdf.shape[0]
+    w = d.vtx.shape[1] - 1
+    total = d.row_cdf[-1]
+
+    # ---- v: pick the band, invert its linear marginal ----
+    xi1 = u2[:, 0] * total
+    i = jnp.clip(jnp.searchsorted(d.row_cdf, xi1, side="right"), 0, h - 1)
+    lo = jnp.where(i > 0, d.row_cdf[jnp.maximum(i - 1, 0)], 0.0)
+    rho = jnp.maximum(xi1 - lo, 0.0)
+    r0 = d.row_edge[i]
+    r1 = d.row_edge[i + 1]
+    t = _inv_linear_cdf(r0, 0.5 * (r1 - r0), rho)
+    v_out = (i.astype(jnp.float32) + t) / h
+
+    # ---- u: lerped conditional CDF of the two bounding rows ----
+    a0 = jnp.take(d.colcdf, i, axis=0)                  # (N, W+1)
+    a1 = jnp.take(d.colcdf, i + 1, axis=0)
+    at = (1.0 - t)[:, None] * a0 + t[:, None] * a1
+    rt = jnp.maximum((1.0 - t) * r0 + t * r1, 1e-30)
+    xi2 = u2[:, 1] * rt
+    j = jnp.clip(jnp.sum((at <= xi2[:, None]).astype(jnp.int32),
+                         axis=1) - 1, 0, w - 1)
+    a_lo = jnp.take_along_axis(at, j[:, None], axis=1)[:, 0]
+    rho2 = jnp.maximum(xi2 - a_lo, 0.0)
+    v00 = jnp.take(d.vtx, i * (w + 1) + j)
+    v01 = jnp.take(d.vtx, i * (w + 1) + j + 1)
+    v10 = jnp.take(d.vtx, (i + 1) * (w + 1) + j)
+    v11 = jnp.take(d.vtx, (i + 1) * (w + 1) + j + 1)
+    d0 = (1.0 - t) * v00 + t * v10
+    d1 = (1.0 - t) * v01 + t * v11
+    s = _inv_linear_cdf(d0, 0.5 * (d1 - d0), rho2)
+    u_out = (j.astype(jnp.float32) + s) / w
+
+    dens = (1.0 - s) * d0 + s * d1
+    pdf = dens * (h * w) / jnp.maximum(total, 1e-30)
+    return jnp.stack([u_out, v_out], -1), pdf
+
+
+def bilinear_sample(d: Bilinear2D, u2, chunk: int = 8192):
+    """u2 (..., 2) uniform -> (xy (..., 2), pdf_uv (...,)).
+
+    Internally chunked: the conditional-CDF lerp materialises (chunk,
+    W+1) rows, so memory stays bounded for arbitrarily large wavefronts.
+    """
+    import jax
+    batch = u2.shape[:-1]
+    flat = u2.reshape(-1, 2)
+    n = flat.shape[0]
+    if n <= chunk:
+        xy, pdf = _bilinear_sample_flat(d, flat)
+    else:
+        n_pad = -(-n // chunk) * chunk
+        flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)),
+                       constant_values=0.5)
+        xy, pdf = jax.lax.map(
+            lambda c: _bilinear_sample_flat(d, c),
+            flat.reshape(-1, chunk, 2))
+        xy = xy.reshape(-1, 2)[:n]
+        pdf = pdf.reshape(-1)[:n]
+    return xy.reshape(batch + (2,)), pdf.reshape(batch)
+
+
+def bilinear_pdf(d: Bilinear2D, xy):
+    """Continuous pdf over [0,1]^2 at xy (..., 2)."""
+    h = d.row_cdf.shape[0]
+    w = d.vtx.shape[1] - 1
+    x = jnp.clip(xy[..., 0], 0.0, 1.0) * w
+    y = jnp.clip(xy[..., 1], 0.0, 1.0) * h
+    j = jnp.clip(x.astype(jnp.int32), 0, w - 1)
+    i = jnp.clip(y.astype(jnp.int32), 0, h - 1)
+    s = x - j
+    t = y - i
+    flat = d.vtx.reshape(-1)
+    v00 = jnp.take(flat, i * (w + 1) + j)
+    v01 = jnp.take(flat, i * (w + 1) + j + 1)
+    v10 = jnp.take(flat, (i + 1) * (w + 1) + j)
+    v11 = jnp.take(flat, (i + 1) * (w + 1) + j + 1)
+    dens = ((1 - t) * ((1 - s) * v00 + s * v01)
+            + t * ((1 - s) * v10 + s * v11))
+    return dens * (h * w) / jnp.maximum(d.row_cdf[-1], 1e-30)

@@ -248,14 +248,17 @@ def area_pdf_direction(scene, p_ref, p_hit, n_hit, shape_idx):
 
 class EnvMapState(NamedTuple):
     """Lat-long environment map (reference `src/emitters/envmap.cpp`) with
-    row-marginal / per-row-conditional CDFs for importance sampling (the
-    counterpart of the reference's Hierarchical2D/Marginal2D tables,
-    `include/mitsuba/core/distr_2d.h`; used there to cross-validate the
-    TGMM sampler, `sky_data_test.py:72-85`)."""
+    a BILINEAR-continuous importance warp (the counterpart of the
+    reference's `Hierarchical2D<0>` over bilinear texels,
+    `envmap.cpp:103,:233`; `include/mitsuba/core/distr_2d.h:344`) — the
+    sampled density interpolates the sin-weighted luminance between
+    texel vertices, so `envmap_pdf_direction` is continuous and can
+    serve as a reference pdf for TGMM cross-validation
+    (`sky_data_test.py:72-85`). Warp machinery: `ops/distr2d.Bilinear2D`
+    (marginal formulation — exact closed-form inverse, no pyramid
+    walk)."""
     bitmap: jnp.ndarray      # (H, W, 3)
-    row_cdf: jnp.ndarray     # (H,) inclusive prefix of sin-weighted row lum
-    cond_cdf: jnp.ndarray    # (H, W) per-row inclusive prefix of lum
-    lum: jnp.ndarray         # (H, W) sin-weighted luminance
+    warp: object             # distr2d.Bilinear2D over (H+1, W+1) vertices
     scale: jnp.ndarray       # () radiance scale
 
 
@@ -266,15 +269,22 @@ def make_envmap(bitmap, scale=1.0) -> EnvMapState:
     v=0) — matching the spherical sensor.
     """
     import numpy as np
+    from ..ops.distr2d import make_bilinear_2d
     bm = jnp.asarray(np.asarray(bitmap, np.float32))
     h, w = bm.shape[:2]
-    theta = (jnp.arange(h) + 0.5) / h * jnp.pi
     lum = (0.212671 * bm[..., 0] + 0.715160 * bm[..., 1]
-           + 0.072169 * bm[..., 2]) * jnp.sin(theta)[:, None]
-    lum = jnp.maximum(lum, 1e-12)
-    cond_cdf = jnp.cumsum(lum, axis=1)
-    row_cdf = jnp.cumsum(cond_cdf[:, -1])
-    return EnvMapState(bm, row_cdf, cond_cdf, lum,
+           + 0.072169 * bm[..., 2])
+    # (H+1, W+1) vertex grid: average of adjacent texel centres (edge
+    # rows clamp, columns wrap) x sin(theta at the vertex) — the poles
+    # get exactly zero weight from the jacobian
+    row_pad = jnp.concatenate([lum[:1], lum, lum[-1:]], axis=0)
+    vy = 0.5 * (row_pad[:-1] + row_pad[1:])             # (H+1, W)
+    col_pad = jnp.concatenate([vy[:, -1:], vy], axis=1)
+    vx = 0.5 * (col_pad[:, :-1] + col_pad[:, 1:])       # (H+1, W)
+    vtx = jnp.concatenate([vx, vx[:, :1]], axis=1)      # wrap u=1 == u=0
+    theta_v = jnp.arange(h + 1) / h * jnp.pi
+    vtx = vtx * jnp.sin(theta_v)[:, None]
+    return EnvMapState(bm, make_bilinear_2d(vtx),
                        jnp.asarray(scale, jnp.float32))
 
 
@@ -309,48 +319,21 @@ def envmap_eval(env: EnvMapState, d):
 
 
 def envmap_sample_direction(env: EnvMapState, sample2):
-    """Luminance-importance sample -> (d, pdf). Texel-uniform within the
-    chosen texel (piecewise-constant distribution)."""
-    h, w = env.bitmap.shape[:2]
-    total = env.row_cdf[-1]
-    ur = sample2[..., 0] * total
-    row = jnp.clip(jnp.searchsorted(env.row_cdf, ur, side="right"), 0, h - 1)
-    row_lo = jnp.where(row > 0, env.row_cdf[jnp.maximum(row - 1, 0)], 0.0)
-    row_mass = env.cond_cdf[row, -1]
-    u_in_row = jnp.clip((ur - row_lo) / jnp.maximum(row_mass, 1e-20), 0, 1)
-
-    cond = env.cond_cdf[row]                    # (..., W) gathered rows
-    uc = u_in_row * row_mass
-    # batched CDF inversion by counting (W is small; pure VPU compares)
-    col = jnp.clip(jnp.sum((cond < uc[..., None]).astype(jnp.int32),
-                           axis=-1), 0, w - 1)
-    col_lo = jnp.where(col > 0,
-                       jnp.take_along_axis(cond, jnp.maximum(col - 1, 0)
-                                           [..., None], -1)[..., 0], 0.0)
-    texel = env.lum.reshape(-1)[row * w + col]
-    u_in_col = jnp.clip((uc - col_lo) / jnp.maximum(texel, 1e-20), 0, 1)
-
-    u = (col + u_in_col) / w
-    v = (row + sample2[..., 1]) / h
-    phi = u * 2.0 * jnp.pi
-    theta = v * jnp.pi
+    """Bilinear-continuous luminance-importance sample -> (d, pdf)."""
+    from ..ops.distr2d import bilinear_sample
+    xy, pdf_uv = bilinear_sample(env.warp, sample2)
+    phi = xy[..., 0] * 2.0 * jnp.pi
+    theta = xy[..., 1] * jnp.pi
     st = jnp.sin(theta)
     d = jnp.stack([jnp.cos(phi) * st, jnp.sin(phi) * st,
                    jnp.cos(theta)], -1)
-
-    # pdf: texel mass / total, over the texel's solid angle
-    pdf_uv = texel / total * (h * w)
     pdf = pdf_uv / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-6))
     return d, pdf
 
 
 def envmap_pdf_direction(env: EnvMapState, d):
-    h, w = env.bitmap.shape[:2]
+    from ..ops.distr2d import bilinear_pdf
     u, v = _envmap_uv(d)
-    col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    texel = env.lum.reshape(-1)[row * w + col]
-    total = env.row_cdf[-1]
+    pdf_uv = bilinear_pdf(env.warp, jnp.stack([u, v], -1))
     st = jnp.sqrt(jnp.maximum(1.0 - d[..., 2] ** 2, 0.0))
-    pdf_uv = texel / total * (h * w)
     return pdf_uv / (2.0 * jnp.pi * jnp.pi * jnp.maximum(st, 1e-6))
