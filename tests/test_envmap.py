@@ -150,3 +150,33 @@ def test_tgmm_pdf_vs_envmap_pdf_pointwise():
     corr = np.corrcoef(np.log(p_tgmm[m]), np.log(p_env[m]))[0, 1]
     assert corr > 0.97, corr
     assert np.median(rel) < 0.25, np.median(rel)
+
+
+def test_envmap_spectral_rgb2spec_tracks_rgb():
+    """Spectral-mode envmap emission routes through per-texel rgb2spec
+    spectra (not the channel mean): a strongly coloured envmap keeps its
+    colour through the spectral transport."""
+    from tpusky.render.scene import make_scene
+    from tpusky.render.sensors import make_perspective
+    from tpusky.render.film import Film
+    from tpusky.render import integrator
+
+    bm = np.zeros((16, 32, 3), np.float32)
+    bm[:] = [2.0, 0.7, 0.25]                      # orange sky everywhere
+    env = make_envmap(bm, spectral=True)
+    assert env.coeff is not None
+    scene = make_scene(shapes=[], env=env)
+    sensor = make_perspective([0, 0, 1.0], [1, 0, 1.5], fov_x_deg=60)
+    film = Film(16, 16, 3)
+    img_rgb = np.asarray(integrator.render(scene, sensor, film,
+                                           jax.random.PRNGKey(0), spp=4,
+                                           max_depth=2, mode="rgb"))
+    img_spec = np.asarray(integrator.render(scene, sensor, film,
+                                            jax.random.PRNGKey(0), spp=128,
+                                            max_depth=2, mode="spectral"))
+    m_rgb = img_rgb.mean((0, 1))
+    m_spec = img_spec.mean((0, 1))
+    rel = np.abs(m_spec - m_rgb) / (m_rgb + 1e-6)
+    # channel-mean emission would render grey (~1.0 on all channels:
+    # rel err ~0.5 on red); rgb2spec keeps the ratio
+    assert np.all(rel < 0.2), (m_spec, m_rgb, rel)

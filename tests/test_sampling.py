@@ -83,12 +83,22 @@ def test_sun_sampling_in_cone(sun_theta):
 
 
 def test_sample_pdf_consistency():
-    """pdf_direction matches the pdf implied by sample_direction except at
-    the FP boundary of the sun cone."""
+    """pdf_direction matches the pdf implied by sample_direction EXACTLY
+    away from the sun-cone FP boundary: lanes whose direction lies
+    within one f32 ulp-band of cos(aperture) may land on either side of
+    the cone predicate in the two code paths, so that known band is
+    masked explicitly instead of budgeting arbitrary mismatches."""
     state = _make_state(4.0, np.deg2rad(40), sun_scale=1.0)
     u = jax.random.uniform(jax.random.PRNGKey(1), (100_000, 2))
     d, pdf = M.sample_direction(state, u)
     pdf2 = M.pdf_direction(state, d)
+    cos_cut = float(np.cos(np.asarray(state.params.sun_half_aperture)))
+    dot_sun = np.array(d) @ np.array(state.sun_frame_n)
+    boundary = np.abs(dot_sun - cos_cut) < 4.0 * np.float32(cos_cut) \
+        * np.finfo(np.float32).eps
     mism = np.abs(np.array(pdf) - np.array(pdf2)) > 1e-3 * np.maximum(
         np.array(pdf), 1.0)
-    assert mism.mean() < 1e-3
+    off_boundary = mism & ~boundary
+    assert off_boundary.sum() == 0, (
+        f"{off_boundary.sum()} mismatched lanes away from the cone "
+        f"boundary (boundary-band lanes: {int(boundary.sum())})")

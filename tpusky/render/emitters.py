@@ -44,11 +44,20 @@ def env_eval(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
         return jnp.broadcast_to(env.radiance, shape + env.radiance.shape)
     if isinstance(env, EnvMapState):
         d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
-        rgb = envmap_eval(env, d_local)
         if wavelengths is not None:
+            if env.coeff is not None:
+                # nearest-texel rgb2spec spectrum at the hero wavelengths
+                from ..ops.rgb2spec import eval_coeff_spectrum
+                h, w = env.bitmap.shape[:2]
+                u, v = _envmap_uv(d_local)
+                col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+                row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+                cf = env.coeff.reshape(-1, 4)[row * w + col]
+                return env.scale * eval_coeff_spectrum(cf, wavelengths)
+            rgb = envmap_eval(env, d_local)
             return jnp.broadcast_to(jnp.mean(rgb, -1, keepdims=True),
                                     wavelengths.shape)
-        return rgb
+        return envmap_eval(env, d_local)
     raise TypeError(f"unknown environment {type(env)}")
 
 
@@ -260,13 +269,18 @@ class EnvMapState(NamedTuple):
     bitmap: jnp.ndarray      # (H, W, 3)
     warp: object             # distr2d.Bilinear2D over (H+1, W+1) vertices
     scale: jnp.ndarray       # () radiance scale
+    coeff: jnp.ndarray = None  # (H, W, 4) rgb2spec sigmoid coeffs+scale
+    #                            (spectral mode; `srgb.cpp:14-38`)
 
 
-def make_envmap(bitmap, scale=1.0) -> EnvMapState:
+def make_envmap(bitmap, scale=1.0, spectral=False) -> EnvMapState:
     """Build an envmap emitter from an (H, W, 3) radiance bitmap.
 
     Convention: u = phi / 2pi (x axis at u=0), v = theta / pi (zenith at
-    v=0) — matching the spherical sensor.
+    v=0) — matching the spherical sensor. With spectral=True every texel
+    is rgb2spec-upsampled at build time (vectorised sigmoid fit; ~10 s
+    per megatexel on the host) so spectral-mode evaluation interpolates
+    per-texel spectra instead of the channel mean.
     """
     import numpy as np
     from ..ops.distr2d import make_bilinear_2d
@@ -284,8 +298,18 @@ def make_envmap(bitmap, scale=1.0) -> EnvMapState:
     vtx = jnp.concatenate([vx, vx[:, :1]], axis=1)      # wrap u=1 == u=0
     theta_v = jnp.arange(h + 1) / h * jnp.pi
     vtx = vtx * jnp.sin(theta_v)[:, None]
+    coeff = None
+    if spectral:
+        from ..ops.rgb2spec import fit_sigmoid_coeffs
+        rgb = np.asarray(bm, np.float64).reshape(-1, 3)
+        cscale = np.maximum(rgb.max(-1), 1.0)
+        cscale = np.where(rgb.max(-1) <= 0.0, 0.0, cscale)
+        c3 = fit_sigmoid_coeffs(rgb / np.where(cscale > 0, cscale,
+                                               1.0)[:, None])
+        coeff = jnp.asarray(np.concatenate(
+            [c3, cscale[:, None]], -1).reshape(h, w, 4), jnp.float32)
     return EnvMapState(bm, make_bilinear_2d(vtx),
-                       jnp.asarray(scale, jnp.float32))
+                       jnp.asarray(scale, jnp.float32), coeff)
 
 
 def _envmap_uv(d):

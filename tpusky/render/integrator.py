@@ -117,6 +117,13 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
     n_chan = (3 if wavelengths is None else wavelengths.shape[-1])
     sg = jax.lax.stop_gradient
 
+    # f64 variant (SURVEY §1): compute in the scene's dtype — camera rays
+    # arrive f32 from the sensor tables, so promote them here or the scan
+    # carry dtypes diverge after the first bounce
+    cdt = scene.shapes.to_world.dtype
+    o = jnp.asarray(o, cdt)
+    d = jnp.asarray(d, cdt)
+
     # rgb2spec emitter spectra (reference `srgb.cpp:14-38`): in spectral
     # mode every RGB emitter quantity is upsampled to a sigmoid-polynomial
     # spectrum ONCE per render (table-level fit — loop-invariant, hoisted
@@ -531,13 +538,20 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         active = active & survive
 
         new_state = PathState(
-            o=jnp.where(active[..., None], offset_p, state.o),
-            d=jnp.where(active[..., None], d_next, state.d),
+            # dtype pins keep the scan carry stable under jax_enable_x64
+            # (f64 sampler uniforms would otherwise promote the rays)
+            o=jnp.where(active[..., None], offset_p,
+                        state.o).astype(state.o.dtype),
+            d=jnp.where(active[..., None], d_next,
+                        state.d).astype(state.d.dtype),
             throughput=jnp.where(active[..., None], throughput,
-                                 state.throughput),
-            result=result,
+                                 state.throughput
+                                 ).astype(state.throughput.dtype),
+            result=result.astype(state.result.dtype),
             active=active,
-            prev_bsdf_pdf=jnp.where(active, pdf_next, state.prev_bsdf_pdf),
+            prev_bsdf_pdf=jnp.where(
+                active, pdf_next,
+                state.prev_bsdf_pdf).astype(state.prev_bsdf_pdf.dtype),
             prev_bsdf_delta=jnp.where(active, delta_next,
                                       state.prev_bsdf_delta),
         )

@@ -1282,7 +1282,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 img, names = read_exr(env_desc["filename"])
                 bm = img[..., ::-1] if names[:3] == ["B", "G", "R"] else img
             env_params = make_envmap(bm,
-                                     float(env_desc.get("scale", 1.0)))
+                                     float(env_desc.get("scale", 1.0)),
+                                     spectral=(mode == "spectral"))
         else:
             raise ValueError(f"unsupported environment {env_desc['type']!r}")
 
