@@ -339,8 +339,10 @@ def mesh_intersect(mesh: MeshTable, o, d):
         btri = jnp.where(closer, tile * _TILE + local, btri)
         return (bt, bb1, bb2, btri), None
 
-    init = (jnp.full(batch, jnp.inf), jnp.zeros(batch), jnp.zeros(batch),
-            jnp.full(batch, -1, jnp.int32))
+    # init derived from `o` so shard_map varying axes are inherited
+    zero = jnp.zeros_like(o[..., 0])
+    init = (zero + jnp.inf, zero, zero,
+            zero.astype(jnp.int32) - 1)
     (t, b1, b2, tri), _ = jax.lax.scan(body, init, jnp.arange(n_tiles))
     hit = jnp.isfinite(t)
     return (t,) + _shade_at_hit(mesh, b1, b2, tri) + (b1, b2, tri, hit)
@@ -385,6 +387,7 @@ def mesh_test(mesh: MeshTable, o, d, maxt):
         t, _, _, _, hit = _tile_hits(mesh, tile, o, d)
         return occ | (hit & (t < maxt)), None
 
-    occ, _ = jax.lax.scan(body, jnp.zeros(o.shape[:-1], bool),
+    occ, _ = jax.lax.scan(body,
+                          jnp.zeros_like(o[..., 0], dtype=bool),
                           jnp.arange(n_tiles))
     return occ
