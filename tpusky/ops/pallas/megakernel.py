@@ -46,7 +46,7 @@ from .sunsky_kernel import (_CONST_SPECS, _GAUSS_SPEC, _gauss_rows,
                             _misc_row, _nee_sample_rows, _pdf_row,
                             _radiance_rows)
 
-BLOCK = int(os.environ.get("TPUSKY_MEGABLOCK", "2048"))
+BLOCK = int(os.environ.get("TPUSKY_MEGABLOCK", "8192"))
 
 _RAY_EPS = 1e-4
 _SHADOW_EPS = 1e-3
