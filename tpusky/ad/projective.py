@@ -39,13 +39,16 @@ circle; cube — the 12 edges; cylinder — both rim circles + the two
 view-dependent side silhouette lines. Triangle meshes: all unique edges,
 sampled length-weighted, differentiated w.r.t. a global mesh translation.
 
-Scope: primary (camera) visibility boundaries, plus shadow boundaries of
+Scope: primary (camera) visibility boundaries; shadow boundaries of
 delta directional lights (`shadow_boundary_grad` — the sun-shadow case);
-area-light penumbrae are smooth (no boundary term); point-light shadow
-boundaries and indirect (secondary-bounce) boundaries are not sampled,
-matching the practical scope of the reference's direct projective
-integrator. Validated against finite differences in
-``tests/test_projective.py``.
+and ONE level of indirect boundaries (`indirect_boundary_grad` — the
+blocker silhouette seen from camera-visible shading points, covering
+area-light occlusion and one-bounce indirect visibility for sphere
+blockers/diffuse receivers). Area-light penumbrae as seen by the camera
+are smooth (no boundary term); point-light shadow curves and deeper
+indirect chains are not sampled — the reference needs guided projective
+walks there (`ad/guiding.py`, `prb_projective.py`). Validated against
+finite differences in ``tests/test_projective.py``.
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ from ..render import shapes as shapes_mod
 from ..render.shapes import CUBE, CYLINDER, DISK, RECTANGLE, SPHERE
 
 __all__ = ["film_uv", "primary_boundary_grad", "shadow_boundary_grad",
-           "boundary_grad"]
+           "indirect_boundary_grad", "boundary_grad"]
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +473,134 @@ def shadow_boundary_grad(scene, sensor, film_cfg, grad_image, key,
             key, n_samples, probe_spp, probe_delta, max_depth, rr_depth,
             mode, kinds, tag=500000 + 32 * j)
         out = out.at[j].set(gj)
+    return out
+
+
+def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
+                           blocker_indices=None, n_x: int = 8192,
+                           probe_spp: int = 4, probe_delta: float = 0.02,
+                           max_depth: int = 3, rr_depth: int = 1000,
+                           mode: str = "rgb", kinds=None):
+    """Secondary-bounce (one-indirect-level) boundary gradient
+    w.r.t. sphere blockers' translations -> (N, 3) per shape.
+
+    The reference needs projective sampling + guiding for this
+    (`prb_projective.py`, `ad/guiding.py`); the TPU-native version stays
+    analytic: for camera-visible diffuse points x, the incident radiance
+    Li(x, ω) is discontinuous across each blocker's silhouette *as seen
+    from x* — a circle for spheres, constructed in closed form with the
+    eye at x (`_sphere_curve` vmapped over shading points). The missing
+    gradient of Lo(x) = ∫ f·Li·cos dω is the spherical Reynolds boundary
+    term
+
+        ∮ f(ω) cosθ_x(ω) · (Li⁻ − Li⁺)(x, ω) · (v·n̂) dℓ(ω),
+
+    Monte-Carlo'd with one stratified curve sample per camera ray: ω(t,c)
+    is differentiable in the blocker translation c, n̂ = ω×τ̂ is the
+    in-sphere curve normal, and Li just off the curve is probed by the
+    scene's own path engine (√δ-free single-δ probes — the silhouette
+    jump of Li is a step in the incident field, not a grazing-cosine
+    ramp). Scope: sphere blockers, diffuse receivers, one indirect
+    level; deeper chains would need the reference's guided projective
+    walk. Composes with `primary_boundary_grad` /
+    `shadow_boundary_grad` without double counting: those cover
+    discontinuities of the *image* in pixel space and of delta-light
+    visibility; this covers the boundary term of the (continuous)
+    hemispherical integral at x.
+    """
+    if kinds is None:
+        from ..render.bsdf import table_kinds
+        kinds = table_kinds(scene.bsdfs)
+    from ..ops.gather import take_rows
+    w, h = film_cfg.width, film_cfg.height
+    n_shapes = scene.shapes.to_world.shape[0]
+    out = jnp.zeros((n_shapes, 3))
+
+    # ---- camera rays at uniform film positions -> primary hits ----
+    k_u, k_t, k_p = jax.random.split(jax.random.fold_in(key, 31337), 3)
+    uv = jax.random.uniform(k_u, (n_x, 2))
+    o, d = sensors_mod.sample_ray(sensor, uv)
+    t_hit, p, ng, _uv2, shape_idx, hit = shapes_mod.ray_intersect(
+        jax.lax.stop_gradient(scene.shapes), o, d)
+    mat_idx = take_rows(scene.shapes.bsdf_idx[:, None].astype(jnp.float32),
+                        jnp.maximum(shape_idx, 0))[..., 0].astype(jnp.int32)
+    albedo = take_rows(scene.bsdfs.albedo, mat_idx)          # (K, 3)
+    g_px = _gather_grad_image(grad_image, uv * jnp.asarray([w, h]), hit)
+    # flip the shading normal toward the camera side
+    nsh = jnp.where(jnp.sum(ng * -d, axis=-1, keepdims=True) >= 0, ng, -ng)
+
+    idxs = (range(n_shapes) if blocker_indices is None
+            else blocker_indices)
+    tt = (jnp.arange(n_x) % 64 + jax.random.uniform(k_t, (n_x,))) \
+        / 64.0 * (2.0 * jnp.pi)                  # stratified curve param
+    for j in idxs:
+        if scene.shapes.kind[j] != SPHERE:
+            continue
+
+        def omega_of(c, t_):
+            """Per-lane silhouette directions from eye=x for the sphere
+            translated by c -> (K, 3) unit vectors."""
+            t2w = scene.shapes.to_world[j]
+            t2w = t2w.at[:3, 3].add(c)
+            pts = jax.vmap(lambda xx, t1: _sphere_curve(
+                t2w, xx, t1[None])[0])(jax.lax.stop_gradient(p), t_)
+            v = pts - jax.lax.stop_gradient(p)
+            return v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+        c0 = jnp.zeros(3)
+        omega = omega_of(c0, tt)                              # (K, 3)
+        tau = jax.jvp(lambda t_: omega_of(c0, t_), (tt,),
+                      (jnp.ones_like(tt),))[1]
+        tau = jax.lax.stop_gradient(tau)
+        tau_n = jnp.linalg.norm(tau, axis=-1)
+        nrm = jnp.cross(jax.lax.stop_gradient(omega), tau)
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1,
+                                                keepdims=True), 1e-12)
+        cos_x = jnp.sum(nsh * jax.lax.stop_gradient(omega), axis=-1)
+        # exclude lanes whose x is ON the blocker or behind it
+        ok = (hit & (shape_idx != j) & (cos_x > 1e-3)
+              & (tau_n > 1e-9) & jnp.isfinite(tau_n))
+
+        # ---- Li probes just off the silhouette (from x) ----
+        off = p + nsh * (1e-3 * jnp.maximum(
+            1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+
+        def li(d_probe, tag):
+            o_r = jnp.repeat(off, probe_spp, axis=0)
+            d_r = jnp.repeat(d_probe, probe_spp, axis=0)
+            lane = jnp.arange(n_x * probe_spp, dtype=jnp.uint32)
+            smp = integ._SamplerCtx(
+                "independent", jax.random.fold_in(k_p, tag),
+                lane // probe_spp, lane % probe_spp, probe_spp)
+            rad = integ._path_sample(jax.lax.stop_gradient(scene), o_r,
+                                     d_r, smp, max_depth - 1, rr_depth,
+                                     mode, None, kinds=kinds)
+            rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+            return rad.reshape(n_x, probe_spp, -1).mean(axis=1)
+
+        def renorm(v):
+            return v / jnp.maximum(jnp.linalg.norm(v, axis=-1,
+                                                   keepdims=True), 1e-12)
+
+        omega_sg = jax.lax.stop_gradient(omega)
+        li_m = li(renorm(omega_sg - probe_delta * nrm), 64 * j)
+        li_p = li(renorm(omega_sg + probe_delta * nrm), 64 * j + 1)
+        f_cos = albedo * (1.0 / jnp.pi) * cos_x[..., None]
+        jump = jnp.sum((li_m - li_p) * f_cos * g_px, axis=-1)   # (K,)
+        wgt = jnp.where(ok, jump * tau_n, 0.0) \
+            * (2.0 * jnp.pi / 64.0) * (w * h / n_x) * 64.0
+        # ^ stratified t over 64 bins x film-area MC factor; the 64s
+        #   cancel: wgt = jump*|τ| * 2π * WH / n_x
+
+        def gfun(c):
+            om = omega_of(c, tt)
+            om = jnp.where(ok[:, None], om, 0.0)
+            return jnp.sum(jax.lax.stop_gradient(wgt)
+                           * jnp.sum(jax.lax.stop_gradient(nrm) * om,
+                                     axis=-1))
+
+        out = out.at[j].set(jax.grad(gfun)(c0))
     return out
 
 

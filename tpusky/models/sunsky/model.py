@@ -39,7 +39,7 @@ from ...ops.distr import (ContinuousDistribution, DiscreteDistribution,
                           continuous_sample_pdf, discrete_sample_reuse,
                           make_continuous, make_discrete)
 from ...ops.math import (Frame, dir_to_sph, erfinv, gaussian_cdf, lerp,
-                         poly_powers, safe_sqrt, sph_dir, unit_angle,
+                         poly_powers, safe_acos, safe_sqrt, sph_dir, unit_angle,
                          unit_angle_z)
 from ...ops.gather import take_rows
 from ...ops.quad import gauss_legendre
@@ -227,7 +227,7 @@ def _sky_formula(coefs, mean_rad, cos_theta, gamma):
 
 def _sun_segment(cos_theta):
     """Piecewise-polynomial segment index and local coordinate x."""
-    elevation = 0.5 * jnp.pi - jnp.arccos(jnp.clip(cos_theta, -1.0, 1.0))
+    elevation = 0.5 * jnp.pi - safe_acos(cos_theta)
     pos_f = jnp.cbrt(2.0 * elevation / jnp.pi) * C.N_SUN_SEGMENTS
     pos = jnp.clip(jnp.floor(pos_f).astype(jnp.int32), 0, C.N_SUN_SEGMENTS - 1)
     break_x = 0.5 * jnp.pi * (pos.astype(cos_theta.dtype) / C.N_SUN_SEGMENTS) ** 3

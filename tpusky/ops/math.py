@@ -23,11 +23,25 @@ def safe_sqrt(x):
 
 
 def safe_acos(x):
-    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+    """arccos clamped to [-1, 1] with a FINITE gradient at the clamp.
+
+    `arccos(clip(x))` is a NaN factory under AD: at |x| clipped to
+    exactly 1 the chain rule multiplies clip's zero tangent by arccos's
+    infinite derivative (0 * inf = NaN), poisoning whole backward
+    sweeps through shared subexpressions. Double-where keeps the
+    boundary lanes out of arccos entirely."""
+    ok = jnp.abs(x) < 1.0
+    xs = jnp.where(ok, x, 0.0)
+    return jnp.where(ok, jnp.arccos(xs),
+                     jnp.where(x >= 1.0, 0.0, jnp.pi))
 
 
 def safe_asin(x):
-    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+    """arcsin with the same double-where NaN guard as `safe_acos`."""
+    ok = jnp.abs(x) < 1.0
+    xs = jnp.where(ok, x, 0.0)
+    return jnp.where(ok, jnp.arcsin(xs),
+                     jnp.where(x >= 1.0, 0.5 * jnp.pi, -0.5 * jnp.pi))
 
 
 def dot(a, b, keepdims: bool = False):

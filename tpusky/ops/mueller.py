@@ -281,7 +281,8 @@ def _unit_angle(u, v):
     """Numerically-stable angle between unit vectors (mitsuba
     `math::unit_angle`): 2 asin(|v - u| / 2)."""
     d = jnp.linalg.norm(v - u, axis=-1)
-    return 2.0 * jnp.arcsin(jnp.clip(0.5 * d, -1.0, 1.0))
+    from .math import safe_asin
+    return 2.0 * safe_asin(0.5 * d)
 
 
 def rotate_stokes_basis(forward, basis_current, basis_target):

@@ -65,7 +65,7 @@ import jax.numpy as jnp
 
 from ..ops import warp
 from ..ops.gather import take_ints, take_rows, take_scalars
-from ..ops.math import safe_sqrt
+from ..ops.math import safe_acos, safe_asin, safe_sqrt
 
 DIFFUSE, ROUGH_CONDUCTOR, CONDUCTOR, DIELECTRIC = 0, 1, 2, 3
 PLASTIC, ROUGH_DIELECTRIC, NULL_BSDF = 4, 5, 6
@@ -410,7 +410,7 @@ def _hair_gamma(w):
     """Azimuthal offset angle of `w` w.r.t. the cross-section normal +z
     (`hair.cpp:528-536`); h = sin(gamma) is the chord offset."""
     proj = safe_sqrt(w[..., 0] ** 2 + w[..., 2] ** 2)
-    g = jnp.arccos(jnp.clip(w[..., 2] / jnp.maximum(proj, 1e-12),
+    g = safe_acos(jnp.clip(w[..., 2] / jnp.maximum(proj, 1e-12),
                             -1.0, 1.0))
     g = jnp.where(proj == 0.0, 0.0, g)
     return jnp.where(w[..., 0] < 0.0, g, -g)
@@ -464,13 +464,21 @@ def _hair_attenuation(cos_theta_i, eta, h, transmittance):
 
 
 def _hair_logistic(x, s):
+    # s floor: non-hair material rows carry beta_n == 0 -> s == 0, and
+    # exp(-x/0)/0 = NaN on the masked lanes; under reverse AD those NaN
+    # primals turn zero cotangents into NaNs that contaminate the shared
+    # geometry (wo/wi) of OTHER lobes (0 * NaN = NaN in the mul
+    # transpose), so the guard is load-bearing even though the lanes are
+    # select-masked.
+    s = jnp.maximum(s, 1e-6)
     x = jnp.abs(x)
     e = jnp.exp(-x / s)
     return e / (s * (1.0 + e) ** 2)
 
 
 def _hair_logistic_cdf(x, s):
-    return 1.0 / (1.0 + jnp.exp(-x / s))
+    return 1.0 / (1.0 + jnp.exp(-jnp.clip(x / jnp.maximum(s, 1e-6),
+                                          -60.0, 60.0)))
 
 
 def _hair_azimuthal(delta_phi, p, s, gamma_i, gamma_t):
@@ -487,6 +495,9 @@ def _hair_azimuthal(delta_phi, p, s, gamma_i, gamma_t):
 
 def _hair_geometry(wi, eta):
     """Shared fiber-frame geometry for eval/pdf/sample."""
+    # non-hair material rows carry eta == 0; sin_ti/eta would be an inf
+    # primal whose mul-transpose turns zero cotangents into NaNs
+    eta = jnp.maximum(eta, 1e-3)
     gamma_i = _hair_gamma(wi)
     h = jnp.sin(gamma_i)
     sin_ti = wi[..., 1]
@@ -497,7 +508,7 @@ def _hair_geometry(wi, eta):
         / jnp.maximum(cos_ti, 1e-6)
     sin_gt = h / jnp.maximum(eta_p, 1e-6)
     cos_gt = safe_sqrt(1.0 - sin_gt * sin_gt)
-    gamma_t = jnp.arcsin(jnp.clip(sin_gt, -1.0, 1.0))
+    gamma_t = safe_asin(sin_gt)
     return gamma_i, h, sin_ti, cos_ti, cos_tt, cos_gt, gamma_t
 
 
@@ -588,8 +599,12 @@ def _hair_sample(sigma_a, beta_m, beta_n, tilt_deg, eta, wi, u2, u1):
                + p_sel.astype(sin_ti.dtype) * jnp.pi)
     k_log = (_hair_logistic_cdf(jnp.pi, s)
              - _hair_logistic_cdf(-jnp.pi, s))
-    x_log = -s * jnp.log(1.0 / jnp.maximum(
-        u_rem * k_log + _hair_logistic_cdf(-jnp.pi, s), 1e-9) - 1.0)
+    # inner log argument can reach <= 0 at u_rem ~ 1 (and on non-hair
+    # masked lanes with s == 0): floor it — log(<=0) primals turn zero
+    # cotangents into NaNs downstream under reverse AD
+    x_log = -s * jnp.log(jnp.maximum(1.0 / jnp.maximum(
+        u_rem * k_log + _hair_logistic_cdf(-jnp.pi, s), 1e-9) - 1.0,
+        1e-12))
     x_log = jnp.clip(x_log, -jnp.pi, jnp.pi)
     delta_phi = jnp.where(p_sel < 3, perfect + x_log,
                           2.0 * jnp.pi * u_rem)
@@ -1134,10 +1149,18 @@ def _eval_pdf_core(table: MaterialTable, mat_idx, wi, wo, wavelengths=None,
         sig_h = _apply_tex(_reflectance(table, mat_idx, wavelengths),
                            refl_tex)
         extra_h = take_rows(table.extra, mat_idx)
+        is_h = kind == HAIR
+        # input sanitisation (double-where at lobe granularity): on
+        # non-hair lanes the fiber math runs on a fixed safe direction,
+        # so no inf/NaN primal can leak NaN cotangents into the shared
+        # wi/wo geometry under reverse AD
+        safe_d = jnp.asarray([0.6, 0.48, 0.64], wi.dtype)
+        wi_h = jnp.where(is_h[..., None], wi, safe_d)
+        wo_hq = jnp.where(is_h[..., None], wo, safe_d)
         h_val, h_pdf = _hair_eval_pdf(
             sig_h, take_scalars(table.alpha, mat_idx), extra_h[..., 0],
-            extra_h[..., 1], take_scalars(table.ior, mat_idx), wi, wo)
-        is_h = kind == HAIR
+            extra_h[..., 1], take_scalars(table.ior, mat_idx), wi_h,
+            wo_hq)
         value = jnp.where(is_h[..., None], h_val, value)
         pdf = jnp.where(is_h, h_pdf, pdf)
 
@@ -1552,13 +1575,17 @@ def _sample_core(table: MaterialTable, mat_idx, wi, sample2, sample1,
         extra_h = take_rows(table.extra, mat_idx)
         beta_m_h = take_scalars(table.alpha, mat_idx)
         eta_h = take_scalars(table.ior, mat_idx)
+        is_h = kind == HAIR
+        # input sanitisation — see the eval-side comment
+        safe_d = jnp.asarray([0.6, 0.48, 0.64], wi.dtype)
+        wi_h = jnp.where(is_h[..., None], wi, safe_d)
         wo_h = _hair_sample(sig_h, beta_m_h, extra_h[..., 0],
-                            extra_h[..., 1], eta_h, wi, sample2, sample1)
+                            extra_h[..., 1], eta_h, wi_h, sample2,
+                            sample1)
         h_val, h_pdf = _hair_eval_pdf(sig_h, beta_m_h, extra_h[..., 0],
-                                      extra_h[..., 1], eta_h, wi, wo_h)
+                                      extra_h[..., 1], eta_h, wi_h, wo_h)
         w_h = jnp.where((h_pdf > 1e-12)[..., None],
                         h_val / jnp.maximum(h_pdf, 1e-12)[..., None], 0.0)
-        is_h = kind == HAIR
         wo = jnp.where(is_h[..., None], wo_h, wo)
         weight = jnp.where(is_h[..., None], w_h, weight)
         pdf = jnp.where(is_h, h_pdf, pdf)

@@ -314,7 +314,8 @@ def make_envmap(bitmap, scale=1.0, spectral=False) -> EnvMapState:
 
 def _envmap_uv(d):
     phi = jnp.arctan2(d[..., 1], d[..., 0])
-    theta = jnp.arccos(jnp.clip(d[..., 2], -1.0, 1.0))
+    from ..ops.math import safe_acos
+    theta = safe_acos(d[..., 2])
     u = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
     v = theta / jnp.pi
     return u, v

@@ -304,7 +304,8 @@ def _elevation(d):
     """Numerically-stable elevation (`measured.cpp:195-200`)."""
     dist = jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2
                     + (d[..., 2] - 1.0) ** 2)
-    return 2.0 * jnp.arcsin(jnp.clip(0.5 * dist, -1.0, 1.0))
+    from ..ops.math import safe_asin
+    return 2.0 * safe_asin(0.5 * dist)
 
 
 def _theta2u(theta):
@@ -552,8 +553,9 @@ def _rusinkiewicz(i, o):
     b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
     t = jnp.cross(b, h)
     t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
-    td = jnp.arccos(jnp.clip(jnp.sum(h * i, -1), -1.0, 1.0))
-    th = jnp.arccos(jnp.clip(h[..., 2], -1.0, 1.0))
+    from ..ops.math import safe_acos
+    td = safe_acos(jnp.sum(h * i, -1))
+    th = safe_acos(h[..., 2])
     i_prj = i - jnp.sum(i * h, -1, keepdims=True) * h
     i_prj = i_prj / jnp.maximum(
         jnp.linalg.norm(i_prj, axis=-1, keepdims=True), 1e-12)

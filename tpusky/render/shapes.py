@@ -20,7 +20,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..ops.math import dot, mat3_apply, mat3_apply_t, normalize, safe_sqrt
+from ..ops.math import (dot, mat3_apply, mat3_apply_t, normalize,
+                        safe_acos, safe_sqrt)
 
 SPHERE, RECTANGLE, DISK, CUBE, CYLINDER = 0, 1, 2, 3, 4
 
@@ -226,7 +227,7 @@ def _isect_sphere(o, d):
     pp = o + jnp.where(jnp.isfinite(t), t, 0.0)[..., None] * d
     uv = jnp.stack([
         jnp.arctan2(pp[..., 1], pp[..., 0]) / (2 * jnp.pi) + 0.5,
-        jnp.arccos(jnp.clip(pp[..., 2], -1, 1)) / jnp.pi], axis=-1)
+        safe_acos(pp[..., 2]) / jnp.pi], axis=-1)
     return t, pp, uv, jnp.isfinite(t)
 
 
