@@ -229,13 +229,14 @@ def bench_train() -> None:
     from tpusky.render.sensors import make_perspective
 
     h = w = 512
-    spp = 4
+    spp = 8          # spp 4 plateaus in a poor basin (measured on-chip:
+    #                  T stalls at ~3.2 / sun 42deg; spp 8 recovers
+    #                  T +/- 0.02 and sun ~12deg with the same recipe)
     tables = load_tables("rgb")
     base_scene = _sphere_plane_scene()
     sensor = make_perspective([4, -4, 2.0], [0, 0, 1.0], fov_x_deg=45)
     film = Film(h, w, 3)
-    # lr tuned on the CPU mesh: adam(0.1) x 200 iters recovers
-    # T 6.5 +/- 0.35 and the sun direction to ~12 degrees
+    # recipe validated on-chip: adam(0.1) x 200 CRN iters
     optimizer = optax.adam(1e-1)
 
     def scene_builder(params):

@@ -24,8 +24,26 @@ import pytest
 
 # Persist compiled executables across test runs; first-compile on this
 # machine is slow (~5-60s per program) and dominates suite wall-time.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/tpusky_jax_cache"))
+#
+# The cache dir is keyed by the host CPU's feature set: sessions run on
+# heterogeneous machines sharing ~/.cache, and XLA:CPU AOT executables
+# compiled for a different feature set load with a warning ("could lead
+# to execution errors such as SIGILL") and were observed to segfault
+# the process inside executable.serialize() late in long suite runs.
+
+
+def _cpu_cache_dir():
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+        tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        tag = "default"
+    return os.path.expanduser(f"~/.cache/tpusky_jax_cache_{tag}")
+
+
+jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
