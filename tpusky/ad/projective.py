@@ -605,12 +605,15 @@ def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
 
 
 def boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
-                  light_dir=None, **kw):
-    """Primary + (optional) directional-shadow boundary gradients.
+                  light_dir=None, indirect=False, **kw):
+    """Primary + (optional) directional-shadow + (optional) one-level
+    indirect boundary gradients.
 
     The full projective backward pass is then
         interior (jax.vjp through the render) + this boundary term;
     see `tests/test_projective.py` for the FD-validated composition.
+    `indirect=True` adds `indirect_boundary_grad`'s translation term
+    (sphere blockers) into the to_world translation column.
     """
     shape_indices = kw.pop("shape_indices", None)
     blocker_indices = kw.pop("blocker_indices", None)
@@ -622,4 +625,13 @@ def boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
             scene, sensor, film_cfg, grad_image,
             jax.random.fold_in(key, 77), light_dir,
             blocker_indices=blocker_indices, **kw)
+    if indirect:
+        kw_ind = {k: v for k, v in kw.items()
+                  if k in ("probe_spp", "max_depth", "rr_depth", "mode",
+                           "kinds")}
+        d_tr = indirect_boundary_grad(
+            scene, sensor, film_cfg, grad_image,
+            jax.random.fold_in(key, 78),
+            blocker_indices=blocker_indices, **kw_ind)
+        d_shapes = d_shapes.at[:, :3, 3].add(d_tr)
     return d_shapes, d_mesh
