@@ -46,6 +46,28 @@ def _cpu_cache_dir():
 jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+# XLA:CPU's executable.serialize() segfaults after ~150-200 cache writes
+# in one process (reproduced at different tests with warm AND cold cache
+# dirs — count-correlated, not content-correlated). Cap the writes per
+# process: reads are unlimited, so repeated suite runs converge to a
+# fully warm cache in a few invocations without ever approaching the
+# crash region.
+_MAX_CACHE_WRITES = int(os.environ.get("TPUSKY_CACHE_WRITE_CAP", "48"))
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+_n_writes = [0]
+
+
+def _bounded_put(*args, **kwargs):
+    if _n_writes[0] >= _MAX_CACHE_WRITES:
+        return None
+    _n_writes[0] += 1
+    return _orig_put(*args, **kwargs)
+
+
+_cc.put_executable_and_time = _bounded_put
+
 
 @pytest.fixture(scope="session")
 def golden():
