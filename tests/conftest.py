@@ -46,24 +46,27 @@ def _cpu_cache_dir():
 jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-# XLA:CPU's executable.serialize() segfaults after ~150-200 cache writes
-# in one process (reproduced at different tests with warm AND cold cache
-# dirs — count-correlated, not content-correlated). Cap the writes per
-# process: reads are unlimited, so repeated suite runs converge to a
-# fully warm cache in a few invocations without ever approaching the
-# crash region.
-_MAX_CACHE_WRITES = int(os.environ.get("TPUSKY_CACHE_WRITE_CAP", "48"))
+# XLA:CPU's executable.serialize() SEGFAULTS on this jax build for the
+# suite's largest executables (the render-gradient / train-step
+# programs) — reproduced deterministically at the same test with warm
+# and cold cache dirs, inside put_executable_and_time. jax only offers a
+# MIN compile-time threshold, so bound the cache from above ourselves:
+# skip persisting any program whose compile took longer than the cap
+# (the crashers are the slowest compiles by far; everything the cache
+# meaningfully accelerates across runs stays cached).
+_MAX_CACHE_COMPILE_SECS = float(
+    os.environ.get("TPUSKY_CACHE_COMPILE_SECS_CAP", "25"))
 from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_put = _cc.put_executable_and_time
-_n_writes = [0]
 
 
-def _bounded_put(*args, **kwargs):
-    if _n_writes[0] >= _MAX_CACHE_WRITES:
+def _bounded_put(cache_key, module_name, executable, backend,
+                 compile_time):
+    if compile_time > _MAX_CACHE_COMPILE_SECS:
         return None
-    _n_writes[0] += 1
-    return _orig_put(*args, **kwargs)
+    return _orig_put(cache_key, module_name, executable, backend,
+                     compile_time)
 
 
 _cc.put_executable_and_time = _bounded_put
