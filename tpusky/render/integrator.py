@@ -226,14 +226,12 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         # sampling density (`homogeneous.cpp` sample_interaction).
         med = scene.medium
         if med is not None:
+            media = medium_mod.as_stack(med)
             t_eff = jnp.where(hit, t, jnp.inf)
-            m_t0, m_t1 = medium_mod.medium_interval(med, state.o, state.d)
-            seg_t0 = jnp.minimum(m_t0, t_eff)
-            seg = jnp.maximum(jnp.minimum(m_t1, t_eff) - seg_t0, 0.0)
-            u_dist = sg(smp.next(100_000 + 4 * depth, 1))[..., 0]
-            (m_scat, s_dist, T_seg, w_pass,
-             w_scat) = medium_mod.sample_interaction(
-                med, state.o, state.d, seg_t0, seg, u_dist)
+            u_dist = sg(smp.next(100_000 + 4 * depth, len(media)))
+            (m_scat, t_scat, reg_oh, T_seg, w_pass,
+             w_scat) = medium_mod.stack_sample(
+                media, state.o, state.d, t_eff, u_dist)
             med_scatter = state.active & m_scat
         else:
             T_seg = 1.0
@@ -243,7 +241,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             """Medium transmittance along a shadow ray (1.0 without one)."""
             if med is None:
                 return 1.0
-            return medium_mod.transmittance(med, p0, dvec, dist)
+            return medium_mod.stack_transmittance(med, p0, dvec, dist)
 
         # ---- emitter hit (environment): MIS vs previous BSDF sample ----
         escaped = state.active & ~hit
@@ -488,7 +486,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         # ---- medium in-scattering event (volpath.cpp medium branch) ----
         if med is not None:
             med_act = med_scatter & (depth + 1 < max_depth)
-            p_m = state.o + (seg_t0 + s_dist)[..., None] * state.d
+            p_m = state.o + t_scat[..., None] * state.d
             thr_m = state.throughput * w_scat
             if scene.env is not None:
                 u_nee_m = sg(smp.next(100_000 + 4 * depth + 1, 2))
@@ -496,11 +494,12 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                     scene.env, scene.env_to_world, u_nee_m, wavelengths,
                     mode)
                 pdf_me_d = sg(pdf_me)
-                f_p = medium_mod.phase_pdf(med, state.d, d_me)
+                f_p = medium_mod.stack_phase_pdf(media, reg_oh,
+                                                 state.d, d_me)
                 occ_m = scene_occluded(scene, p_m, d_me,
                                        jnp.full((n,), jnp.inf))
-                T_sh = medium_mod.transmittance(med, p_m, d_me,
-                                                jnp.full((n,), jnp.inf))
+                T_sh = medium_mod.stack_transmittance(
+                    media, p_m, d_me, jnp.full((n,), jnp.inf))
                 mis_m = _mis_weight(pdf_me_d, sg(f_p))
                 contrib_m = (thr_m * f_p[..., None] * L_me * T_sh
                              * (mis_m / jnp.maximum(pdf_me_d, 1e-20))
@@ -508,7 +507,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 ok_m = med_act & ~occ_m & (pdf_me_d > 0.0)
                 result = result + jnp.where(ok_m[..., None], contrib_m, 0.0)
             u_ph = sg(smp.next(100_000 + 4 * depth + 2, 2))
-            d_ph, pdf_ph = medium_mod.phase_sample(med, state.d, u_ph)
+            d_ph, pdf_ph = medium_mod.stack_phase_sample(media, reg_oh,
+                                                         state.d, u_ph)
             d_ph = sg(d_ph)
 
         # ---- merge surface and medium continuations ----
@@ -601,8 +601,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
     if scene.medium is not None:
         # (density-march) transmittance to the final emissive vertex
         t_eff = jnp.where(hit, t, jnp.inf)
-        T_fin = medium_mod.transmittance(scene.medium, state.o, state.d,
-                                         t_eff)
+        T_fin = medium_mod.stack_transmittance(scene.medium, state.o,
+                                               state.d, t_eff)
     else:
         T_fin = 1.0
     if scene.env is not None:

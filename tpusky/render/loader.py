@@ -150,6 +150,17 @@ def spectrum_to_channels(value, mode: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _medium_replace(med, idx, **kw):
+    """Replace fields of region ``idx`` in ``scene.medium`` (a single
+    Medium or a tuple of per-shape regions — see render/medium.py)."""
+    from .medium import Medium
+    if isinstance(med, Medium):
+        return med._replace(**kw)
+    lst = list(med)
+    lst[idx] = lst[idx]._replace(**kw)
+    return tuple(lst)
+
+
 @dataclass
 class SceneBundle:
     """Everything needed to render: the scene pytree plus configuration.
@@ -217,9 +228,12 @@ class SceneBundle:
                     wd, hg = int(t.width[tex]), int(t.height[tex])
                     out[f"{name}.bsdf.reflectance.data"] = \
                         t.atlas[off:off + wd * hg, :3].reshape(hg, wd, 3)
-            if info.get("medium"):
-                out[f"{name}.sigma_t"] = sc.medium.sigma_t
-                out[f"{name}.albedo"] = sc.medium.albedo
+            if info.get("medium") is not None:
+                from .medium import Medium as _Medium
+                mi = (sc.medium if isinstance(sc.medium, _Medium)
+                      else sc.medium[info["medium"]])
+                out[f"{name}.sigma_t"] = mi.sigma_t
+                out[f"{name}.albedo"] = mi.albedo
         return out
 
     def _apply_params(self, scene, overrides):
@@ -270,9 +284,9 @@ class SceneBundle:
             elif rest == "emitter.radiance.value":
                 area_rad = area_rad.at[info["shape"]].set(v)
             elif rest == "sigma_t":
-                med = med._replace(sigma_t=v)
-            elif rest == "albedo" and info.get("medium"):
-                med = med._replace(albedo=v)
+                med = _medium_replace(med, info["medium"], sigma_t=v)
+            elif rest == "albedo" and info.get("medium") is not None:
+                med = _medium_replace(med, info["medium"], albedo=v)
             else:
                 raise KeyError(f"unknown scene parameter {key!r}")
         return scene._replace(shapes=shapes, bsdfs=bsdfs, textures=tex,
@@ -941,7 +955,9 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     textures = []
     point_lights, directional_lights, spot_lights = [], [], []
     dir_areas = {}   # shape list index -> radiance (directionalarea)
-    medium = None    # homogeneous participating medium (render/medium.py)
+    media_list = []  # per-shape participating media (render/medium.py);
+    #                  the scene carries a single Medium or a tuple of
+    #                  regions (the reference's per-shape `interior` refs)
     sdf_grid = None  # SDF grid shape (render/sdf.py)
     param_map = {}   # scene-dict key -> {"shape"/"bsdf"/"mesh"/...: row}
     #                  (drives SceneBundle.traverse(), the scene-wide
@@ -1059,7 +1075,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         elif t == "sdfgrid":
             # SDF grid shape (reference `sdfgrid.cpp`): values from an
             # inline array, a .npy file, or a Mitsuba .vol file
-            if medium is None and "interior" in value:
+            if "interior" in value:
                 raise ValueError("sdfgrid does not support interior media")
             if "grid" in value:
                 vals = np.asarray(value["grid"], np.float32)
@@ -1143,16 +1159,14 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
                 if mode == "spectral":
                     sig, alb = sig.mean(None)[None], alb.mean(None)[None]
                 from .medium import make_medium
-                if medium is not None:
-                    raise ValueError("only one participating medium per "
-                                     "scene is supported")
-                medium = make_medium(
+                media_list.append(make_medium(
                     sig, alb,
                     to_world=_parse_to_world(value.get("to_world")),
                     kind=t, density=density,
                     n_steps=int(idesc.get("n_steps", 64)),
-                    **phase_kwargs)
-                param_map[key] = {"medium": True}
+                    channel_mis=bool(idesc.get("channel_mis", False)),
+                    **phase_kwargs))
+                param_map[key] = {"medium": len(media_list) - 1}
                 continue
             bsdf_desc = value.get("bsdf", {"type": "diffuse"})
             mat = _build_bsdf(bsdf_desc, mode, textures, materials)
@@ -1351,7 +1365,8 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         spot_lights=tuple(spot_lights),
         dir_area_radiance=dir_area_radiance,
         meshes=meshes or None,
-        medium=medium,
+        medium=(None if not media_list else media_list[0]
+                if len(media_list) == 1 else tuple(media_list)),
         sdf=sdf_grid,
         curves=curves or None,
         env=None)

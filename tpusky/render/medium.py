@@ -18,10 +18,23 @@ TPU-native design decisions:
   state — a data-dependent pointer chase that maps badly to SPMD.)
   ``kind = -1`` means a global (infinite) medium.
 * Distance sampling uses the channel-averaged extinction ``sigma_bar``
-  (the reference samples one random channel per interaction,
-  ``homogeneous.cpp``; averaging is the zero-variance choice for gray
-  media and unbiased for colored ones via the pdf ratio kept in
-  ``throughput``).
+  by default (the zero-variance choice for gray media, unbiased for
+  colored ones via the pdf ratio kept in ``throughput``); setting
+  ``channel_mis=True`` switches to the reference's spectral strategy
+  (``volpath.cpp`` / ``homogeneous.cpp``: pick a channel uniformly,
+  sample its exponential, balance-heuristic the mixture pdf over all
+  channels) which has lower variance for strongly colored extinction.
+* **Per-shape media**: a scene may carry SEVERAL regions (a tuple of
+  ``Medium``), each bound to its own convex boundary — the reference's
+  per-shape ``interior`` medium refs (``volpath.cpp`` MediumPtr state).
+  The TPU design needs no per-ray medium pointer: free flight over the
+  union is sampled by Poisson superposition (``stack_sample``) — each
+  region draws an independent free flight on its clipped interval, the
+  joint event is the minimum, and the ratio weights compose as products
+  of per-region transmittance/survival factors evaluated at the winning
+  distance. Exact for overlapping regions too (superposition of
+  inhomogeneous Poisson processes), and fully SPMD: K static unrolled
+  samplings + an argmin, no data-dependent control flow.
 * Phase sampling/eval are branch-free jnp; HG inverse-CDF per
   ``warp.square_to_hg`` math (hg.cpp:103-127).
 """
@@ -40,7 +53,9 @@ __all__ = ["Medium", "make_medium", "hg_pdf", "hg_sample",
            "rayleigh_pdf", "rayleigh_sample", "phase_pdf", "phase_sample",
            "tab_pdf", "tab_sample", "sggx_pdf", "sggx_sample",
            "sggx_projected_area", "medium_interval", "transmittance",
-           "eval_density", "line_density", "sample_interaction"]
+           "eval_density", "line_density", "sample_interaction",
+           "as_stack", "stack_sample", "stack_transmittance",
+           "stack_phase_pdf", "stack_phase_sample"]
 
 _INF = jnp.inf
 
@@ -79,6 +94,8 @@ class Medium(NamedTuple):
     phase: object = "hg"      # static: "hg" | "rayleigh" | "tab" | "sggx"
     #                           | ("blend", a, b) with a/b in the former set
     #                           ("hg2" = HG with g2) — `blendphase.cpp`
+    channel_mis: bool = False  # static: per-channel spectral-MIS distance
+    #                            sampling (volpath.cpp) vs channel-mean
 
 
 # `kind`/`n_steps`/`phase` must be STATIC (Python `if` on them inside
@@ -89,9 +106,9 @@ jax.tree_util.register_pytree_node(
     Medium,
     lambda m: ((m.sigma_t, m.albedo, m.g, m.to_local, m.density,
                 m.phase_tab, m.sggx_s, m.g2, m.phase_w),
-               (m.kind, m.n_steps, m.phase)),
+               (m.kind, m.n_steps, m.phase, m.channel_mis)),
     lambda aux, leaves: Medium(*leaves, kind=aux[0], n_steps=aux[1],
-                               phase=aux[2]))
+                               phase=aux[2], channel_mis=aux[3]))
 
 _PHASE_KINDS = ("hg", "hg2", "rayleigh", "tab", "sggx")
 
@@ -99,7 +116,8 @@ _PHASE_KINDS = ("hg", "hg2", "rayleigh", "tab", "sggx")
 def make_medium(sigma_t, albedo, g=0.0, to_world=None,
                 kind: str = "sphere", density=None,
                 n_steps: int = 64, phase="hg", phase_tab=None,
-                sggx_s=None, g2=0.0, phase_w=0.5) -> Medium:
+                sggx_s=None, g2=0.0, phase_w=0.5,
+                channel_mis: bool = False) -> Medium:
     """Host-side constructor. ``kind`` in {'global','sphere','cube'};
     ``to_world`` maps the unit sphere (radius 1) / unit cube ([-1,1]^3)
     onto the medium region (Mitsuba shape convention, `sphere.cpp`,
@@ -148,7 +166,8 @@ def make_medium(sigma_t, albedo, g=0.0, to_world=None,
         density=density, phase_tab=phase_tab, sggx_s=sggx_s,
         g2=jnp.asarray(g2, jnp.float32),
         phase_w=jnp.asarray(phase_w, jnp.float32),
-        kind=k, n_steps=int(n_steps), phase=phase)
+        kind=k, n_steps=int(n_steps), phase=phase,
+        channel_mis=bool(channel_mis))
 
 
 # ---------------------------------------------------------------------------
@@ -291,14 +310,41 @@ def transmittance(med: Medium, o, d, t_max):
     return jnp.exp(-med.sigma_t * line_density(med, o, d, t_max)[..., None])
 
 
+def _sampling_survival(med: Medium, D):
+    """P(the SAMPLER draws no scatter) after density integral D — the
+    denominator of the pass-through ratio weight, and the cross-region
+    survival factor used by ``stack_sample``. Matches the estimator in
+    ``sample_interaction`` (channel-mean exponential, or the uniform
+    channel mixture when ``channel_mis``)."""
+    if med.channel_mis:
+        return jnp.mean(jnp.exp(-med.sigma_t * D[..., None]), axis=-1)
+    return jnp.exp(-jnp.mean(med.sigma_t) * D)
+
+
+def _sampling_pdf(med: Medium, X):
+    """Sampling density (per unit density-integral) at X, matching
+    ``sample_interaction``'s draw: balance-heuristic channel mixture
+    mean_c σ_c·exp(-σ_c X) under ``channel_mis`` (`volpath.cpp` spectral
+    MIS), else σ̄·exp(-σ̄ X)."""
+    if med.channel_mis:
+        return jnp.mean(med.sigma_t * jnp.exp(-med.sigma_t * X[..., None]),
+                        axis=-1)
+    sb = jnp.mean(med.sigma_t)
+    return sb * jnp.exp(-sb * X)
+
+
 def sample_interaction(med: Medium, o, d, seg_t0, seg, u):
     """Free-flight sampling over the clipped segment [seg_t0, seg_t0+seg]
     (`homogeneous.cpp` / `heterogeneous.cpp` ``sample_interaction``).
 
-    Draws a target DENSITY integral xi = -log(1-u)/sigma_bar (sigma_bar =
-    channel-mean extinction) and inverts the density line integral D(s);
-    for homogeneous media D(s) = s and this is the classic exponential
-    free flight. Scattering occurs iff s < seg (s = +inf otherwise).
+    Draws a target DENSITY integral xi and inverts the density line
+    integral D(s); for homogeneous media D(s) = s and this is the classic
+    exponential free flight. Scattering occurs iff s < seg. The sampling
+    density is the channel-mean extinction σ̄ by default; with
+    ``med.channel_mis`` a channel is picked by sample reuse on ``u`` and
+    its exponential sampled, with the balance-heuristic mixture pdf over
+    all channels in the weights (the reference's spectral strategy,
+    `volpath.cpp` / `homogeneous.cpp::sample_interaction`).
 
     Returns (scatter, s, T_seg, w_pass, w_scat):
       scatter (...,) bool: an in-scattering event occurred inside seg
@@ -308,11 +354,20 @@ def sample_interaction(med: Medium, o, d, seg_t0, seg, u):
       T_seg   (..., C) transmittance across the whole segment
       w_pass  (..., C) pass-through ratio weight  T_seg / P(no scatter)
       w_scat  (..., C) scatter ratio weight  sigma_s·dens·T(s) / pdf(s);
-              the grid density cancels between value and pdf, leaving
-              (sigma_s/sigma_bar)·exp(-(sigma_t - sigma_bar)·xi).
+              the grid density cancels between value and pdf.
     """
-    sigma_bar = jnp.mean(med.sigma_t)
-    xi = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sigma_bar
+    if med.channel_mis:
+        C = med.sigma_t.shape[0]
+        uc = jnp.clip(u * C, 0.0, C - 1e-6)
+        c_pick = jnp.floor(uc)
+        u_d = uc - c_pick                     # sample reuse (distr_1d.h:173)
+        oh = c_pick[..., None] == jnp.arange(C, dtype=c_pick.dtype)
+        sig_c = jnp.sum(jnp.where(oh, med.sigma_t, 0.0), axis=-1)
+        xi = -jnp.log(jnp.maximum(1.0 - u_d, 1e-12)) \
+            / jnp.maximum(sig_c, 1e-12)
+    else:
+        sigma_bar = jnp.mean(med.sigma_t)
+        xi = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sigma_bar
     scale = _dir_scale(med, d)
     if med.density is None:
         s = xi if scale is None else xi / jnp.maximum(scale, 1e-8)
@@ -336,14 +391,111 @@ def sample_interaction(med: Medium, o, d, seg_t0, seg, u):
     scatter = xi < d_total
     s = jnp.where(scatter, jnp.minimum(s, seg), 0.0)
     T_seg = jnp.exp(-med.sigma_t * d_total[..., None])
-    w_pass = T_seg / jnp.maximum(jnp.exp(-sigma_bar * d_total),
+    w_pass = T_seg / jnp.maximum(_sampling_survival(med, d_total),
                                  1e-30)[..., None]
     sigma_s = med.albedo * med.sigma_t
     xi_c = jnp.minimum(xi, d_total)      # = D(s) on scatter lanes
     w_scat = (sigma_s * jnp.exp(-med.sigma_t * xi_c[..., None])
-              / jnp.maximum(sigma_bar * jnp.exp(-sigma_bar * xi_c),
-                            1e-30)[..., None])
+              / jnp.maximum(_sampling_pdf(med, xi_c), 1e-30)[..., None])
     return scatter, s, T_seg, w_pass, w_scat
+
+
+# ---------------------------------------------------------------------------
+# media stacks (per-shape media — multiple convex regions per scene)
+# ---------------------------------------------------------------------------
+
+def as_stack(med):
+    """Normalize ``scene.medium`` (a single Medium or a tuple of regions)
+    to a tuple of regions. (Medium is itself a NamedTuple — test the
+    concrete type, not `tuple`.)"""
+    return (med,) if isinstance(med, Medium) else tuple(med)
+
+
+def stack_transmittance(med, o, d, t_max):
+    """Per-channel transmittance through ALL regions along (o, d) up to
+    t_max: the product of per-region Beer-Lambert factors (each clips its
+    own boundary interval — exact for overlapping regions too)."""
+    T = 1.0
+    for mi in as_stack(med):
+        T = T * transmittance(mi, o, d, t_max)
+    return T
+
+
+def stack_sample(media, o, d, t_eff, u):
+    """Joint free-flight sampling over K (possibly overlapping) regions by
+    Poisson superposition: each region draws an independent free flight on
+    its own clipped interval; the joint event is the MINIMUM scatter
+    distance. The first-collision density of the union process factorizes
+    as pdf_i(t)·∏_{j≠i} P_j(s_j > t), so the scatter ratio weight is the
+    winner's local weight times ∏_{j≠i} T_j(t*)/survival_j(t*) — exact
+    for inhomogeneous, overlapping, per-region-estimator media (this
+    replaces the reference's per-ray MediumPtr + null-boundary-event walk,
+    `volpath.cpp`). Fully SPMD: K static samplings + an argmin.
+
+    ``u``: (..., K) uniforms (one per region).
+    Returns (scatter, t_scat, region_onehot (K, ...) bool, T_seg, w_pass,
+    w_scat) with t_scat the GLOBAL ray distance of the scatter event
+    (0 on no-scatter lanes, finite for NaN-safe masking), T_seg/w_pass/
+    w_scat composed over all regions.
+    """
+    K = len(media)
+    scs, s_glob, per = [], [], []
+    T_seg, w_pass = 1.0, 1.0
+    for i, mi in enumerate(media):
+        m_t0, m_t1 = medium_interval(mi, o, d)
+        seg_t0 = jnp.minimum(m_t0, t_eff)
+        seg = jnp.maximum(jnp.minimum(m_t1, t_eff) - seg_t0, 0.0)
+        sc_i, s_i, T_i, wp_i, ws_i = sample_interaction(
+            mi, o, d, seg_t0, seg, u[..., i])
+        scs.append(sc_i)
+        s_glob.append(jnp.where(sc_i, seg_t0 + s_i, _INF))
+        per.append(ws_i)
+        T_seg = T_seg * T_i
+        w_pass = w_pass * wp_i
+    if K == 1:
+        t_scat = jnp.where(scs[0], s_glob[0], 0.0)
+        oh = jnp.ones_like(scs[0], bool)[None]
+        return scs[0], t_scat, oh, T_seg, w_pass, per[0]
+    s_arr = jnp.stack(s_glob)               # (K, ...)
+    idx = jnp.argmin(s_arr, axis=0)
+    scatter = jnp.any(jnp.stack(scs), axis=0)
+    t_scat = jnp.where(scatter, jnp.min(s_arr, axis=0), 0.0)
+    oh = jnp.arange(K).reshape((K,) + (1,) * idx.ndim) == idx[None]
+    # cross factors at the winning distance: T_j(t*) / survival_j(D_j(t*))
+    cross = []
+    for mi in media:
+        D_j = line_density(mi, o, d, t_scat)
+        cross.append(jnp.exp(-mi.sigma_t * D_j[..., None])
+                     / jnp.maximum(_sampling_survival(mi, D_j),
+                                   1e-30)[..., None])
+    w_scat = jnp.zeros_like(per[0])
+    for i in range(K):
+        w_i = per[i]
+        for j in range(K):
+            if j != i:
+                w_i = w_i * cross[j]
+        w_scat = jnp.where(oh[i][..., None], w_i, w_scat)
+    return scatter, t_scat, oh, T_seg, w_pass, w_scat
+
+
+def stack_phase_pdf(media, region_oh, d_prop, wo):
+    """Phase pdf dispatched over regions by the (static-K) one-hot from
+    ``stack_sample``."""
+    out = 0.0
+    for i, mi in enumerate(media):
+        out = jnp.where(region_oh[i], phase_pdf(mi, d_prop, wo), out)
+    return out
+
+
+def stack_phase_sample(media, region_oh, d_prop, u):
+    """Sample the winning region's phase function; (wo, pdf)."""
+    wo = pdf = None
+    for i, mi in enumerate(media):
+        wo_i, pdf_i = phase_sample(mi, d_prop, u)
+        wo = wo_i if wo is None else jnp.where(region_oh[i][..., None],
+                                               wo_i, wo)
+        pdf = pdf_i if pdf is None else jnp.where(region_oh[i], pdf_i, pdf)
+    return wo, pdf
 
 
 # ---------------------------------------------------------------------------
