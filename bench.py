@@ -253,7 +253,7 @@ def bench_train() -> None:
 
     step = make_train_step_single(scene_builder, sensor, film, spp=spp,
                                   optimizer=optimizer, max_depth=2,
-                                  project=project)
+                                  project=project, loss="log_l2_blur")
 
     true_p = ts.make_params(turbidity=6.5, albedo=0.3,
                             sun_direction=[0.45, 0.30, 0.84])

@@ -349,7 +349,6 @@ def eval_spectral(state: SunskyState, cos_theta, gamma, wavelengths):
     Linearly interpolates the two neighbouring dataset channels of each
     queried wavelength; zero outside [320, 720] nm.
     """
-    hit_sun = _hit_sun_mask(state, cos_theta, gamma)
     norm_wl = (wavelengths - C.WAVELENGTHS[0]) / C.WAVELENGTH_STEP
     valid = (norm_wl >= 0.0) & (norm_wl <= C.N_WAVELENGTHS - 1)
     idx_low = jnp.clip(jnp.floor(norm_wl).astype(jnp.int32),
@@ -365,9 +364,10 @@ def eval_spectral(state: SunskyState, cos_theta, gamma, wavelengths):
     sun_ld = _eval_sun_ld(state, idx_low, idx_high, lerp_f, gamma)
 
     p = state.params
+    w_disc = _disc_weight(state, gamma)   # == hit_sun; surrogate tangent
     res = (p.sky_scale * sky
-           + jnp.where(hit_sun[..., None], p.sun_scale * sun * sun_ld
-                       * area_ratio(p.sun_half_aperture), 0.0))
+           + w_disc[..., None] * (p.sun_scale * sun * sun_ld
+                                  * area_ratio(p.sun_half_aperture)))
     active = (cos_theta >= 0.0)[..., None] & valid
     return jnp.where(active, res, 0.0)
 
@@ -375,6 +375,31 @@ def eval_spectral(state: SunskyState, cos_theta, gamma, wavelengths):
 def _hit_sun_mask(state, cos_theta, gamma):
     del cos_theta
     return jnp.cos(gamma) >= jnp.cos(state.params.sun_half_aperture)
+
+
+def _disc_weight(state, gamma):
+    """Sun-disc indicator with a straight-through surrogate gradient.
+
+    The primal is EXACTLY the hard cone test (`sunsky.cpp:303` masks the
+    sun term by gamma < aperture), but its derivative w.r.t. the sun
+    direction / aperture is a delta on the cone boundary that pointwise
+    AD evaluates to zero — so inverse rendering of `sun_direction` only
+    sees the (weak, diffuse) sky-gradient signal and stalls ~10 degrees
+    off (BASELINE.md round-3 config 5). The tangent therefore routes
+    through a narrow linear ramp in cos(gamma) of half-width
+    0.5*(1-cos(aperture)) (~0.06 deg in angle, about one 512p pixel):
+    exactly the pixel-footprint smoothing that turns the boundary delta
+    into the finite edge term an FD estimate of the pixel integral sees.
+    (The reference has no counterpart; its sunsky experiments also note
+    the missing disc gradient, `sunsky-testing/traversal_test.py`.)
+    """
+    cos_cut = jnp.cos(state.params.sun_half_aperture)
+    cos_g = jnp.cos(gamma)
+    hard = (cos_g >= cos_cut).astype(cos_g.dtype)
+    eps = 0.5 * (1.0 - cos_cut)
+    smooth = jnp.clip((cos_g - cos_cut) / jnp.maximum(eps, 1e-12) + 0.5,
+                      0.0, 1.0)
+    return smooth + jax.lax.stop_gradient(hard - smooth)
 
 
 def _eval_rgb_jnp(state: SunskyState, d):
@@ -386,11 +411,11 @@ def _eval_rgb_jnp(state: SunskyState, d):
     p = state.params
     sky = eval_sky_rgb(state, cos_theta_c, gamma)
     sun = eval_sun_rgb(state, cos_theta_c, gamma)
-    hit_sun = _hit_sun_mask(state, cos_theta_c, gamma)
+    w_disc = _disc_weight(state, gamma)   # == hard mask; surrogate tangent
     res = (p.sky_scale * sky
-           + jnp.where(hit_sun[..., None],
-                       p.sun_scale * sun * area_ratio(p.sun_half_aperture)
-                       * C.SPEC_TO_RGB_SUN_CONV, 0.0))
+           + w_disc[..., None]
+           * (p.sun_scale * sun * area_ratio(p.sun_half_aperture)
+              * C.SPEC_TO_RGB_SUN_CONV))
     res = res * C.CIE_Y_NORMALIZATION
     return jnp.where(below[..., None], 0.0, res)
 

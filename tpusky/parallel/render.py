@@ -139,7 +139,8 @@ def host_local_rows(image) -> list:
 
 def make_train_step_single(scene_builder, sensor, film_cfg, spp,
                            optimizer, max_depth: int = 2,
-                           mode: str = "rgb", project=None):
+                           mode: str = "rgb", project=None,
+                           loss: str = "l2"):
     """Single-device inverse-rendering step (BASELINE config 5 on the one
     real chip): ONE fused XLA program = sunsky precompute + render + grad
     + optimizer update. Note the terminal's TPU compile service hangs on
@@ -163,6 +164,55 @@ def make_train_step_single(scene_builder, sensor, film_cfg, spp,
         img = film_mod.develop(integrator.render_rows(
             scene, sensor, film_cfg, key, spp, max_depth, 1000, mode,
             0, film_cfg.height, kinds=kinds))
+        if loss == "rel_l2":
+            # relative MSE: with a 1e4:1 dynamic range between the sun
+            # disc and the sky, plain L2 is ~all disc residual and the
+            # smooth sky signal (turbidity/albedo) drowns; normalizing
+            # per-pixel by the (detached) target restores the balance
+            den = jax.lax.stop_gradient(target) ** 2 + 1e-3
+            return jnp.mean((img - target) ** 2 / den)
+        # ("log_l2_blur", sigma_px, weight) selects the blur scale for
+        # coarse-to-fine annealing (each sigma is a separate static
+        # program; see bench.py --train)
+        if isinstance(loss, tuple):
+            kind, blur_sig, blur_wgt = loss
+        else:
+            kind, blur_sig, blur_wgt = loss, None, 16.0
+        if kind in ("log_l2", "log_l2_blur"):
+            # log-space MSE: compresses the disc/sky dynamic range so the
+            # disc-alignment signal (sun_direction, via the surrogate
+            # boundary gradient) and the smooth sky signal (turbidity/
+            # albedo) are both live — HDR inverse-rendering practice
+            li = jnp.log1p(jnp.maximum(img, 0.0))
+            lt = jnp.log1p(jnp.maximum(target, 0.0))
+            out = jnp.mean((li - lt) ** 2)
+            if kind == "log_l2_blur":
+                # + a gaussian-blurred term (sigma = H/32 px): the sun
+                # disc subtends ~0.27 deg — far smaller than a typical
+                # initialization error — so the sharp residuals of the
+                # two discs never overlap and the boundary gradient has
+                # no long-range attraction. Blurring spreads each disc
+                # into a smooth bump whose L2 pulls over ~2 sigma
+                # (multi-scale image loss; the gaussian is two MXU
+                # matmuls, negligible next to the render)
+                sig = blur_sig if blur_sig is not None else li.shape[0] / 32.0
+
+                def bmat(m):
+                    r = jnp.arange(m, dtype=jnp.float32)
+                    B = jnp.exp(-0.5 * ((r[:, None] - r[None, :])
+                                        / sig) ** 2)
+                    return B / B.sum(axis=1, keepdims=True)
+
+                Bh, Bw = bmat(li.shape[0]), bmat(li.shape[1])
+
+                def blur(x):
+                    x = jnp.einsum("ij,jwc->iwc", Bh, x,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    return jnp.einsum("ij,hjc->hic", Bw, x,
+                                      precision=jax.lax.Precision.HIGHEST)
+
+                out = out + blur_wgt * jnp.mean((blur(li) - blur(lt)) ** 2)
+            return out
         return jnp.mean((img - target) ** 2)
 
     @jax.jit
