@@ -71,6 +71,20 @@ def _bounded_put(cache_key, module_name, executable, backend,
 
 _cc.put_executable_and_time = _bounded_put
 
+# ...and the READ path can crash too: a serialize that appeared to succeed
+# can yield a blob whose deserialize SIGSEGVs a later process (observed
+# round 3 at compilation_cache.py get_executable_and_time during
+# test_render.py). Guard every cache hit with a sacrificial subprocess
+# probe; poisoned entries are deleted and recompiled. See
+# tpusky/utils/cacheguard.py.
+from tpusky.utils import cacheguard as _cacheguard  # noqa: E402
+
+_cacheguard.install()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _cacheguard.shutdown()
+
 
 @pytest.fixture(scope="session")
 def golden():

@@ -127,3 +127,57 @@ def test_fused_hit_and_nee_kernels_match_jnp():
            / (np.abs(np.asarray(rad_j2)) + 1e-3))
     assert np.median(rel) < 1e-4, np.median(rel)
     assert rel.max() < 1e-2, rel.max()
+
+
+def test_fused_spectral_kernels_match_jnp():
+    """Spectral eval / hit / NEE Pallas kernels vs the jnp formulas
+    (VERDICT r3 item 4: the spectral transport path had no fusion)."""
+    from tpusky.ops.pallas.sunsky_kernel import (
+        sunsky_eval_spec_pallas, sunsky_hit_spec_pallas,
+        sunsky_nee_spec_pallas)
+
+    tables = load_tables("spectral")
+    params = ts.make_params(turbidity=5.2, albedo=0.25,
+                            sun_direction=[0.3, 0.2, 0.93],
+                            mode="spectral")
+    state = jax.jit(lambda p: M.precompute(tables, p, "spectral"))(params)
+
+    n = 4096
+    key = jax.random.PRNGKey(3)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # hero wavelengths spanning the valid band plus out-of-range lanes
+    wl = jax.random.uniform(jax.random.PRNGKey(4), (n, 4),
+                            minval=300.0, maxval=760.0)
+
+    ref = np.array(M._eval_spec_jnp(state, d, wl))
+    out = np.array(sunsky_eval_spec_pallas(state, d, wl, interpret=True))
+    err = np.abs(out - ref) / (np.abs(ref) + 1e-6)
+    assert err.max() < 2e-3, err.max()
+
+    ref_rad, ref_pdf = M._hit_spec_jnp(state, d, wl)
+    rad, pdf = sunsky_hit_spec_pallas(state, d, wl, interpret=True)
+    err = np.abs(np.array(rad) - np.array(ref_rad)) \
+        / (np.abs(np.array(ref_rad)) + 1e-6)
+    assert err.max() < 2e-3, err.max()
+    perr = np.abs(np.array(pdf) - np.array(ref_pdf)) \
+        / (np.abs(np.array(ref_pdf)) + 1e-6)
+    assert perr.max() < 2e-3, perr.max()
+
+    u2 = jax.random.uniform(jax.random.PRNGKey(5), (n, 2))
+    dj, _radj, pdfj = M._sample_eval_spec_jnp(state, u2, wl)
+    dk, radk, pdfk = sunsky_nee_spec_pallas(state, u2, wl, interpret=True)
+    assert np.abs(np.array(dk) - np.array(dj)).max() < 1e-4
+    perr = np.abs(np.array(pdfk) - np.array(pdfj)) \
+        / (np.abs(np.array(pdfj)) + 1e-3)
+    assert perr.max() < 2e-3, perr.max()
+    # fused radiance compared at the kernel's OWN sampled direction (the
+    # jnp direction differs by ~1e-5 via the polynomial erfinv; near the
+    # sun-disc edge that flips the hard cone test, so comparing at dj
+    # would measure direction jitter, not radiance error) — same
+    # discipline as the RGB NEE test above.
+    radj_at_dk = M._eval_spec_jnp(state, jnp.asarray(dk), wl)
+    rel = (np.abs(np.array(radk) - np.array(radj_at_dk))
+           / (np.abs(np.array(radj_at_dk)) + 1e-3))
+    assert np.median(rel) < 1e-4, np.median(rel)
+    assert rel.max() < 1e-2, rel.max()

@@ -148,3 +148,24 @@ def test_orthogonal_falls_back_and_renders():
                                      max_depth=2,
                                      sampler_kind="orthogonal"))
     assert np.allclose(img.mean(), 0.5, rtol=0.03), img.mean()
+
+
+def test_no_stream_collision_across_adjacent_dims():
+    """Streams of dim d channel c must never alias those of dim d' != d.
+
+    Regression for the stride-2 scheme where next(d, 3)[..., 2] was
+    bitwise equal to next(d+1, 2)[..., 0] (correlated free-flight and
+    medium-NEE draws for 3+ media regions).
+    """
+    key = jax.random.PRNGKey(7)
+    pix = jnp.arange(256, dtype=jnp.uint32)
+    smp = jnp.zeros(256, dtype=jnp.uint32)
+    for kind in ("independent", "stratified", "qmc"):
+        a = np.array(sampler.lane_samples(kind, key, pix, smp, 4,
+                                          100_000, 3))
+        b = np.array(sampler.lane_samples(kind, key, pix, smp, 4,
+                                          100_001, 2))
+        for ca in range(3):
+            for cb in range(2):
+                assert not np.array_equal(a[:, ca], b[:, cb]), \
+                    (kind, ca, cb)

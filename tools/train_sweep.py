@@ -1,0 +1,142 @@
+"""Config-5 recovery diagnosis: run the inverse-rendering recipe under
+multiple CRN seeds / loss schedules and print parameter trajectories.
+
+Round-3 problem (VERDICT item 1): the driver's run of `bench.py --train`
+recovered the sun direction (2.3 deg) but stalled turbidity 0.86 off,
+while a different session recovered T +/- 0.011 — i.e. the recipe was
+seed-dependent. This tool measures WHERE the optimization stalls so the
+recipe can be hardened (blur schedule, lr schedule, more iters).
+
+Usage: python tools/train_sweep.py [--seeds 0,1,2] [--iters 200]
+       [--recipe base|decay|twophase] [--spp 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run_recovery(seed: int, iters: int, recipe: str, spp: int,
+                 log_every: int = 20, lr: float = 0.1):
+    import optax
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.parallel.render import make_train_step_single
+    from tpusky.render.film import Film
+    from tpusky.render.sensors import make_perspective
+    from tpusky.render import integrator, film as film_mod
+    from tpusky.render.bsdf import table_kinds
+
+    sys.path.insert(0, ".")
+    from bench import _sphere_plane_scene
+
+    h = w = 512
+    tables = load_tables("rgb")
+    base_scene = _sphere_plane_scene()
+    sensor = make_perspective([4, -4, 2.0], [0, 0, 1.0], fov_x_deg=45)
+    film = Film(h, w, 3)
+
+    def scene_builder(params):
+        return base_scene._replace(env=M.precompute(tables, params, "rgb"))
+
+    def project(p):
+        return p._replace(
+            sun_direction=p.sun_direction / jnp.linalg.norm(p.sun_direction),
+            turbidity=jnp.clip(p.turbidity, 1.0, 10.0),
+            albedo=jnp.clip(p.albedo, 0.0, 1.0))
+
+    if recipe == "decay":
+        optimizer = __import__("optax").adam(
+            __import__("optax").cosine_decay_schedule(lr, iters, 0.05))
+    else:
+        optimizer = optax.adam(lr)
+
+    losses = {"base": [("log_l2_blur", iters)],
+              "decay": [("log_l2_blur", iters)],
+              "twophase": [("log_l2_blur", iters // 2),
+                           ("log_l2", iters - iters // 2)]}[recipe]
+
+    steps = {}
+    for kind, _n in losses:
+        if kind not in steps:
+            steps[kind] = make_train_step_single(
+                scene_builder, sensor, film, spp=spp, optimizer=optimizer,
+                max_depth=2, project=project, loss=kind)
+
+    true_p = ts.make_params(turbidity=6.5, albedo=0.3,
+                            sun_direction=[0.45, 0.30, 0.84])
+    kinds = table_kinds(base_scene.bsdfs)
+    crn_key = jax.random.PRNGKey(123 + 1000 * seed)
+    env_t = jax.jit(lambda p: M.precompute(tables, p, "rgb"))(true_p)
+    target = film_mod.develop(jax.jit(
+        lambda sc, k: integrator.render_rows(sc, sensor, film, k, spp, 2,
+                                             1000, "rgb", 0, h,
+                                             kinds=kinds))(
+        base_scene._replace(env=env_t), crn_key))
+    target = jax.block_until_ready(target)
+
+    params = ts.make_params(turbidity=3.0, albedo=0.3,
+                            sun_direction=[0.35, 0.2, 0.91])
+    opt_state = optimizer.init(params)
+
+    sd_true = np.asarray([0.45, 0.30, 0.84])
+    sd_true = sd_true / np.linalg.norm(sd_true)
+
+    def report(i, params, loss):
+        sd = np.asarray(params.sun_direction)
+        sd = sd / np.linalg.norm(sd)
+        ang = float(np.degrees(np.arccos(np.clip(np.dot(sd, sd_true),
+                                                 -1, 1))))
+        print(f"  seed {seed} it {i:4d}  T={float(params.turbidity):6.3f} "
+              f"alb={float(np.mean(params.albedo)):6.3f} sun={ang:7.3f}deg "
+              f"loss={float(loss):.3e}", flush=True)
+
+    t0 = time.perf_counter()
+    i = 0
+    for kind, n in losses:
+        step = steps[kind]
+        for _ in range(n):
+            opt_state, params, loss = step(opt_state, params, target,
+                                           crn_key)
+            i += 1
+            if i % log_every == 0 or i == 1:
+                report(i, jax.block_until_ready(params), loss)
+    dt = time.perf_counter() - t0
+    t_err = abs(float(params.turbidity) - 6.5)
+    sd = np.asarray(params.sun_direction)
+    sd = sd / np.linalg.norm(sd)
+    ang = float(np.degrees(np.arccos(np.clip(np.dot(sd, sd_true), -1, 1))))
+    print(f"seed {seed} DONE ({recipe}, {iters} it, {dt:.1f}s): "
+          f"T_err={t_err:.4f} alb={float(np.mean(params.albedo)):.4f} "
+          f"sun_err={ang:.3f}deg", flush=True)
+    return t_err, ang
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--recipe", default="base")
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=0.1)
+    a = ap.parse_args()
+    results = []
+    for s in [int(x) for x in a.seeds.split(",")]:
+        results.append(run_recovery(s, a.iters, a.recipe, a.spp, lr=a.lr))
+    t_errs = [r[0] for r in results]
+    angs = [r[1] for r in results]
+    print(f"SUMMARY {a.recipe}: T_err median={np.median(t_errs):.4f} "
+          f"worst={max(t_errs):.4f}; sun median={np.median(angs):.3f} "
+          f"worst={max(angs):.3f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

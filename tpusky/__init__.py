@@ -70,13 +70,25 @@ def sunsky_params(turbidity=3.0, albedo=0.3, sun_direction_xyz=None,
 
 
 @partial(jax.jit, static_argnames="mode")
-def sunsky_precompute(params: SunskyParams, mode: str = "rgb") -> SunskyState:
+def _sunsky_precompute_jit(params: SunskyParams, mode: str) -> SunskyState:
+    return precompute(load_tables(mode, params.turbidity.dtype), params, mode)
+
+
+def sunsky_precompute(params: SunskyParams, mode: str = None) -> SunskyState:
     """Derive the evaluation state (tables interpolated at the parameters).
 
     jit-compiled by default: on this path eager dispatch of the many tiny
     precompute ops is far slower than one fused XLA program.
+
+    `mode` defaults to the mode the params were built for (an 11-channel
+    albedo means spectral) — passing it explicitly is only needed for
+    params built by hand.
     """
-    return precompute(load_tables(mode, params.turbidity.dtype), params, mode)
+    if mode is None:
+        mode = ("spectral"
+                if params.albedo.shape[-1] == sunsky_constants.N_WAVELENGTHS
+                else "rgb")
+    return _sunsky_precompute_jit(params, mode)
 
 
 @partial(jax.jit, static_argnames="mode")

@@ -372,11 +372,6 @@ def eval_spectral(state: SunskyState, cos_theta, gamma, wavelengths):
     return jnp.where(active, res, 0.0)
 
 
-def _hit_sun_mask(state, cos_theta, gamma):
-    del cos_theta
-    return jnp.cos(gamma) >= jnp.cos(state.params.sun_half_aperture)
-
-
 def _disc_weight(state, gamma):
     """Sun-disc indicator with a straight-through surrogate gradient.
 
@@ -451,19 +446,8 @@ def _pallas_available() -> bool:
         return False
 
 
-def eval(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
-    """Emitted radiance along local direction d (pointing at the sky).
-
-    RGB mode -> (..., 3) linear sRGB; spectral mode -> (..., W) with
-    ``wavelengths`` (..., W) in nm.
-    """
-    if mode == "rgb":
-        if wavelengths is None and _pallas_available():
-            flat = d.reshape(-1, 3)
-            out = _eval_rgb_fused(state, flat)
-            return out.reshape(d.shape[:-1] + (3,))
-        return _eval_rgb_jnp(state, d)
-
+def _eval_spec_jnp(state: SunskyState, d, wavelengths):
+    """Pure-jnp spectral radiance (..., W); reference path and AD backward."""
     cos_theta = d[..., 2]
     gamma = unit_angle(state.sun_frame_n, d)
     # The formulas are only valid above the horizon; the output is masked
@@ -472,9 +456,49 @@ def eval(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
     # clamp the formula input. The clamp is the identity on valid lanes.
     below = cos_theta < 0.0
     cos_theta_c = jnp.maximum(cos_theta, 0.0)
-    assert wavelengths is not None, "spectral eval needs wavelengths"
     res = eval_spectral(state, cos_theta_c, gamma, wavelengths)
     return jnp.where(below[..., None], 0.0, res)
+
+
+@jax.custom_jvp
+def _eval_spec_fused(state: SunskyState, d, wavelengths):
+    """Fused Pallas spectral primal (TPU); AD via the jnp formula (same
+    custom_jvp pattern as `_eval_rgb_fused`)."""
+    from ...ops.pallas.sunsky_kernel import sunsky_eval_spec_pallas
+    return sunsky_eval_spec_pallas(state, d, wavelengths)
+
+
+@_eval_spec_fused.defjvp
+def _eval_spec_fused_jvp(primals, tangents):
+    primal_out = _eval_spec_fused(*primals)
+    _, tangent_out = jax.jvp(_eval_spec_jnp, primals, tangents)
+    return primal_out, tangent_out
+
+
+def eval(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
+    """Emitted radiance along local direction d (pointing at the sky).
+
+    RGB mode -> (..., 3) linear sRGB; spectral mode -> (..., W) with
+    ``wavelengths`` (..., W) in nm. Both modes run fused Pallas kernels
+    on TPU (reference eval `sunsky.cpp:303-352`, spectral wavelength
+    lerp :326-347).
+    """
+    if mode == "rgb":
+        if wavelengths is None and _pallas_available():
+            flat = d.reshape(-1, 3)
+            out = _eval_rgb_fused(state, flat)
+            return out.reshape(d.shape[:-1] + (3,))
+        return _eval_rgb_jnp(state, d)
+
+    assert wavelengths is not None, "spectral eval needs wavelengths"
+    if _pallas_available():
+        nw = wavelengths.shape[-1]
+        flat_d = d.reshape(-1, 3)
+        flat_wl = jnp.broadcast_to(
+            wavelengths, d.shape[:-1] + (nw,)).reshape(-1, nw)
+        out = _eval_spec_fused(state, flat_d, flat_wl)
+        return out.reshape(d.shape[:-1] + (nw,))
+    return _eval_spec_jnp(state, d, wavelengths)
 
 
 # ---------------------------------------------------------------------------
@@ -622,15 +646,41 @@ def _hit_rgb_fused_jvp(primals, tangents):
     return primal_out, tangent_out
 
 
+def _hit_spec_jnp(state: SunskyState, d, wavelengths):
+    return (_eval_spec_jnp(state, d, wavelengths), pdf_direction(state, d))
+
+
+@jax.custom_jvp
+def _hit_spec_fused(state: SunskyState, d, wavelengths):
+    """(radiance, pdf) in one Pallas pass — spectral emitter-hit block."""
+    from ...ops.pallas.sunsky_kernel import sunsky_hit_spec_pallas
+    return sunsky_hit_spec_pallas(state, d, wavelengths)
+
+
+@_hit_spec_fused.defjvp
+def _hit_spec_fused_jvp(primals, tangents):
+    primal_out = _hit_spec_fused(*primals)
+    _, tangent_out = jax.jvp(_hit_spec_jnp, primals, tangents)
+    return primal_out, tangent_out
+
+
 def eval_pdf(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
     """Radiance + solid-angle pdf toward local direction d.
 
-    Fused on TPU in RGB mode; identical to `(eval(...), pdf_direction(...))`
-    otherwise."""
+    Fused on TPU in both modes; identical to
+    `(eval(...), pdf_direction(...))` otherwise."""
     if mode == "rgb" and wavelengths is None and _pallas_available():
         flat = d.reshape(-1, 3)
         rad, pdf = _hit_rgb_fused(state, flat)
         return (rad.reshape(d.shape[:-1] + (3,)),
+                pdf.reshape(d.shape[:-1]))
+    if mode != "rgb" and wavelengths is not None and _pallas_available():
+        nw = wavelengths.shape[-1]
+        flat_d = d.reshape(-1, 3)
+        flat_wl = jnp.broadcast_to(
+            wavelengths, d.shape[:-1] + (nw,)).reshape(-1, nw)
+        rad, pdf = _hit_spec_fused(state, flat_d, flat_wl)
+        return (rad.reshape(d.shape[:-1] + (nw,)),
                 pdf.reshape(d.shape[:-1]))
     return (eval(state, d, wavelengths=wavelengths, mode=mode),
             pdf_direction(state, d))
@@ -659,17 +709,46 @@ def _sample_eval_rgb_fused_jvp(primals, tangents):
     return primal_out, tangent_out
 
 
+def _sample_eval_spec_jnp(state: SunskyState, u2, wavelengths):
+    d, pdf = sample_direction(state, u2)
+    d = jax.lax.stop_gradient(d)
+    return d, _eval_spec_jnp(state, d, wavelengths), pdf
+
+
+@jax.custom_jvp
+def _sample_eval_spec_fused(state: SunskyState, u2, wavelengths):
+    """(direction, radiance, pdf) in one Pallas pass — spectral NEE."""
+    from ...ops.pallas.sunsky_kernel import sunsky_nee_spec_pallas
+    return sunsky_nee_spec_pallas(state, u2, wavelengths)
+
+
+@_sample_eval_spec_fused.defjvp
+def _sample_eval_spec_fused_jvp(primals, tangents):
+    primal_out = _sample_eval_spec_fused(*primals)
+    _, tangent_out = jax.jvp(_sample_eval_spec_jnp, primals, tangents)
+    return primal_out, tangent_out
+
+
 def sample_eval(state: SunskyState, u2, wavelengths=None,
                 mode: str = "rgb"):
     """Importance-sample a direction and evaluate its radiance + pdf.
 
     Returns (d_local (..., 3) — already detached, radiance, pdf). Fused on
-    TPU in RGB mode."""
+    TPU in both modes."""
     if mode == "rgb" and wavelengths is None and _pallas_available():
         flat = u2.reshape(-1, 2)
         d, rad, pdf = _sample_eval_rgb_fused(state, flat)
         batch = u2.shape[:-1]
         return (d.reshape(batch + (3,)), rad.reshape(batch + (3,)),
+                pdf.reshape(batch))
+    if mode != "rgb" and wavelengths is not None and _pallas_available():
+        nw = wavelengths.shape[-1]
+        batch = u2.shape[:-1]
+        flat_u = u2.reshape(-1, 2)
+        flat_wl = jnp.broadcast_to(wavelengths,
+                                   batch + (nw,)).reshape(-1, nw)
+        d, rad, pdf = _sample_eval_spec_fused(state, flat_u, flat_wl)
+        return (d.reshape(batch + (3,)), rad.reshape(batch + (nw,)),
                 pdf.reshape(batch))
     d, pdf = sample_direction(state, u2)
     d = jax.lax.stop_gradient(d)

@@ -68,7 +68,7 @@ def _rand(lane, dim: int, c: int, seed):
         x = x * jnp.uint32(0x846CA68B)
         x = x ^ (x >> 16)
         return x
-    dc = jnp.uint32(dim * 2 + c)
+    dc = jnp.uint32(dim * 64 + c)
     x = h(lane * jnp.uint32(0x85EBCA6B) + dc * jnp.uint32(0xC2B2AE35)
           + seed)
     x = h(x ^ (lane + jnp.uint32(0x9E3779B9)))

@@ -410,6 +410,281 @@ def _lane_major(x, n_pad):
     return out.at[:, :x.shape[0]].set(x.T)
 
 
+# ---------------------------------------------------------------------------
+# Spectral kernels (11 dataset channels, hero-wavelength lerp in-kernel)
+# ---------------------------------------------------------------------------
+
+_N_CH = C.N_WAVELENGTHS            # 11
+_SUN_SPEC_F = _N_CH * 4            # 44 flattened spectral sun coefs/segment
+
+
+def _radiance_spec_rows(dx, dy, dz, wl_rows, skyp_ref, skyr_ref, sun_ref,
+                        ld_ref, misc_ref):
+    """Spectral radiance core -> W rows (1, B), one per hero wavelength.
+
+    Mirrors `model.eval_spectral` (reference spectral eval
+    `sunsky.cpp:326-347`): evaluate ALL 11 dataset channels as (11, B)
+    tiles (sky formula, sun elevation polynomial, limb darkening), then
+    per hero wavelength collapse the channel axis with a lerp-weighted
+    one-hot mask — the two neighbouring channels with weights (1-f, f).
+    Sky, sun and limb darkening are each lerped separately (the jnp path
+    lerps factors before multiplying; lerp-of-products would differ)."""
+    sun_nx = misc_ref[0, _M_SUNX]
+    sun_ny = misc_ref[0, _M_SUNY]
+    sun_nz = misc_ref[0, _M_SUNZ]
+    half_ap = misc_ref[0, _M_HALF_AP]
+    sky_scale = misc_ref[0, _M_SKY_SCALE]
+    sun_scale_area = misc_ref[0, _M_SUN_SCALE]
+
+    bsz = dx.shape[-1]
+    cos_theta = dz
+    below = cos_theta < 0.0
+    cos_theta_c = jnp.maximum(cos_theta, 0.0)
+
+    dot_sd = dx * sun_nx + dy * sun_ny + dz * sun_nz
+    sx = jnp.where(dot_sd >= 0.0, sun_nx, -sun_nx)
+    sy = jnp.where(dot_sd >= 0.0, sun_ny, -sun_ny)
+    sz = jnp.where(dot_sd >= 0.0, sun_nz, -sun_nz)
+    diff2 = (dx - sx) ** 2 + (dy - sy) ** 2 + (dz - sz) ** 2
+    half_chord = jnp.clip(0.5 * jnp.sqrt(diff2), 0.0, 1.0)
+    temp = 2.0 * trig.asin01(half_chord)
+    gamma = jnp.where(dot_sd >= 0.0, temp, jnp.pi - temp)
+
+    cos_gamma = jnp.cos(gamma)
+    cos_gamma_sqr = cos_gamma * cos_gamma
+
+    # sun segment + elevation powers
+    elevation = trig.asin01(jnp.clip(cos_theta_c, 0.0, 1.0))
+    rel_el = jnp.maximum(2.0 * elevation / jnp.pi, 1e-30)
+    pos_f = jnp.exp(jnp.log(rel_el) * (1.0 / 3.0)) * _N_SEG
+    pos = jnp.clip(pos_f.astype(jnp.int32), 0, _N_SEG - 1)
+    break_x = 0.5 * jnp.pi * (pos.astype(jnp.float32) / _N_SEG) ** 3
+    x = jnp.maximum(elevation - break_x, 0.0)
+
+    sin_ap = jnp.sin(half_ap)
+    sin_g = jnp.sin(gamma)
+    cp2 = 1.0 - (sin_g * sin_g) / (sin_ap * sin_ap)
+    cos_psi = jnp.where(cp2 > 0.0, jnp.sqrt(jnp.maximum(cp2, 0.0)), 0.0)
+    hit_sun = (cos_gamma >= jnp.cos(half_ap)).astype(jnp.float32)
+
+    # ---- sky formula over all 11 channels as (11, B) tiles ----
+    ct11 = jnp.broadcast_to(cos_theta_c, (_N_CH, bsz))
+    cg11 = jnp.broadcast_to(cos_gamma, (_N_CH, bsz))
+    cg2_11 = jnp.broadcast_to(cos_gamma_sqr, (_N_CH, bsz))
+    gam11 = jnp.broadcast_to(gamma, (_N_CH, bsz))
+    ka = skyp_ref[:, 0:1]
+    kb = skyp_ref[:, 1:2]
+    kc = skyp_ref[:, 2:3]
+    kd = skyp_ref[:, 3:4]
+    ke = skyp_ref[:, 4:5]
+    kf = skyp_ref[:, 5:6]
+    kg = skyp_ref[:, 6:7]
+    ki = skyp_ref[:, 7:8]
+    kh = skyp_ref[:, 8:9]
+    c1 = 1.0 + ka * jnp.exp(kb / (ct11 + 0.01))
+    base = 1.0 + kh * kh - 2.0 * kh * cg11
+    chi = (1.0 + cg2_11) / (base * jnp.sqrt(jnp.maximum(base, 1e-12)))
+    c2 = (kc + kd * jnp.exp(ke * gam11) + kf * cg2_11
+          + kg * chi + ki * jnp.sqrt(ct11))
+    sky_all = c1 * c2 * skyr_ref[0, :][:, None]              # (11, B)
+
+    # ---- sun polynomial over all 11 channels ----
+    seg_ids = jax.lax.broadcasted_iota(jnp.int32, (_N_SEG, bsz), 0)
+    onehot = (seg_ids == pos[0:1, :]).astype(jnp.float32)    # (45, B)
+    coefs = jax.lax.dot_general(sun_ref[:, :], onehot,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # (44,B)
+    # xrep (44, B): x^(r % 4) tiled per channel; S (11, 44) selects each
+    # channel's 4-coef block -> one MXU reduction for all channels
+    x1 = x
+    x2 = x * x
+    x3 = x2 * x
+    xp4 = jnp.concatenate([jnp.ones_like(x), x1, x2, x3], axis=0)  # (4, B)
+    xrep = jnp.concatenate([xp4] * _N_CH, axis=0)            # (44, B)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_N_CH, _SUN_SPEC_F), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (_N_CH, _SUN_SPEC_F), 1)
+    sel = ((col_ids // 4) == row_ids).astype(jnp.float32)    # (11, 44)
+    sun_all = jax.lax.dot_general(sel, coefs * xrep,
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+
+    # ---- limb darkening over all 11 channels: (11,6) @ (6,B) ----
+    c1p = cos_psi
+    c2p = c1p * c1p
+    cp6 = jnp.concatenate([jnp.ones_like(c1p), c1p, c2p, c2p * c1p,
+                           c2p * c2p, c2p * c2p * c1p], axis=0)  # (6, B)
+    ld_all = jax.lax.dot_general(ld_ref[:, :], cp6,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+
+    # ---- per-hero-wavelength channel collapse ----
+    ch_ids = jax.lax.broadcasted_iota(jnp.int32, (_N_CH, bsz), 0)
+    out_rows = []
+    for w in range(wl_rows.shape[0]):
+        wl = wl_rows[w:w + 1, :]
+        nw = (wl - C.WAVELENGTHS[0]) / C.WAVELENGTH_STEP
+        valid = (nw >= 0.0) & (nw <= _N_CH - 1)
+        idx_low = jnp.clip(nw.astype(jnp.int32), 0, _N_CH - 1)
+        lerp_f = nw - idx_low.astype(jnp.float32)
+        idx_high = jnp.minimum(idx_low + 1, _N_CH - 1)
+        wsel = ((ch_ids == idx_low).astype(jnp.float32) * (1.0 - lerp_f)
+                + (ch_ids == idx_high).astype(jnp.float32) * lerp_f)
+        sky_w = jnp.sum(sky_all * wsel, axis=0, keepdims=True)
+        sun_w = jnp.sum(sun_all * wsel, axis=0, keepdims=True)
+        ld_w = jnp.sum(ld_all * wsel, axis=0, keepdims=True)
+        res = sky_scale * sky_w + hit_sun * sun_scale_area * sun_w * ld_w
+        res = jnp.where(below | ~valid, 0.0, res)
+        out_rows.append(res)
+    return out_rows
+
+
+def _spec_eval_kernel(d_ref, wl_ref, skyp_ref, skyr_ref, sun_ref, ld_ref,
+                      misc_ref, out_ref):
+    """d (3, B), wl (W, B) -> radiance (W, B)."""
+    rows = _radiance_spec_rows(d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :],
+                               wl_ref[...], skyp_ref, skyr_ref, sun_ref,
+                               ld_ref, misc_ref)
+    for w, r in enumerate(rows):
+        out_ref[w:w + 1, :] = r
+
+
+def _spec_hit_kernel(d_ref, wl_ref, skyp_ref, skyr_ref, sun_ref, ld_ref,
+                     misc_ref, g_ref, out_ref):
+    """d (3, B), wl (W, B) -> [radiance (W), pdf (1)] rows."""
+    dx = d_ref[0:1, :]
+    dy = d_ref[1:2, :]
+    dz = d_ref[2:3, :]
+    rows = _radiance_spec_rows(dx, dy, dz, wl_ref[...], skyp_ref, skyr_ref,
+                               sun_ref, ld_ref, misc_ref)
+    pdf = _pdf_row(dx, dy, dz, g_ref, misc_ref,
+                   jnp.ones_like(dx, dtype=bool))
+    nw = len(rows)
+    for w, r in enumerate(rows):
+        out_ref[w:w + 1, :] = r
+    out_ref[nw:nw + 1, :] = pdf
+
+
+def _spec_nee_kernel(u_ref, wl_ref, skyp_ref, skyr_ref, sun_ref, ld_ref,
+                     misc_ref, g_ref, out_ref):
+    """u2 (2, B), wl (W, B) -> [d (3), radiance (W), pdf (1)] rows."""
+    dx, dy, dz, pick_sky = _nee_sample_rows(u_ref[0:1, :], u_ref[1:2, :],
+                                            misc_ref, g_ref)
+    pdf = _pdf_row(dx, dy, dz, g_ref, misc_ref, pick_sky)
+    pdf = jnp.where(dz >= 0.0, pdf, 0.0)
+    rows = _radiance_spec_rows(dx, dy, dz, wl_ref[...], skyp_ref, skyr_ref,
+                               sun_ref, ld_ref, misc_ref)
+    out_ref[0:1, :] = dx
+    out_ref[1:2, :] = dy
+    out_ref[2:3, :] = dz
+    for w, r in enumerate(rows):
+        out_ref[3 + w:4 + w, :] = r
+    out_ref[3 + len(rows):4 + len(rows), :] = pdf
+
+
+def _misc_row_spec(state):
+    """Spectral misc row: the sun scale has no RGB conversion constant and
+    no CIE normalisation (`model.eval_spectral`)."""
+    from ...models.sunsky.model import area_ratio
+    p = state.params
+    return jnp.stack([
+        state.sun_frame_n[0], state.sun_frame_n[1], state.sun_frame_n[2],
+        p.sun_half_aperture, p.sky_scale,
+        p.sun_scale * area_ratio(p.sun_half_aperture),
+        state.sun_angles[0], state.sky_sampling_w,
+        jnp.cos(p.sun_half_aperture),
+        state.sun_frame_s[0], state.sun_frame_s[1], state.sun_frame_s[2],
+        state.sun_frame_t[0], state.sun_frame_t[1], state.sun_frame_t[2],
+        jnp.float32(0.0)])[None, :]
+
+
+def _spec_const_specs():
+    return [
+        pl.BlockSpec((_N_CH, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _N_CH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_SUN_SPEC_F, _N_SEG), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_N_CH, C.N_SUN_LD_PARAMS), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sunsky_eval_spec_pallas(state, d, wavelengths, interpret: bool = False):
+    """Fused spectral sunsky radiance. d (N, 3), wavelengths (N, W) ->
+    (N, W). Matches `model.eval(state, d, wavelengths, mode='spectral')`."""
+    n, nw = wavelengths.shape
+    n_pad = -(-n // BLOCK) * BLOCK
+    d_t = _lane_major(d, n_pad)
+    wl_t = _lane_major(wavelengths, n_pad)
+    out = pl.pallas_call(
+        _spec_eval_kernel,
+        grid=(n_pad // BLOCK,),
+        in_specs=[pl.BlockSpec((3, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nw, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] + _spec_const_specs(),
+        out_specs=pl.BlockSpec((nw, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, n_pad), jnp.float32),
+        interpret=interpret,
+    )(d_t, wl_t, state.sky_params, state.sky_radiance[None, :],
+      state.sun_radiance.T, state.sun_ld, _misc_row_spec(state))
+    return out[:, :n].T
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sunsky_hit_spec_pallas(state, d, wavelengths, interpret: bool = False):
+    """Fused spectral radiance + pdf. d (N, 3), wl (N, W) ->
+    (radiance (N, W), pdf (N,))."""
+    n, nw = wavelengths.shape
+    n_pad = -(-n // BLOCK) * BLOCK
+    d_t = _lane_major(d, n_pad)
+    wl_t = _lane_major(wavelengths, n_pad)
+    out = pl.pallas_call(
+        _spec_hit_kernel,
+        grid=(n_pad // BLOCK,),
+        in_specs=[pl.BlockSpec((3, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nw, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+        + _spec_const_specs() + [_GAUSS_SPEC],
+        out_specs=pl.BlockSpec((nw + 1, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw + 1, n_pad), jnp.float32),
+        interpret=interpret,
+    )(d_t, wl_t, state.sky_params, state.sky_radiance[None, :],
+      state.sun_radiance.T, state.sun_ld, _misc_row_spec(state),
+      _gauss_rows(state))
+    return out[:nw, :n].T, out[nw, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sunsky_nee_spec_pallas(state, u2, wavelengths, interpret: bool = False):
+    """Fused spectral NEE: sample + radiance + pdf. u2 (N, 2), wl (N, W)
+    -> (d (N, 3), radiance (N, W), pdf (N,))."""
+    n, nw = wavelengths.shape
+    n_pad = -(-n // BLOCK) * BLOCK
+    u_t = _lane_major(u2, n_pad)
+    wl_t = _lane_major(wavelengths, n_pad)
+    out = pl.pallas_call(
+        _spec_nee_kernel,
+        grid=(n_pad // BLOCK,),
+        in_specs=[pl.BlockSpec((2, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nw, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+        + _spec_const_specs() + [_GAUSS_SPEC],
+        out_specs=pl.BlockSpec((nw + 4, BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw + 4, n_pad), jnp.float32),
+        interpret=interpret,
+    )(u_t, wl_t, state.sky_params, state.sky_radiance[None, :],
+      state.sun_radiance.T, state.sun_ld, _misc_row_spec(state),
+      _gauss_rows(state))
+    return out[:3, :n].T, out[3:3 + nw, :n].T, out[3 + nw, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sunsky_eval_rgb_pallas(state, d, interpret: bool = False):
     """Fused RGB sunsky radiance. d (N, 3) local directions -> (N, 3).

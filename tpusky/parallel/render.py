@@ -158,6 +158,11 @@ def make_train_step_single(scene_builder, sensor, film_cfg, spp,
     from ..render import integrator
     from ..render.bsdf import table_kinds
 
+    _loss_kind = loss[0] if isinstance(loss, tuple) else loss
+    if _loss_kind not in ("l2", "rel_l2", "log_l2", "log_l2_blur"):
+        raise ValueError(f"unknown loss kind {_loss_kind!r}; expected one "
+                         "of 'l2', 'rel_l2', 'log_l2', 'log_l2_blur'")
+
     def loss_fn(params, target, key):
         scene = scene_builder(params)
         kinds = table_kinds(scene.bsdfs)

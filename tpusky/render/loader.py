@@ -283,7 +283,7 @@ class SceneBundle:
                     tex.atlas, block, (off, 0)))
             elif rest == "emitter.radiance.value":
                 area_rad = area_rad.at[info["shape"]].set(v)
-            elif rest == "sigma_t":
+            elif rest == "sigma_t" and info.get("medium") is not None:
                 med = _medium_replace(med, info["medium"], sigma_t=v)
             elif rest == "albedo" and info.get("medium") is not None:
                 med = _medium_replace(med, info["medium"], albedo=v)

@@ -116,8 +116,14 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
     """n uniform samples for each lane -> (..., n).
 
     pixel_idx, sample_idx: uint32 arrays identifying the lane. `dim` is a
-    static per-use-site stream id.
+    static per-use-site stream id. Internally each (dim, channel) pair
+    maps to stream `dim * 64 + channel` — injective for n <= 64, so
+    adjacent dims can never alias channels of one another (a stride-2
+    scheme made `next(d, 3)[..., 2]` bitwise equal to `next(d+1, 2)[..., 0]`,
+    correlating free-flight and NEE draws for 3+ media regions).
     """
+    if n > 64:
+        raise ValueError("lane_samples supports at most 64 channels per dim")
     if kind == "threefry":
         lane = pixel_idx * jnp.uint32(max(spp, 1)) + sample_idx
         keys = jax.vmap(lambda i: jax.random.fold_in(
@@ -134,10 +140,10 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
             # two rounds left measurable correlations in light-sampling
             # estimators (seen as ~2x bias-noise vs threefry)
             h = _hash_u32(lane * jnp.uint32(0x85EBCA6B)
-                          + jnp.uint32(dim * 2 + c) * jnp.uint32(0xC2B2AE35)
+                          + jnp.uint32(dim * 64 + c) * jnp.uint32(0xC2B2AE35)
                           + seed)
             h = _hash_u32(h ^ (lane + jnp.uint32(0x9E3779B9)))
-            out.append(_u32_to_unit(_hash_u32(h + jnp.uint32(dim * 2 + c))))
+            out.append(_u32_to_unit(_hash_u32(h + jnp.uint32(dim * 64 + c))))
         return jnp.stack(out, axis=-1)
 
     if kind == "multijitter":
@@ -151,7 +157,7 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
             out = []
             for c0 in range(0, n, 2):
                 h = _hash_u32(pixel_idx ^ _hash_u32(
-                    jnp.uint32(dim * 2 + c0) ^ seed))
+                    jnp.uint32(dim * 64 + c0) ^ seed))
                 # outer shuffle decorrelates the pair across dimensions
                 s = _kensler_permute_pow2(sample_idx, spp,
                                           h * jnp.uint32(0x51633E2D))
@@ -175,7 +181,7 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
         out = []
         for c in range(n):
             h = _hash_u32(pixel_idx ^ _hash_u32(
-                jnp.uint32(dim * 2 + c) ^ seed))
+                jnp.uint32(dim * 64 + c) ^ seed))
             jitter = _u32_to_unit(_hash_u32(
                 h ^ _hash_u32(sample_idx + jnp.uint32(0x9E3779B9))))
             if pow2:
@@ -215,7 +221,7 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
             b = sample_idx % jnp.uint32(p)
             out = []
             for c in range(n):
-                j = dim * 2 + c
+                j = dim * 64 + c
                 h = _hash_u32(pixel_idx ^ _hash_u32(jnp.uint32(j) ^ seed))
                 k_j = jnp.uint32(1 + (j % max(p - 1, 1)))
                 phi = (a + k_j * b) % jnp.uint32(p)
@@ -237,7 +243,7 @@ def lane_samples(kind: str, key, pixel_idx, sample_idx, spp: int, dim: int,
         out = []
         for c in range(n):
             h = _hash_u32(pixel_idx ^ _hash_u32(
-                jnp.uint32(dim * 2 + c) ^ seed))
+                jnp.uint32(dim * 64 + c) ^ seed))
             bits = d0 if c % 2 == 0 else d1
             scrambled = bits ^ h  # Owen-style digit scramble (XOR variant)
             out.append(_u32_to_unit(scrambled))
