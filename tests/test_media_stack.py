@@ -106,9 +106,13 @@ def test_stack_traverse_and_grad():
     """traverse() exposes each region's sigma_t independently; gradients
     through one region's extinction match finite differences.
 
-    Absorption-only media (albedo 0) keep the estimator smooth in
-    sigma_t (no scattering-branch flips under common random numbers),
-    same discipline as test_volpath.test_medium_scene_differentiable."""
+    Distance sampling follows the DETACHED discipline (the prbvolpath
+    scheme, `render/medium.py sample_interaction`): AD equals the
+    derivative of the expectation, while a common-random-numbers FD
+    follows the pathwise (events-move) estimator — the two agree only up
+    to MC noise, so the FD here runs at higher spp with a statistical
+    tolerance (the exact-expectation anchor lives in
+    test_volpath.test_grid_sigma_gradient_depth6_fd gate 1)."""
     bundle = load_dict(_scene(
         {"ma": _med_cube([-0.5, 0, 1.0], 0.5, [0.5] * 3, albedo=0.0),
          "mb": _med_cube([0.5, 0, 1.0], 0.5, [1.0] * 3, albedo=0.0)},
@@ -120,11 +124,11 @@ def test_stack_traverse_and_grad():
     def mean_img(s):
         p = dict(params)
         p["ma.sigma_t"] = jnp.full((3,), s)
-        return jnp.mean(bundle.render(seed=7, spp=8, params=p))
+        return jnp.mean(bundle.render(seed=7, spp=96, params=p))
 
     g = float(jax.grad(mean_img)(jnp.float32(0.5)))
     eps = 1e-3
     fd = (float(mean_img(jnp.float32(0.5 + eps)))
           - float(mean_img(jnp.float32(0.5 - eps)))) / (2 * eps)
     assert g < 0.0   # thicker fog over half the frame => darker image
-    assert np.isclose(g, fd, rtol=5e-3, atol=1e-5), (g, fd)
+    assert np.isclose(g, fd, rtol=0.08, atol=1e-5), (g, fd)

@@ -274,3 +274,96 @@ def test_indirect_boundary_sphere_blocker_vs_fd():
     # interior alone must visibly miss; interior+boundary must land
     assert err_tot < 0.35, (fd, g_int, float(d_ind[1, 0]), err_tot)
     assert err_tot < err_int, (fd, g_int, g_total)
+
+
+@pytest.mark.slow
+def test_indirect_boundary_mesh_blocker_vs_fd():
+    """Mesh-blocker one-indirect-level boundary term (VERDICT r3 item 7):
+    a coarse icosphere MESH floats between an area panel and the ground;
+    the loss only weighs ground pixels where the mesh is not directly
+    visible, so the visibility gradient w.r.t. the mesh translation
+    lives in the hemispherical integral at the ground points (mesh
+    silhouette edges seen FROM the ground cutting the panel). Interior
+    AD alone misses it; interior + indirect_boundary_grad_mesh must
+    land on FD. Reference counterpart: guided projective walks
+    (`ad/guiding.py`, `prb_projective.py`)."""
+    import sys as _sys
+    import os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__),
+                                      _os.pardir, "tools"))
+    from bench_mesh import icosphere
+    from tpusky.render import film as film_mod
+    from tpusky.render.bsdf import table_kinds
+    from tpusky.render.mesh import mesh_intersect
+
+    panel = np.diag([3.0, 3.0, 1.0, 1.0]).astype(np.float32)
+    panel[2, 3] = 4.0
+    panel[:3, :3] = panel[:3, :3] @ np.diag([1.0, -1.0, -1.0])
+    rad = np.zeros((2, 3), np.float32)
+    rad[1] = 20.0
+    ground = np.diag([20.0, 20.0, 1.0, 1.0]).astype(np.float32)
+
+    pos, idx = icosphere(1)               # 80 triangles
+    t2w = np.eye(4, dtype=np.float32)
+    t2w[2, 3] = 2.0
+
+    base = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=1, to_world=panel, bsdf_idx=2, emitter_idx=0)],
+        bsdf_albedos=[[0.6, 0.6, 0.6], [0.3, 0.3, 0.3], [0.0, 0.0, 0.0]],
+        meshes=[dict(positions=pos, indices=idx, to_world=t2w,
+                     bsdf_idx=1)],
+        area_radiance=rad, env=None)
+
+    def scene_of(cx):
+        c = jnp.stack([jnp.asarray(cx, jnp.float32), jnp.float32(0.0),
+                       jnp.float32(0.0)])
+        m = base.mesh._replace(v0=base.mesh.v0 + c)
+        return base._replace(mesh=m)
+
+    sensor = make_perspective([0.0, -9.0, 6.0], [2.5, 0.0, 0.0],
+                              fov_x_deg=40)
+    film = Film(64, 64, 3)
+    spp = 96
+    key = jax.random.PRNGKey(7)
+
+    def render(cx):
+        scene = scene_of(cx)
+        return film_mod.develop(integrator.render_rows(
+            scene, sensor, film, key, spp, 2, 1000, "rgb", 0, 64))
+
+    # mask out pixels where the mesh is in the primary image for any
+    # tested offset
+    mask = np.ones((64, 64, 3), np.float32)
+    from tpusky.render.sensors import sample_ray
+    ys, xs = np.meshgrid((np.arange(64) + 0.5) / 64,
+                         (np.arange(64) + 0.5) / 64, indexing="ij")
+    uv = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    o, d = sample_ray(sensor, uv)
+    for cx in (-0.3, 0.0, 0.3):
+        scene = scene_of(cx)
+        tm = mesh_intersect(scene.mesh, o, d)[0]
+        on_mesh = np.isfinite(np.asarray(tm))
+        mask *= (~on_mesh.reshape(64, 64))[..., None]
+
+    def loss_of(img):
+        return jnp.sum(img * jnp.asarray(mask)) / mask.sum()
+
+    eps = 0.15
+    fd = (float(loss_of(render(eps))) - float(loss_of(render(-eps)))) \
+        / (2 * eps)
+    g_int = float(jax.grad(lambda c: loss_of(render(c)))(0.0))
+
+    grad_img = jnp.asarray(mask) / mask.sum()
+    scene0 = scene_of(0.0)
+    d_ind = proj.indirect_boundary_grad_mesh(
+        scene0, sensor, film, grad_img, jax.random.PRNGKey(11),
+        n_x=16384, probe_spp=4, max_depth=2,
+        kinds=table_kinds(scene0.bsdfs))
+    g_total = g_int + float(d_ind[0])
+
+    denom = max(abs(fd), 1e-4)
+    err_int = abs(g_int - fd) / denom
+    err_tot = abs(g_total - fd) / denom
+    assert err_tot < 0.35, (fd, g_int, float(d_ind[0]), err_tot)
+    assert err_tot < err_int, (fd, g_int, g_total)

@@ -32,17 +32,78 @@ def goldens():
         return dict(z)
 
 
-@pytest.mark.parametrize("name", ["sunsky_sphere", "sky_only",
-                                  "constant_cube_gi", "area_light"])
+ALL_SCENES = ["sunsky_sphere", "sky_only", "constant_cube_gi",
+              "area_light", "mesh_gi", "rough_conductor", "medium_sphere",
+              "spectral_plane", "dielectric_sphere", "envmap_lit"]
+
+
+@pytest.mark.parametrize("name", ALL_SCENES)
 def test_render_regression(name, goldens):
-    from tools.gen_scene_goldens import SCENES
-    scene, sensor, depth = SCENES[name]()
+    from tools.gen_scene_goldens import build
+    scene, sensor, depth, mode = build(name)
+    if f"{name}_mean" not in goldens:
+        pytest.skip(f"{name} golden not generated yet")
     size = int(goldens["size"])
     film = Film(size, size, 3)
     img = np.asarray(integrator.render(scene, sensor, film,
                                        jax.random.PRNGKey(1234), spp=SPP,
-                                       max_depth=depth))
+                                       max_depth=depth, mode=mode))
     ok, n_failed, min_p, alpha = z_test(
         img, SPP, goldens[f"{name}_mean"], goldens[f"{name}_var"])
     assert ok, (f"{name}: {n_failed} pixels failed the Z-test "
                 f"(min p={min_p:.3g}, alpha_corr={alpha:.3g})")
+
+
+# ---------------------------------------------------------------------------
+# Cross-integrator mapping (reference `test_renders.py:45-52`
+# INTEGRATOR_MAPPING: the same scene re-rendered by a different engine
+# must satisfy the same statistical gate)
+# ---------------------------------------------------------------------------
+
+
+def test_cross_integrator_ptracer_vs_path_golden(goldens):
+    """The adjoint particle tracer's image of the area-light scene passes
+    the Z-test against the PATH-integrator golden (light tracing and path
+    tracing agree in expectation; `ptracer.cpp` vs `path.cpp`)."""
+    from tools.gen_scene_goldens import build
+    from tpusky.render.ptracer import render_ptracer
+    scene, sensor, depth, _mode = build("area_light")
+    size = int(goldens["size"])
+    film = Film(size, size, 3)
+    img = np.asarray(render_ptracer(scene, sensor, film,
+                                    jax.random.PRNGKey(99),
+                                    n_particles=1 << 21, max_depth=depth))
+    # effective per-pixel sample count for the variance scaling: particles
+    # land ~uniformly on the film, so particles / pixels is the right
+    # order; the golden variance is the path estimator's, so this is an
+    # approximate (conservative at high particle counts) gate
+    eff_spp = (1 << 21) // (size * size)
+    ok, n_failed, min_p, alpha = z_test(
+        img, eff_spp, goldens["area_light_mean"], goldens["area_light_var"])
+    assert ok, (f"ptracer vs path golden: {n_failed} px failed "
+                f"(min p={min_p:.3g}, alpha={alpha:.3g})")
+
+
+def test_cross_integrator_megakernel_vs_path_golden(goldens, monkeypatch):
+    """The Pallas direct-illumination megakernel (interpret mode on CPU)
+    passes the Z-test against the wavefront-path golden of the sunsky
+    scene (megakernel vs wavefront, `path.cpp:122-127`)."""
+    from tools.gen_scene_goldens import build
+    from tpusky.render import film as film_mod
+    from tpusky.render.bsdf import table_kinds
+    monkeypatch.setenv("TPUSKY_MEGAKERNEL_INTERPRET", "1")
+    monkeypatch.delenv("TPUSKY_DISABLE_PALLAS", raising=False)
+    scene, sensor, depth, _mode = build("sunsky_sphere")
+    size = int(goldens["size"])
+    film = Film(size, size, 3)
+    kinds = table_kinds(scene.bsdfs)
+    assert integrator._megakernel_ok(scene, sensor, film, SPP, depth,
+                                     "rgb", "independent", kinds)
+    img = film_mod.develop(integrator._render_impl(
+        scene, sensor, film, jax.random.PRNGKey(4321), SPP, depth, 1000,
+        "rgb", kinds=kinds))
+    ok, n_failed, min_p, alpha = z_test(
+        np.asarray(img), SPP, goldens["sunsky_sphere_mean"],
+        goldens["sunsky_sphere_var"])
+    assert ok, (f"megakernel vs path golden: {n_failed} px failed "
+                f"(min p={min_p:.3g}, alpha={alpha:.3g})")

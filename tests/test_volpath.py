@@ -419,3 +419,100 @@ def test_rayleigh_loader():
     })
     img = np.asarray(bundle.render(seed=0))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+@pytest.mark.slow
+def test_grid_sigma_gradient_depth6_fd():
+    """prbvolpath-parity check (VERDICT r3 item 8; reference
+    `ad/integrators/prbvolpath.py:1-434`): gradients of renders w.r.t. a
+    heterogeneous density grid, with the backward pass memory-bounded by
+    the `jax.checkpoint`-ed bounce scan (each bounce's density march is
+    rematerialised, never stored for all 6 bounces at once).
+
+    Three gates, from exact to statistical:
+      1. estimator-level: the detached-sampling ratio weights' grid
+         gradient matches the ANALYTIC derivative of their expectation
+         (pure-absorption pass weight E=T(D), and absorption+scatter
+         mixture E = T + 0.5(1-T)) to MC accuracy. This is the part a
+         previous implementation silently lost (it cancelled dens(x_s)
+         between value and pdf analytically; AD came out 100x low).
+      2. depth-1 render: radiance = env * T_seg is analytic in the grid
+         (no sampling events) -> AD == FD tightly.
+      3. depth-6 render on a 64^3 grid: the full adjoint runs with
+         bounded memory, is finite, nonzero, and descends the loss.
+    """
+    from tpusky.render.medium import (sample_interaction, medium_interval,
+                                      line_density)
+
+    rng = np.random.default_rng(5)
+
+    # ---- 1. estimator vs analytic expectation (16^3 grid) ----
+    g16 = (0.5 + 0.5 * rng.random((8, 8, 8))).astype(np.float32)
+    N = 100_000
+    u = jnp.asarray(rng.random(N).astype(np.float32))
+    o = jnp.broadcast_to(jnp.asarray([0.0, -2.0, 0.1]), (N, 3))
+    dd = np.asarray([0.0, 1.0, 0.05]) / np.linalg.norm([0, 1, 0.05])
+    d = jnp.broadcast_to(jnp.asarray(dd, jnp.float32), (N, 3))
+    v = rng.normal(size=g16.shape).astype(np.float32)
+
+    def est_mix(grid):
+        m = make_medium([1.3] * 3, [1.0] * 3, kind="cube", density=grid,
+                        n_steps=16)
+        t0, t1 = medium_interval(m, o, d)
+        seg = jnp.maximum(t1 - t0, 0.0)
+        sc, s, T, wp, ws = sample_interaction(m, o, d, t0, seg, u)
+        return jnp.mean(jnp.where(sc[..., None], 0.5 * ws, wp)[..., 0])
+
+    def analytic_mix(grid):
+        m = make_medium([1.3] * 3, [1.0] * 3, kind="cube", density=grid,
+                        n_steps=16)
+        D = line_density(m, o[:1], d[:1], jnp.asarray([1e9]))
+        T = jnp.exp(-1.3 * D)[0]
+        return T + 0.5 * (1.0 - T)
+
+    ad = float(jnp.sum(jax.grad(est_mix)(jnp.asarray(g16)) * v))
+    ref = float(jnp.sum(jax.grad(analytic_mix)(jnp.asarray(g16)) * v))
+    assert abs(ad - ref) <= 0.08 * abs(ref) + 1e-6, (ad, ref)
+
+    # ---- 2. depth-1 render is analytic in the grid: AD == FD ----
+    med = make_medium([1.4] * 3, [0.75] * 3, g=0.2, kind="cube",
+                      density=g16, n_steps=16)
+    scene = make_scene(env=ConstantEnv(jnp.asarray([1.0, 1.0, 1.0])),
+                       medium=med)
+    sensor = make_perspective([0, -3.0, 0.0], [0, 0, 0.0], fov_x_deg=40)
+    film = Film(16, 16, 3)
+    key = jax.random.PRNGKey(3)
+
+    def loss_d1(grid):
+        sc = scene._replace(medium=scene.medium._replace(density=grid))
+        return jnp.mean(integrator.render(sc, sensor, film, key, spp=8,
+                                          max_depth=1))
+
+    gr = jax.grad(loss_d1)(jnp.asarray(g16))
+    ad1 = float(jnp.sum(gr * v))
+    f = jax.jit(loss_d1)
+    eps = 0.01
+    fd1 = (float(f(jnp.asarray(g16 + eps * v)))
+           - float(f(jnp.asarray(g16 - eps * v)))) / (2 * eps)
+    assert abs(ad1 - fd1) <= 0.03 * abs(fd1) + 1e-7, (ad1, fd1)
+
+    # ---- 3. depth-6, 64^3 grid: memory-bounded full adjoint ----
+    g64 = (0.4 + 0.6 * rng.random((64, 64, 64))).astype(np.float32)
+    med64 = make_medium([1.4] * 3, [0.75] * 3, g=0.2, kind="cube",
+                        density=g64, n_steps=32)
+    scene64 = make_scene(env=ConstantEnv(jnp.asarray([1.0, 1.0, 1.0])),
+                         medium=med64)
+
+    def loss_d6(grid):
+        sc = scene64._replace(medium=scene64.medium._replace(density=grid))
+        return jnp.mean(integrator.render(sc, sensor, film, key, spp=16,
+                                          max_depth=6))
+
+    grad64 = np.asarray(jax.grad(loss_d6)(jnp.asarray(g64)))
+    assert np.isfinite(grad64).all()
+    assert np.abs(grad64).max() > 0.0
+    # denser medium in front of a constant env -> less radiance overall:
+    # the mean gradient must be negative (single-sided, high-SNR check;
+    # a per-direction FD here would measure MC event-flip noise, not the
+    # derivative — see the estimator-level gate above for exactness)
+    assert grad64.sum() < 0.0, grad64.sum()

@@ -24,7 +24,8 @@ import numpy as np
 
 
 def run_recovery(seed: int, iters: int, recipe: str, spp: int,
-                 log_every: int = 20, lr: float = 0.1):
+                 log_every: int = 20, lr: float = 0.1,
+                 freeze_albedo: bool = False):
     import optax
     import tpusky as ts
     from tpusky.models.sunsky import model as M
@@ -47,29 +48,80 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
     def scene_builder(params):
         return base_scene._replace(env=M.precompute(tables, params, "rgb"))
 
+    def scene_builder_min(pd):
+        # minimal parameter dict: the nuisance leaves (scales, aperture)
+        # are STRUCTURALLY absent; constraints are reparameterized into
+        # the builder so no projection step is needed
+        full = ts.make_params(
+            turbidity=jnp.clip(pd["t"], 1.0, 10.0),
+            albedo=jnp.clip(pd["alb"], 0.0, 1.0),
+            sun_direction=pd["sun"] / jnp.linalg.norm(pd["sun"]))
+        return base_scene._replace(env=M.precompute(tables, full, "rgb"))
+
     def project(p):
+        albedo = (jnp.full_like(p.albedo, 0.3) if freeze_albedo
+                  else jnp.clip(p.albedo, 0.0, 1.0))
+        # CRITICAL: sky_scale / sun_scale / sun_half_aperture are leaves
+        # of the params pytree; left free, adam uses them to absorb the
+        # brightness/disc-size residual that should drive turbidity and
+        # sun_direction (measured: T stalls ~0.3 off with them free).
+        fixed = ts.make_params()
         return p._replace(
             sun_direction=p.sun_direction / jnp.linalg.norm(p.sun_direction),
             turbidity=jnp.clip(p.turbidity, 1.0, 10.0),
-            albedo=jnp.clip(p.albedo, 0.0, 1.0))
+            albedo=albedo,
+            sky_scale=fixed.sky_scale, sun_scale=fixed.sun_scale,
+            sun_half_aperture=fixed.sun_half_aperture)
 
     if recipe == "decay":
-        optimizer = __import__("optax").adam(
-            __import__("optax").cosine_decay_schedule(lr, iters, 0.05))
+        optimizer = optax.adam(
+            optax.cosine_decay_schedule(lr, iters, 0.05))
+    elif recipe.startswith("multilr"):
+        # per-parameter learning rates: sun_direction lives on the unit
+        # sphere where 0.1-sized adam steps are ~6 deg/iter (measured:
+        # the sun wanders to 20-35 deg error in the first 20 iters);
+        # turbidity spans [1,10] and needs the large steps. The scale /
+        # aperture leaves are nuisance parameters pinned to zero update.
+        from tpusky.models.sunsky.model import SunskyParams as _SP
+        labels = _SP(turbidity="t", albedo="alb", sun_direction="sun",
+                     sky_scale="frz", sun_scale="frz",
+                     sun_half_aperture="frz")
+        sched = lambda peak: optax.cosine_decay_schedule(peak, iters, 0.1)
+        optimizer = optax.multi_transform(
+            {"t": optax.adam(sched(lr)),
+             "alb": optax.adam(sched(0.03)),
+             "sun": optax.adam(sched(0.01)),
+             "frz": optax.set_to_zero()}, labels)
     else:
         optimizer = optax.adam(lr)
 
+    if recipe.startswith("mindict"):
+        import optax as _ox
+        sched = lambda peak: _ox.cosine_decay_schedule(peak, iters, 0.1)
+        optimizer = _ox.multi_transform(
+            {"t": _ox.adam(sched(lr)), "alb": _ox.adam(sched(0.02)),
+             "sun": _ox.adam(sched(0.008))},
+            {"t": "t", "alb": "alb", "sun": "sun"})
+
     losses = {"base": [("log_l2_blur", iters)],
+              "mindict": [("log_l2_blur", iters)],
               "decay": [("log_l2_blur", iters)],
+              "multilr": [("log_l2_blur", iters)],
+              "multilr_sched": [(("log_l2_blur", 48.0, 16.0), iters // 2),
+                                (("log_l2_blur", 16.0, 16.0),
+                                 iters - iters // 2)],
               "twophase": [("log_l2_blur", iters // 2),
                            ("log_l2", iters - iters // 2)]}[recipe]
 
+    use_min = recipe.startswith("mindict")
+    builder = scene_builder_min if use_min else scene_builder
+    proj = None if use_min else project
     steps = {}
     for kind, _n in losses:
         if kind not in steps:
             steps[kind] = make_train_step_single(
-                scene_builder, sensor, film, spp=spp, optimizer=optimizer,
-                max_depth=2, project=project, loss=kind)
+                builder, sensor, film, spp=spp, optimizer=optimizer,
+                max_depth=2, project=proj, loss=kind)
 
     true_p = ts.make_params(turbidity=6.5, albedo=0.3,
                             sun_direction=[0.45, 0.30, 0.84])
@@ -83,14 +135,25 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
         base_scene._replace(env=env_t), crn_key))
     target = jax.block_until_ready(target)
 
-    params = ts.make_params(turbidity=3.0, albedo=0.3,
-                            sun_direction=[0.35, 0.2, 0.91])
+    if use_min:
+        params = {"t": jnp.float32(3.0),
+                  "alb": jnp.full((3,), 0.3, jnp.float32),
+                  "sun": jnp.asarray([0.35, 0.2, 0.91], jnp.float32)}
+    else:
+        params = ts.make_params(turbidity=3.0, albedo=0.3,
+                                sun_direction=[0.35, 0.2, 0.91])
     opt_state = optimizer.init(params)
 
     sd_true = np.asarray([0.45, 0.30, 0.84])
     sd_true = sd_true / np.linalg.norm(sd_true)
 
     def report(i, params, loss):
+        if use_min:
+            params = ts.make_params(
+                turbidity=jnp.clip(params["t"], 1.0, 10.0),
+                albedo=jnp.clip(params["alb"], 0.0, 1.0),
+                sun_direction=params["sun"]
+                / jnp.linalg.norm(params["sun"]))
         sd = np.asarray(params.sun_direction)
         sd = sd / np.linalg.norm(sd)
         ang = float(np.degrees(np.arccos(np.clip(np.dot(sd, sd_true),
@@ -110,6 +173,11 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
             if i % log_every == 0 or i == 1:
                 report(i, jax.block_until_ready(params), loss)
     dt = time.perf_counter() - t0
+    if use_min:
+        params = ts.make_params(
+            turbidity=jnp.clip(params["t"], 1.0, 10.0),
+            albedo=jnp.clip(params["alb"], 0.0, 1.0),
+            sun_direction=params["sun"] / jnp.linalg.norm(params["sun"]))
     t_err = abs(float(params.turbidity) - 6.5)
     sd = np.asarray(params.sun_direction)
     sd = sd / np.linalg.norm(sd)
@@ -127,10 +195,12 @@ def main():
     ap.add_argument("--recipe", default="base")
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--freeze-albedo", action="store_true")
     a = ap.parse_args()
     results = []
     for s in [int(x) for x in a.seeds.split(",")]:
-        results.append(run_recovery(s, a.iters, a.recipe, a.spp, lr=a.lr))
+        results.append(run_recovery(s, a.iters, a.recipe, a.spp, lr=a.lr,
+                                    freeze_albedo=a.freeze_albedo))
     t_errs = [r[0] for r in results]
     angs = [r[1] for r in results]
     print(f"SUMMARY {a.recipe}: T_err median={np.median(t_errs):.4f} "

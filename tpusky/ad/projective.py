@@ -325,7 +325,7 @@ def primary_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
 
     d_mesh = None
     if scene.mesh is not None:
-        e0, e1, lens = _mesh_edges(scene.mesh)
+        e0, e1, lens, _na, _nb = _mesh_edges(scene.mesh)
         if e0.shape[0]:
             cdf = jnp.cumsum(lens / lens.sum())
 
@@ -356,7 +356,12 @@ _EDGE_CACHE_MAX = 8
 
 
 def _mesh_edges(mesh):
-    """Unique edges of the mesh triangle soup (host-side, cached).
+    """Unique edges of the mesh triangle soup (host-side, cached) ->
+    (e0, e1, lens, n_a, n_b): endpoints, lengths and the geometric
+    normals of the (up to two) adjacent faces. For a boundary edge (one
+    face) n_b = -n_a, so the silhouette predicate
+    ``(n_a·(e-x)) (n_b·(e-x)) < 0`` is always true there — a boundary
+    edge is a radiance discontinuity from every viewpoint.
 
     Cache key is content-based (shape/dtype/byte digest of v0) — an id()
     key could be recycled by CPython after the previous mesh table is
@@ -372,6 +377,9 @@ def _mesh_edges(mesh):
     v1 = v0 + np.asarray(mesh.e1)
     v2 = v0 + np.asarray(mesh.e2)
     tris = np.stack([v0, v1, v2], axis=1)[valid]           # (T, 3, 3)
+    geo_n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+    geo_n /= np.maximum(np.linalg.norm(geo_n, axis=-1, keepdims=True),
+                        1e-12)
     quant = np.round(tris * 1e5).astype(np.int64)
     seen = {}
     for a, b in ((0, 1), (1, 2), (2, 0)):
@@ -379,17 +387,25 @@ def _mesh_edges(mesh):
             ka = tuple(quant[i, a]); kb = tuple(quant[i, b])
             k = (ka, kb) if ka <= kb else (kb, ka)
             if k not in seen:
-                seen[k] = (tris[i, a], tris[i, b])
+                seen[k] = [tris[i, a], tris[i, b], geo_n[i], None]
+            elif seen[k][3] is None:
+                seen[k][3] = geo_n[i]
     if seen:
         e0 = np.asarray([p[0] for p in seen.values()], np.float32)
         e1 = np.asarray([p[1] for p in seen.values()], np.float32)
+        n_a = np.asarray([p[2] for p in seen.values()], np.float32)
+        n_b = np.asarray([(-p[2] if p[3] is None else p[3])
+                          for p in seen.values()], np.float32)
     else:
         e0 = np.zeros((0, 3), np.float32)
         e1 = np.zeros((0, 3), np.float32)
+        n_a = np.zeros((0, 3), np.float32)
+        n_b = np.zeros((0, 3), np.float32)
     lens = np.linalg.norm(e1 - e0, axis=-1)
     keep = lens > 1e-9
     res = (jnp.asarray(e0[keep]), jnp.asarray(e1[keep]),
-           jnp.asarray(lens[keep]))
+           jnp.asarray(lens[keep]), jnp.asarray(n_a[keep]),
+           jnp.asarray(n_b[keep]))
     if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
         _EDGE_CACHE.pop(next(iter(_EDGE_CACHE)))
     _EDGE_CACHE[key_id] = res
@@ -602,6 +618,139 @@ def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
 
         out = out.at[j].set(jax.grad(gfun)(c0))
     return out
+
+
+def indirect_boundary_grad_mesh(scene, sensor, film_cfg, grad_image, key,
+                                *, n_x: int = 16384, probe_spp: int = 4,
+                                probe_delta: float = 0.02,
+                                max_depth: int = 3, rr_depth: int = 1000,
+                                mode: str = "rgb", kinds=None):
+    """One-indirect-level boundary gradient w.r.t. a global translation
+    of the scene's triangle mesh -> (3,).
+
+    Extends `indirect_boundary_grad` beyond sphere blockers (VERDICT r3
+    item 7; the reference handles this generically via guided projective
+    walks, `ad/guiding.py:1-569` + `prb_projective.py`): the candidate
+    discontinuity set of Li(x, ·) is the mesh's EDGE set; a point on an
+    edge contributes only when the edge is a silhouette as seen from the
+    receiver x, which the adjacent-face predicate
+    ``(n_a·(e-x))(n_b·(e-x)) < 0`` selects per (x, edge-point) pair —
+    the per-lane "facing the receiver" importance selection (non-
+    silhouette edge samples are zeroed before their jump can inject
+    probe noise; boundary edges always pass). Edge points are sampled
+    uniformly by arclength (one stratified sample per camera ray);
+    ω(c, t) = normalize(e(t) + c − x) is differentiable in the mesh
+    offset c, and the spherical Reynolds term
+
+        ∮ f cosθ_x (Li⁻ − Li⁺)(x, ω) (v·n̂) dℓ(ω)
+
+    is estimated exactly as in the sphere case. Receivers are diffuse
+    camera-visible points on ANALYTIC shapes; lanes whose camera ray
+    hits the mesh first are masked (mesh-on-mesh receivers would need
+    the guided walk).
+    """
+    if scene.mesh is None:
+        return jnp.zeros(3)
+    if kinds is None:
+        from ..render.bsdf import table_kinds
+        kinds = table_kinds(scene.bsdfs)
+    from ..ops.gather import take_rows
+    from ..render.mesh import mesh_intersect
+    w, h = film_cfg.width, film_cfg.height
+
+    e0, e1, lens, n_a, n_b = _mesh_edges(scene.mesh)
+    if e0.shape[0] == 0:
+        return jnp.zeros(3)
+    total_len = lens.sum()
+    cdf = jnp.cumsum(lens / total_len)
+
+    # ---- camera rays -> analytic receivers (mesh-first lanes masked) ----
+    k_u, k_t, k_p = jax.random.split(jax.random.fold_in(key, 424242), 3)
+    uv = jax.random.uniform(k_u, (n_x, 2))
+    o, d = sensors_mod.sample_ray(sensor, uv)
+    t_hit, p, ng, _uv2, shape_idx, hit = shapes_mod.ray_intersect(
+        jax.lax.stop_gradient(scene.shapes), o, d)
+    tm = mesh_intersect(jax.lax.stop_gradient(scene.mesh), o, d)[0]
+    mesh_closer = jnp.isfinite(tm) & (tm < t_hit)
+    mat_idx = take_rows(scene.shapes.bsdf_idx[:, None].astype(jnp.float32),
+                        jnp.maximum(shape_idx, 0))[..., 0].astype(jnp.int32)
+    albedo = take_rows(scene.bsdfs.albedo, mat_idx)          # (K, C)
+    g_px = _gather_grad_image(grad_image, uv * jnp.asarray([w, h]),
+                              hit & ~mesh_closer)
+    nsh = jnp.where(jnp.sum(ng * -d, axis=-1, keepdims=True) >= 0, ng, -ng)
+
+    # ---- stratified edge-point parameter, one per camera ray ----
+    tt = (jnp.arange(n_x) % 64 + jax.random.uniform(k_t, (n_x,))) / 64.0
+
+    def edge_of(t_):
+        e = jnp.clip(jnp.searchsorted(cdf, t_, side="right"),
+                     0, cdf.shape[0] - 1)
+        lo = jnp.where(e > 0, cdf[jnp.maximum(e - 1, 0)], 0.0)
+        f = (t_ - lo) / jnp.maximum(cdf[e] - lo, 1e-12)
+        return e0[e] + f[..., None] * (e1[e] - e0[e]), e
+
+    def omega_of(c, t_):
+        pt, _e = edge_of(t_)
+        v = pt + c - jax.lax.stop_gradient(p)
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                               1e-12)
+
+    c0 = jnp.zeros(3)
+    omega = omega_of(c0, tt)                                 # (K, 3)
+    tau = jax.jvp(lambda t_: omega_of(c0, t_), (tt,),
+                  (jnp.ones_like(tt),))[1]
+    tau = jax.lax.stop_gradient(tau)
+    tau_n = jnp.linalg.norm(tau, axis=-1)
+    nrm = jnp.cross(jax.lax.stop_gradient(omega), tau)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True),
+                            1e-12)
+    cos_x = jnp.sum(nsh * jax.lax.stop_gradient(omega), axis=-1)
+
+    # per-lane silhouette ("facing the receiver") selection
+    pt0, eidx = edge_of(tt)
+    to_edge = pt0 - jax.lax.stop_gradient(p)
+    sil = (jnp.sum(n_a[eidx] * to_edge, axis=-1)
+           * jnp.sum(n_b[eidx] * to_edge, axis=-1)) < 0.0
+
+    ok = (hit & ~mesh_closer & sil & (cos_x > 1e-3)
+          & (tau_n > 1e-9) & jnp.isfinite(tau_n))
+
+    off = p + nsh * (1e-3 * jnp.maximum(
+        1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+
+    def li(d_probe, tag):
+        o_r = jnp.repeat(off, probe_spp, axis=0)
+        d_r = jnp.repeat(d_probe, probe_spp, axis=0)
+        lane = jnp.arange(n_x * probe_spp, dtype=jnp.uint32)
+        smp = integ._SamplerCtx(
+            "independent", jax.random.fold_in(k_p, tag),
+            lane // probe_spp, lane % probe_spp, probe_spp)
+        rad = integ._path_sample(jax.lax.stop_gradient(scene), o_r,
+                                 d_r, smp, max_depth - 1, rr_depth,
+                                 mode, None, kinds=kinds)
+        rad = jnp.where(jnp.isfinite(rad), rad, 0.0)
+        return rad.reshape(n_x, probe_spp, -1).mean(axis=1)
+
+    def renorm(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                               1e-12)
+
+    omega_sg = jax.lax.stop_gradient(omega)
+    li_m = li(renorm(omega_sg - probe_delta * nrm), 7001)
+    li_p = li(renorm(omega_sg + probe_delta * nrm), 7002)
+    f_cos = albedo * (1.0 / jnp.pi) * cos_x[..., None]
+    jump = jnp.sum((li_m - li_p) * f_cos * g_px, axis=-1)    # (K,)
+    # t uniform over [0, 1): MC of ∮ ... |dω/dt| dt -> mean · 1; film MC
+    # factor WH/n_x as in the sphere case
+    wgt = jnp.where(ok, jump * tau_n, 0.0) * (w * h / n_x)
+
+    def gfun(c):
+        om = omega_of(c, tt)
+        om = jnp.where(ok[:, None], om, 0.0)
+        return jnp.sum(jax.lax.stop_gradient(wgt)
+                       * jnp.sum(jax.lax.stop_gradient(nrm) * om, axis=-1))
+
+    return jax.grad(gfun)(c0)
 
 
 def boundary_grad(scene, sensor, film_cfg, grad_image, key, *,

@@ -353,50 +353,84 @@ def sample_interaction(med: Medium, o, d, seg_t0, seg, u):
               produce NaN gradients, cf. BASELINE.md NaN-safety note)
       T_seg   (..., C) transmittance across the whole segment
       w_pass  (..., C) pass-through ratio weight  T_seg / P(no scatter)
-      w_scat  (..., C) scatter ratio weight  sigma_s·dens·T(s) / pdf(s);
-              the grid density cancels between value and pdf.
+      w_scat  (..., C) scatter ratio weight  sigma_s·dens·T(s) / pdf(s)
+
+    AD discipline (the prbvolpath scheme, `prbvolpath.py:1-434` and the
+    repo-wide detached-sampling rule): the SAMPLING side — xi, the march
+    inversion, the scatter indicator and the pdf/survival denominators —
+    is fully ``stop_gradient``-ed, so the sampled event set does not
+    move with σ_t / the density grid and pointwise AD of the ratio
+    weights equals the derivative of the expectation (no boundary
+    terms). The VALUE side — σ_s, dens(x_s), the optical depths in the
+    numerators — stays attached. A previous version cancelled
+    dens(x_s) between value and pdf analytically and left s attached
+    through the march inversion; the primal is identical but the
+    ∂/∂grid path vanished (measured: AD 100x below FD on a 64^3 grid).
     """
+    sg = jax.lax.stop_gradient
     if med.channel_mis:
         C = med.sigma_t.shape[0]
         uc = jnp.clip(u * C, 0.0, C - 1e-6)
         c_pick = jnp.floor(uc)
         u_d = uc - c_pick                     # sample reuse (distr_1d.h:173)
         oh = c_pick[..., None] == jnp.arange(C, dtype=c_pick.dtype)
-        sig_c = jnp.sum(jnp.where(oh, med.sigma_t, 0.0), axis=-1)
+        sig_c = sg(jnp.sum(jnp.where(oh, med.sigma_t, 0.0), axis=-1))
         xi = -jnp.log(jnp.maximum(1.0 - u_d, 1e-12)) \
             / jnp.maximum(sig_c, 1e-12)
     else:
-        sigma_bar = jnp.mean(med.sigma_t)
+        sigma_bar = sg(jnp.mean(med.sigma_t))
         xi = -jnp.log(jnp.maximum(1.0 - u, 1e-12)) / sigma_bar
     scale = _dir_scale(med, d)
     if med.density is None:
-        s = xi if scale is None else xi / jnp.maximum(scale, 1e-8)
-        d_total = seg if scale is None else seg * scale
+        s = xi if scale is None else xi / jnp.maximum(sg(scale), 1e-8)
+        d_total = seg if scale is None else seg * scale      # attached
+        d_total_det = sg(d_total)
+        d_s = s if scale is None else s * scale              # attached @ sg(s)
+        dens_s = None
     else:
-        dens, dt = _density_march(med, o, d, seg_t0, seg)
+        dens, dt = _density_march(med, o, d, seg_t0, seg)    # attached
         if scale is not None:
             dens = dens * scale[..., None]
-        cum = jnp.cumsum(dens, axis=-1) * dt[..., None]    # D at step ends
+        dens_det = sg(dens)
+        dt_det = sg(dt)
+        cum_det = jnp.cumsum(dens_det, axis=-1) * dt_det[..., None]
+        d_total_det = cum_det[..., -1]
+        cum = jnp.cumsum(dens, axis=-1) * dt[..., None]      # attached
         d_total = cum[..., -1]
-        # first step whose cumulative density reaches xi
-        k = jnp.sum((cum < xi[..., None]).astype(jnp.int32), axis=-1)
+        # first step whose (detached) cumulative density reaches xi
+        k = jnp.sum((cum_det < xi[..., None]).astype(jnp.int32), axis=-1)
         k_c = jnp.minimum(k, med.n_steps - 1)
-        cum_prev = jnp.where(k_c > 0,
-                             jnp.take_along_axis(
-                                 cum, jnp.maximum(k_c - 1, 0)[..., None],
-                                 axis=-1)[..., 0], 0.0)
-        dens_k = jnp.take_along_axis(dens, k_c[..., None], axis=-1)[..., 0]
-        s = k_c * dt + (xi - cum_prev) / jnp.maximum(dens_k, 1e-12)
-        # inversion guarantees D(s) == xi up to the march resolution
-    scatter = xi < d_total
-    s = jnp.where(scatter, jnp.minimum(s, seg), 0.0)
-    T_seg = jnp.exp(-med.sigma_t * d_total[..., None])
-    w_pass = T_seg / jnp.maximum(_sampling_survival(med, d_total),
-                                 1e-30)[..., None]
+        cum_prev_det = jnp.where(
+            k_c > 0,
+            jnp.take_along_axis(cum_det,
+                                jnp.maximum(k_c - 1, 0)[..., None],
+                                axis=-1)[..., 0], 0.0)
+        dens_k_det = jnp.take_along_axis(dens_det, k_c[..., None],
+                                         axis=-1)[..., 0]
+        s = k_c * dt_det + (xi - cum_prev_det) \
+            / jnp.maximum(dens_k_det, 1e-12)
+        # attached optical depth and density AT the (detached) point
+        cum_prev = jnp.where(
+            k_c > 0,
+            jnp.take_along_axis(cum, jnp.maximum(k_c - 1, 0)[..., None],
+                                axis=-1)[..., 0], 0.0)
+        dens_s = jnp.take_along_axis(dens, k_c[..., None],
+                                     axis=-1)[..., 0]
+        d_s = cum_prev + dens_s * jnp.maximum(sg(s) - k_c * dt_det, 0.0)
+    scatter = sg(xi) < d_total_det
+    s = sg(jnp.where(scatter, jnp.minimum(s, seg), 0.0))
+    T_seg = jnp.exp(-med.sigma_t * d_total[..., None])       # attached
+    w_pass = T_seg / jnp.maximum(
+        sg(_sampling_survival(med, d_total_det)), 1e-30)[..., None]
     sigma_s = med.albedo * med.sigma_t
-    xi_c = jnp.minimum(xi, d_total)      # = D(s) on scatter lanes
-    w_scat = (sigma_s * jnp.exp(-med.sigma_t * xi_c[..., None])
-              / jnp.maximum(_sampling_pdf(med, xi_c), 1e-30)[..., None])
+    xi_c_det = sg(jnp.minimum(xi, d_total_det))  # = D_det(s) when scattering
+    d_s = jnp.where(scatter, d_s, 0.0)           # NaN-safe masked lanes
+    value = sigma_s * jnp.exp(-med.sigma_t * d_s[..., None])
+    pdf = jnp.maximum(sg(_sampling_pdf(med, xi_c_det)), 1e-30)[..., None]
+    if dens_s is not None:
+        value = value * dens_s[..., None]
+        pdf = pdf * jnp.maximum(sg(dens_s), 1e-30)[..., None]
+    w_scat = value / pdf
     return scatter, s, T_seg, w_pass, w_scat
 
 
@@ -463,10 +497,13 @@ def stack_sample(media, o, d, t_eff, u):
     oh = jnp.arange(K).reshape((K,) + (1,) * idx.ndim) == idx[None]
     # cross factors at the winning distance: T_j(t*) / survival_j(D_j(t*))
     cross = []
+    sg = jax.lax.stop_gradient
     for mi in media:
+        # attached numerator (value side), detached survival denominator
+        # (sampling side) — same discipline as sample_interaction
         D_j = line_density(mi, o, d, t_scat)
         cross.append(jnp.exp(-mi.sigma_t * D_j[..., None])
-                     / jnp.maximum(_sampling_survival(mi, D_j),
+                     / jnp.maximum(sg(_sampling_survival(mi, sg(D_j))),
                                    1e-30)[..., None])
     w_scat = jnp.zeros_like(per[0])
     for i in range(K):

@@ -301,6 +301,52 @@ def _block_hits_aabb(o, d, lo, hi, maxt):
     return jnp.any(hit)
 
 
+def _ray_sort_order(mesh: MeshTable, o, d):
+    """Coherence-extracting permutation of a ray wavefront.
+
+    Sort key: direction octant (3 bits, major) then 27-bit Morton code of
+    the origin quantised over the mesh bounds (minor). Secondary/bounce
+    wavefronts arrive in pixel order but with scattered origins and
+    directions — the per-ray-block AABB culling in the Pallas kernel then
+    degenerates to dense Moller-Trumbore (round-3 measurement: 0.31 M
+    rays/s at 327k tris vs 5.2 M coherent). Grouping rays by octant +
+    origin locality restores tight per-block bounds. This is the BVH's
+    coherence-extraction role (`scene_embree.inl` packet traversal)
+    recast as one argsort + gathers — both cheap, regular TPU ops.
+
+    The sort is stable, so already-coherent camera wavefronts (equal
+    keys within a block) keep their raster order. Returns (order,
+    inverse) permutations.
+    """
+    lo = jnp.min(mesh.v0, axis=0)
+    hi = jnp.max(mesh.v0 + jnp.maximum(mesh.e1, mesh.e2), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((o - lo) / ext * 511.0, 0.0, 511.0).astype(jnp.uint32)
+
+    def spread(x):                       # 9 bits -> every 3rd bit
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    morton = (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+              | (spread(q[..., 2]) << 2))
+    octant = (((d[..., 0] < 0).astype(jnp.uint32) << 2)
+              | ((d[..., 1] < 0).astype(jnp.uint32) << 1)
+              | (d[..., 2] < 0).astype(jnp.uint32))
+    key = (octant << 27) | morton
+    order = jnp.argsort(key, stable=True)
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype))
+    return order, inv
+
+
+def _reorder_enabled() -> bool:
+    import os
+    return os.environ.get("TPUSKY_MESH_REORDER", "1") != "0"
+
+
 def mesh_intersect(mesh: MeshTable, o, d):
     """Closest hit against all triangles -> (t, n_shading, mat_idx, b1, b2,
     tri_idx, hit). t = inf on miss.
@@ -319,8 +365,15 @@ def mesh_intersect(mesh: MeshTable, o, d):
     if o.ndim == 2 and _mesh_pallas_enabled():
         from ..ops.pallas.mesh_kernel import (mesh_intersect_pallas,
                                               mesh_tables_pallas)
-        t, b1, b2, tri, hit = mesh_intersect_pallas(
-            mesh, o, d, tables=mesh_tables_pallas(mesh))
+        if _reorder_enabled():
+            order, inv = _ray_sort_order(mesh, o, d)
+            t, b1, b2, tri, hit = mesh_intersect_pallas(
+                mesh, o[order], d[order], tables=mesh_tables_pallas(mesh))
+            t, b1, b2 = t[inv], b1[inv], b2[inv]
+            tri, hit = tri[inv], hit[inv]
+        else:
+            t, b1, b2, tri, hit = mesh_intersect_pallas(
+                mesh, o, d, tables=mesh_tables_pallas(mesh))
         return (t,) + _shade_at_hit(mesh, b1, b2, tri) + (b1, b2, tri, hit)
 
     if T > _CULL_MIN_TRIS and o.ndim == 2 \
@@ -375,6 +428,11 @@ def mesh_test(mesh: MeshTable, o, d, maxt):
     if o.ndim == 2 and _mesh_pallas_enabled():
         from ..ops.pallas.mesh_kernel import (mesh_intersect_pallas,
                                               mesh_tables_pallas)
+        if _reorder_enabled():
+            order, inv = _ray_sort_order(mesh, o, d)
+            t, _, _, _, hit = mesh_intersect_pallas(
+                mesh, o[order], d[order], tables=mesh_tables_pallas(mesh))
+            return hit[inv] & (t[inv] < maxt)   # maxt may be scalar
         t, _, _, _, hit = mesh_intersect_pallas(
             mesh, o, d, tables=mesh_tables_pallas(mesh))
         return hit & (t < maxt)
