@@ -215,10 +215,90 @@ def bench_grad() -> None:
     _emit("sunsky_fwd_bwd_rays_per_s", rays / dt, "rays/s")
 
 
+def _recover_one(seed: int, machinery, iters: int = 320):
+    """One config-5 recovery run — the hardened round-4 recipe (selected
+    by the experiments in tools/train_sweep.py; 3/3 seeds recover
+    T within 0.03 and the sun within 0.25 deg):
+
+      1. GLOBAL grid init over (T x sun-cap) under the blurred loss —
+         ~300 cheap forward renders replace blind joint descent, which
+         was measured walking a 0.3-deg sun init out to 19 deg when T
+         was wrong (the disc surrogate's ~1/(2 eps) ramp tangent turns
+         any photometric residual at disc-edge pixels into an arbitrary-
+         signed sun kick).
+      2. Four T+albedo adam phases (sun frozen), interleaved with
+      3. NESTED DIRECT SEARCH refinements of the sun (spherical cap
+         grids of shrinking radius 1.5 -> 0.5 -> 0.15 deg, argmin of the
+         actual loss): gradient descent on the sun reliably left a
+         0.3-0.9 deg residual whose disc mismatch biases the T estimate
+         by +/-0.15; the 2-DOF direct search does not.
+    """
+    (eval_j, step, opt_ta, n4, target_of, sun_cands, t_grid) = machinery
+    target, crn_key = target_of(seed)
+
+    best, best_pd = np.inf, None
+    for tv in t_grid:
+        for sv in sun_cands:
+            pd = {"t": jnp.float32(tv),
+                  "alb": jnp.full((3,), 0.3, jnp.float32),
+                  "sun": jnp.asarray(sv, jnp.float32)}
+            l = float(eval_j(pd, target, crn_key))
+            if l < best:
+                best, best_pd = l, pd
+    params = best_pd
+
+    def sun_cap_refine(params, radius_deg, n_dir=36):
+        sun_c = np.asarray(params["sun"], np.float64)
+        sun_c /= np.linalg.norm(sun_c)
+        up = np.asarray([0.0, 0.0, 1.0])
+        t1 = np.cross(sun_c, up)
+        if np.linalg.norm(t1) < 1e-9:
+            t1 = np.asarray([1.0, 0.0, 0.0])
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(sun_c, t1)
+        best_v = sun_c
+        best_l = float(eval_j(params, target, crn_key))
+        ga = np.pi * (3.0 - np.sqrt(5.0))
+        for k in range(n_dir):
+            r_f = np.sqrt((k + 0.5) / n_dir) * np.radians(radius_deg)
+            th = ga * k
+            v = (np.cos(r_f) * sun_c
+                 + np.sin(r_f) * (np.cos(th) * t1 + np.sin(th) * t2))
+            v /= np.linalg.norm(v)
+            if v[2] <= 0.05:
+                continue
+            cand = dict(params)
+            cand["sun"] = jnp.asarray(v, jnp.float32)
+            l = float(eval_j(cand, target, crn_key))
+            if l < best_l:
+                best_l, best_v = l, v
+        out = dict(params)
+        out["sun"] = jnp.asarray(best_v, jnp.float32)
+        return out
+
+    for phase, radius in zip(range(4), (1.5, 0.5, 0.15, None)):
+        opt_state = opt_ta.init(params)
+        for _ in range(n4):
+            opt_state, params, _loss = step(opt_state, params, target,
+                                            crn_key)
+        if radius is not None:
+            params = sun_cap_refine(params, radius)
+
+    t_err = abs(float(jnp.clip(params["t"], 1.0, 10.0)) - 6.5)
+    sd = np.asarray(params["sun"])
+    sd = sd / np.linalg.norm(sd)
+    sd_true = np.asarray([0.45, 0.30, 0.84])
+    sd_true = sd_true / np.linalg.norm(sd_true)
+    ang = float(np.degrees(np.arccos(np.clip(np.dot(sd, sd_true), -1, 1))))
+    return t_err, ang
+
+
 def bench_train() -> None:
     """BASELINE config 5: full inverse-rendering train step on the chip
     (sunsky precompute + render + grad + psum-free single-chip adam), and
-    a short recovery run (turbidity + sun direction from a target render).
+    the recovery of (turbidity, sun direction) from a target render —
+    run for THREE CRN seeds, reporting median and worst (VERDICT r3
+    item 1: the single-seed recipe was not driver-reproducible).
     """
     import optax
     import tpusky as ts
@@ -227,81 +307,114 @@ def bench_train() -> None:
     from tpusky.parallel.render import make_train_step_single
     from tpusky.render.film import Film
     from tpusky.render.sensors import make_perspective
+    from tpusky.render import integrator, film as film_mod
+    from tpusky.render.bsdf import table_kinds
 
     h = w = 512
-    spp = 8          # spp 4 plateaus in a poor basin (measured on-chip:
-    #                  T stalls at ~3.2 / sun 42deg; spp 8 recovers
-    #                  T +/- 0.02 and sun ~12deg with the same recipe)
+    spp = 8
+    iters = 320
     tables = load_tables("rgb")
     base_scene = _sphere_plane_scene()
     sensor = make_perspective([4, -4, 2.0], [0, 0, 1.0], fov_x_deg=45)
     film = Film(h, w, 3)
-    # recipe validated on-chip: adam(0.1) x 200 CRN iters
-    optimizer = optax.adam(1e-1)
+    kinds = table_kinds(base_scene.bsdfs)
 
-    def scene_builder(params):
-        return base_scene._replace(env=M.precompute(tables, params, "rgb"))
+    def scene_builder_min(pd):
+        full = ts.make_params(
+            turbidity=jnp.clip(pd["t"], 1.0, 10.0),
+            albedo=jnp.clip(pd["alb"], 0.0, 1.0),
+            sun_direction=pd["sun"] / jnp.linalg.norm(pd["sun"]))
+        return base_scene._replace(env=M.precompute(tables, full, "rgb"))
 
-    def project(p):
-        # keep the recovered sun direction unit-length and params valid
-        # (mirror of examples/inverse_sunsky.py post-step projection)
-        return p._replace(
-            sun_direction=p.sun_direction
-            / jnp.linalg.norm(p.sun_direction),
-            turbidity=jnp.clip(p.turbidity, 1.0, 10.0),
-            albedo=jnp.clip(p.albedo, 0.0, 1.0))
+    @jax.jit
+    def eval_j(pd, target, key):
+        sc = scene_builder_min(pd)
+        img = film_mod.develop(integrator.render_rows(
+            sc, sensor, film, key, spp, 2, 1000, "rgb", 0, h,
+            kinds=kinds))
+        li = jnp.log1p(jnp.maximum(img, 0.0))
+        lt = jnp.log1p(jnp.maximum(target, 0.0))
+        sig = h / 32.0
+        r = jnp.arange(h, dtype=jnp.float32)
+        B = jnp.exp(-0.5 * ((r[:, None] - r[None, :]) / sig) ** 2)
+        B = B / B.sum(axis=1, keepdims=True)
+        blur = lambda x: jnp.einsum("ij,jwc->iwc", B,
+                                    jnp.einsum("ij,hjc->hic", B, x))
+        return (jnp.mean((li - lt) ** 2)
+                + 16.0 * jnp.mean((blur(li) - blur(lt)) ** 2))
 
-    step = make_train_step_single(scene_builder, sensor, film, spp=spp,
-                                  optimizer=optimizer, max_depth=2,
-                                  project=project, loss="log_l2_blur")
+    zero = optax.set_to_zero()
+    lbl = {"t": "t", "alb": "alb", "sun": "sun"}
+    n4 = max(iters // 4, 1)
+    opt_ta = optax.multi_transform(
+        {"t": optax.adam(optax.cosine_decay_schedule(0.05, n4, 0.1)),
+         "alb": optax.adam(optax.cosine_decay_schedule(0.015, n4, 0.1)),
+         "sun": zero}, lbl)
+    step = make_train_step_single(scene_builder_min, sensor, film,
+                                  spp=spp, optimizer=opt_ta, max_depth=2,
+                                  project=None, loss="log_l2_blur")
 
     true_p = ts.make_params(turbidity=6.5, albedo=0.3,
                             sun_direction=[0.45, 0.30, 0.84])
-    # target rendered by the SAME program/key/spp the loss uses
-    # (common random numbers: the MC loss then has an exact zero-variance
-    # minimum at the true parameters — examples/inverse_sunsky.py)
-    from tpusky.render import integrator, film as film_mod
-    from tpusky.render.bsdf import table_kinds
-    kinds = table_kinds(base_scene.bsdfs)
-    crn_key = jax.random.PRNGKey(123)
     env_t = jax.jit(lambda p: M.precompute(tables, p, "rgb"))(true_p)
-    target = film_mod.develop(jax.jit(
-        lambda sc, k: integrator.render_rows(sc, sensor, film, k, spp, 2,
-                                             1000, "rgb", 0, h,
-                                             kinds=kinds))(
-        base_scene._replace(env=env_t), crn_key))
-    target = jax.block_until_ready(target)
+    render_j = jax.jit(
+        lambda sc, k: film_mod.develop(integrator.render_rows(
+            sc, sensor, film, k, spp, 2, 1000, "rgb", 0, h, kinds=kinds)))
 
-    # start within the smooth sky basin (the sun disc itself is a
-    # visibility discontinuity the detached-sampling gradient cannot see;
-    # cf. examples/inverse_sunsky.py)
-    params = ts.make_params(turbidity=3.0, albedo=0.3,
-                            sun_direction=[0.35, 0.2, 0.91])
-    opt_state = optimizer.init(params)
+    def target_of(seed):
+        crn_key = jax.random.PRNGKey(123 + 1000 * seed)
+        target = jax.block_until_ready(
+            render_j(base_scene._replace(env=env_t), crn_key))
+        return target, crn_key
 
-    # timed steps
-    out = jax.block_until_ready(step(opt_state, params, target, crn_key))
+    # sun candidate cap (20 deg around the documented init) + T grid
+    sun_init = np.asarray([0.35, 0.2, 0.91])
+    sun_init = sun_init / np.linalg.norm(sun_init)
+    up = np.asarray([0.0, 0.0, 1.0])
+    t1 = np.cross(sun_init, up); t1 /= np.linalg.norm(t1)
+    t2 = np.cross(sun_init, t1)
+    cands = [sun_init]
+    ga = np.pi * (3.0 - np.sqrt(5.0))
+    for i in range(36):
+        r_f = np.sqrt((i + 0.5) / 36) * np.radians(20.0)
+        th = ga * i
+        v = (np.cos(r_f) * sun_init
+             + np.sin(r_f) * (np.cos(th) * t1 + np.sin(th) * t2))
+        if v[2] > 0.05:
+            cands.append(v / np.linalg.norm(v))
+    t_grid = (2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0)
+
+    machinery = (eval_j, step, opt_ta, n4, target_of, cands, t_grid)
+
+    # ---- timed step (the full precompute+render+grad+adam program) ----
+    target0, key0 = target_of(0)
+    pd0 = {"t": jnp.float32(3.0), "alb": jnp.full((3,), 0.3, jnp.float32),
+           "sun": jnp.asarray(sun_init, jnp.float32)}
+    ost = opt_ta.init(pd0)
+    out = jax.block_until_ready(step(ost, pd0, target0, key0))
     t0 = time.perf_counter()
     for _ in range(10):
-        out = step(out[0], out[1], target, crn_key)
+        out = step(out[0], out[1], target0, key0)
     jax.block_until_ready(out[2])
     dt = (time.perf_counter() - t0) / 10
-    opt_state, params = out[0], out[1]
-
-    # continue to 200 total iterations for the recovery check
-    for i in range(11, 200):
-        opt_state, params, loss = step(opt_state, params, target, crn_key)
-    params = jax.block_until_ready(params)
-    t_err = abs(float(params.turbidity) - 6.5)
-    sd = np.asarray(params.sun_direction)
-    sd = sd / np.linalg.norm(sd)
-    sd_true = np.asarray([0.45, 0.30, 0.84])
-    sd_true = sd_true / np.linalg.norm(sd_true)
-    ang = float(np.degrees(np.arccos(np.clip(np.dot(sd, sd_true), -1, 1))))
     _emit("sunsky_train_step_ms", dt * 1e3, "ms/iter")
+
+    # ---- multi-seed recovery ----
+    t_errs, angs = [], []
+    for seed in (0, 1, 2):
+        te, an = _recover_one(seed, machinery, iters)
+        t_errs.append(te)
+        angs.append(an)
+        print(json.dumps({"metric": "sunsky_train_recovery_seed",
+                          "seed": seed, "turbidity_abs_err": te,
+                          "sun_dir_err_deg": an}), flush=True)
     print(json.dumps({"metric": "sunsky_train_recovery",
-                      "value": t_err, "unit": "turbidity_abs_err",
-                      "sun_dir_err_deg": ang, "iters": 200,
+                      "value": float(np.median(t_errs)),
+                      "unit": "turbidity_abs_err_median",
+                      "turbidity_abs_err_worst": float(max(t_errs)),
+                      "sun_dir_err_deg_median": float(np.median(angs)),
+                      "sun_dir_err_deg_worst": float(max(angs)),
+                      "iters": iters, "seeds": 3,
                       "vs_baseline": None}), flush=True)
 
 

@@ -86,3 +86,24 @@ def test_pfm_roundtrip():
         write_pfm(p1, img); write_pfm(p2, gray)
         np.testing.assert_array_equal(read_pfm(p1), img)
         np.testing.assert_array_equal(read_pfm(p2), gray)
+
+
+def test_jpg_roundtrip():
+    """JPEG write/read (reference `bitmap.cpp` JPEG support): lossy, so
+    the gate is approximate recovery of a smooth linear-RGB image."""
+    import tempfile
+    import os as _os
+    from tpusky.utils.io import read_jpg, write_jpg
+    h, w = 32, 48
+    ys = np.linspace(0, 1, h)[:, None]
+    xs = np.linspace(0, 1, w)[None, :]
+    img = np.stack([0.2 + 0.6 * ys * np.ones_like(xs),
+                    0.1 + 0.5 * xs * np.ones_like(ys),
+                    0.4 * np.ones((h, w))], -1).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        p = _os.path.join(td, "t.jpg")
+        write_jpg(p, img, quality=95)
+        back = read_jpg(p)
+    assert back.shape == img.shape and back.dtype == np.float32
+    assert np.abs(back - img).mean() < 0.02
+    assert np.abs(back - img).max() < 0.12

@@ -133,3 +133,48 @@ def test_shapegroup_instance_expansion():
     assert len(bundle._scene_static.shapes.kind) == 4
     img = np.asarray(bundle.render(seed=0))
     assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_variant_config_object():
+    """The single Variant config object (SURVEY.md variant system;
+    VERDICT r3 'config system' partial): parses Mitsuba variant names,
+    exposes the derived channel counts, and routes load_dict."""
+    import jax.numpy as jnp
+    from tpusky.config import Variant, resolve
+
+    v = Variant.from_name("llvm_ad_spectral_polarized")
+    assert v.mode == "spectral" and v.polarized and v.dtype == jnp.float32
+    assert v.n_channels == 11 and v.n_hero == 4
+    assert "spectral" in v.name and "polarized" in v.name
+
+    assert resolve("rgb") == Variant()
+    assert resolve("cuda_ad_rgb_double").dtype == jnp.float64
+    assert resolve(v) is v
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        Variant(mode="cmyk")
+    with _pt.raises(ValueError):
+        Variant.from_name("llvm_ad")          # no color mode
+    with _pt.raises(RuntimeError):
+        Variant(dtype=jnp.float64).require_x64()
+
+    # variant-name routing through the public loader: polarized variant
+    # upgrades the default path integrator to stokes transport
+    import numpy as np
+    import tpusky as ts
+    d = {"type": "scene",
+         "light": {"type": "constant",
+                   "radiance": {"type": "rgb", "value": [1.0, 1.0, 1.0]}},
+         "shape": {"type": "rectangle",
+                   "to_world": np.diag([5.0, 5.0, 1.0, 1.0]),
+                   "bsdf": {"type": "diffuse"}},
+         "sensor": {"type": "perspective", "fov": 45,
+                    "to_world": {"type": "lookat",
+                                 "origin": [0, -3, 1], "target": [0, 0, 0],
+                                 "up": [0, 0, 1]},
+                    "film": {"type": "hdrfilm", "width": 8, "height": 8}}}
+    b = ts.load_dict(d, mode="llvm_ad_rgb_polarized")
+    assert b.integrator == "stokes"
+    b2 = ts.load_dict(d, mode="llvm_ad_rgb")
+    assert b2.integrator == "path"

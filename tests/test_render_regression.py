@@ -62,26 +62,46 @@ def test_render_regression(name, goldens):
 
 
 def test_cross_integrator_ptracer_vs_path_golden(goldens):
-    """The adjoint particle tracer's image of the area-light scene passes
-    the Z-test against the PATH-integrator golden (light tracing and path
-    tracing agree in expectation; `ptracer.cpp` vs `path.cpp`)."""
-    from tools.gen_scene_goldens import build
+    """The adjoint particle tracer's image of the area-light scene agrees
+    with the PATH-integrator golden per-pixel (light tracing and path
+    tracing agree in expectation; `ptracer.cpp` vs `path.cpp`).
+
+    The ptracer's per-pixel variance has nothing to do with the path
+    estimator's (sensor-connection weights vary with 1/d^2 cos^3; its
+    empirical variance was measured up to 140x the scaled path variance),
+    so the gate uses the ptracer's own cross-run variance: K independent
+    runs -> Z-test of the run mean under (emp_var/K + golden_var/spp_ref).
+
+    This gate caught a real path-tracer bug in round 4: normal-direction
+    shadow offsets made far receivers falsely self-occlude against the
+    area emitter's plane (a +29% band error, confirmed against exact
+    quadrature; fixed by along-ray shadow offsets)."""
+    from tools.gen_scene_goldens import SPP_REF, build
     from tpusky.render.ptracer import render_ptracer
     scene, sensor, depth, _mode = build("area_light")
     size = int(goldens["size"])
     film = Film(size, size, 3)
-    img = np.asarray(render_ptracer(scene, sensor, film,
-                                    jax.random.PRNGKey(99),
-                                    n_particles=1 << 21, max_depth=depth))
-    # effective per-pixel sample count for the variance scaling: particles
-    # land ~uniformly on the film, so particles / pixels is the right
-    # order; the golden variance is the path estimator's, so this is an
-    # approximate (conservative at high particle counts) gate
-    eff_spp = (1 << 21) // (size * size)
-    ok, n_failed, min_p, alpha = z_test(
-        img, eff_spp, goldens["area_light_mean"], goldens["area_light_var"])
-    assert ok, (f"ptracer vs path golden: {n_failed} px failed "
-                f"(min p={min_p:.3g}, alpha={alpha:.3g})")
+    K = 6
+    runs = np.stack([
+        np.asarray(render_ptracer(scene, sensor, film,
+                                  jax.random.PRNGKey(90 + k),
+                                  n_particles=1 << 21, max_depth=depth))
+        for k in range(K)])
+    mean_p = runs.mean(axis=0)
+    var_p = runs.var(axis=0, ddof=1)
+    g_mean = goldens["area_light_mean"]
+    g_var = goldens["area_light_var"]
+    sigma2 = var_p / K + g_var / float(SPP_REF) + 1e-8
+    z = np.abs(mean_p - g_mean) / np.sqrt(sigma2)
+    # Sidak-style correction at alpha 0.01 over all pixels; the K-1-dof
+    # variance estimate has heavy tails, so gate on the z threshold with
+    # a generous margin instead of exact normal quantiles
+    n = z.size
+    import scipy.stats as st
+    thresh = st.norm.ppf(1 - 0.5 * (1 - (1 - 0.01) ** (1 / n)))
+    bad = int((z > 1.5 * thresh).sum())
+    assert bad == 0, (f"ptracer vs path golden: {bad} px failed "
+                      f"(max z={z.max():.2f}, thresh={1.5 * thresh:.2f})")
 
 
 def test_cross_integrator_megakernel_vs_path_golden(goldens, monkeypatch):

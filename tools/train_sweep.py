@@ -95,7 +95,8 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
     else:
         optimizer = optax.adam(lr)
 
-    if recipe.startswith("mindict"):
+    if recipe.startswith("mindict") or recipe in ("argmax", "gridinit",
+                                                  "robust"):
         import optax as _ox
         sched = lambda peak: _ox.cosine_decay_schedule(peak, iters, 0.1)
         optimizer = _ox.multi_transform(
@@ -105,6 +106,11 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
 
     losses = {"base": [("log_l2_blur", iters)],
               "mindict": [("log_l2_blur", iters)],
+              "coord": [("log_l2_blur", iters)],
+              "cycle": [("log_l2_blur", iters)],
+              "gridinit": [("log_l2_blur", iters)],
+              "robust": [("log_l2_blur", iters)],
+              "argmax": [("log_l2_blur", iters)],
               "decay": [("log_l2_blur", iters)],
               "multilr": [("log_l2_blur", iters)],
               "multilr_sched": [(("log_l2_blur", 48.0, 16.0), iters // 2),
@@ -113,15 +119,100 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
               "twophase": [("log_l2_blur", iters // 2),
                            ("log_l2", iters - iters // 2)]}[recipe]
 
-    use_min = recipe.startswith("mindict")
+    use_min = recipe.startswith("mindict") or recipe in ("coord",
+                                                          "argmax",
+                                                          "cycle",
+                                                          "gridinit",
+                                                          "robust")
     builder = scene_builder_min if use_min else scene_builder
     proj = None if use_min else project
+
+    if recipe == "robust":
+        # Production recipe v2 (see sweep logs r4): the sun direction is
+        # solved by NESTED DIRECT SEARCH (cap grids of shrinking radius
+        # around the incumbent, argmin of the actual blurred loss), not
+        # by gradient descent — measured: every descent variant leaves a
+        # 0.3-0.9 deg sun residual whose disc mismatch biases the T
+        # estimate by +/-0.15, and the disc surrogate gradient can kick
+        # the sun away when T is off. T/albedo descend between sun
+        # refinements with the sun frozen. Two compiled programs total.
+        import optax as _ox
+        zero = _ox.set_to_zero()
+        lbl = {"t": "t", "alb": "alb", "sun": "sun"}
+        n4 = max(iters // 4, 1)
+        opt_ta = _ox.multi_transform(
+            {"t": _ox.adam(_ox.cosine_decay_schedule(0.05, n4, 0.1)),
+             "alb": _ox.adam(_ox.cosine_decay_schedule(0.015, n4, 0.1)),
+             "sun": zero}, lbl)
+        phases = [(opt_ta, "log_l2_blur", n4)] * 4
+        sun_refine_radii = [1.5, 0.5, 0.15]   # degrees, between phases
+    elif recipe == "cycle":
+        # Alternating coordinate descent, SUN FIRST (train_landscape.py:
+        # the blurred loss is monotone in sun error out to 18 deg even
+        # with T wrong, and sun-only descent was observed to work at
+        # T=4; joint descent from a wrong T actively repels the sun).
+        # Each cycle tightens both groups; reusing the two optimizer
+        # objects keeps it at two compiled step programs.
+        import optax as _ox
+        zero = _ox.set_to_zero()
+        lbl = {"t": "t", "alb": "alb", "sun": "sun"}
+
+        def mt(t_tx, alb_tx, sun_tx):
+            return _ox.multi_transform(
+                {"t": t_tx, "alb": alb_tx, "sun": sun_tx}, lbl)
+
+        # constant lr per phase: fresh adam moments each phase; the
+        # cycle structure itself provides the annealing
+        opt_sun = mt(zero, zero, _ox.adam(0.015))
+        opt_ta = mt(_ox.adam(0.08), _ox.adam(0.02), zero)
+        opt_sun2 = mt(zero, zero, _ox.adam(0.004))
+        opt_ta2 = mt(_ox.adam(0.02), _ox.adam(0.008), zero)
+        n6 = max(iters // 6, 1)
+        phases = [
+            (opt_sun, "log_l2_blur", n6 * 2),
+            (opt_ta, "log_l2_blur", n6),
+            (opt_sun2, "log_l2_blur", n6),
+            (opt_ta2, "log_l2_blur", n6),
+            (opt_sun2, "log_l2_blur", max(iters - 5 * n6, 1)),
+        ]
+    elif recipe == "coord":
+        # coordinate schedule informed by tools/train_landscape.py: each
+        # parameter's 1-D section is clean and monotone toward truth, but
+        # JOINT adam from a bad T corrupts the sun trajectory (T overshoot
+        # biases the sun gradient). Phase A locks the photometric params
+        # (T, albedo) with the sun frozen (the T-section keeps its global
+        # min at truth even with the sun 3+ deg off); phase B descends the
+        # monotone sun landscape alone; phase C polishes jointly.
+        import optax as _ox
+        zero = _ox.set_to_zero()
+        lbl = {"t": "t", "alb": "alb", "sun": "sun"}
+
+        def mt(t_tx, alb_tx, sun_tx):
+            return _ox.multi_transform(
+                {"t": t_tx, "alb": alb_tx, "sun": sun_tx}, lbl)
+        nA, nB = iters // 3, iters // 3
+        nC = iters - nA - nB
+        phases = [
+            (mt(_ox.adam(_ox.cosine_decay_schedule(lr, nA, 0.2)),
+                _ox.adam(_ox.cosine_decay_schedule(0.02, nA, 0.2)), zero),
+             "log_l2_blur", nA),
+            (mt(zero, zero,
+                _ox.adam(_ox.cosine_decay_schedule(0.02, nB, 0.1))),
+             "log_l2_blur", nB),
+            (mt(_ox.adam(_ox.cosine_decay_schedule(0.01, nC, 0.1)),
+                _ox.adam(_ox.cosine_decay_schedule(0.005, nC, 0.1)),
+                _ox.adam(_ox.cosine_decay_schedule(0.004, nC, 0.1))),
+             "log_l2_blur", nC),
+        ]
+    else:
+        phases = [(optimizer, kind, n) for kind, n in losses]
+
     steps = {}
-    for kind, _n in losses:
-        if kind not in steps:
-            steps[kind] = make_train_step_single(
-                builder, sensor, film, spp=spp, optimizer=optimizer,
-                max_depth=2, project=proj, loss=kind)
+    for opt_i, kind, _n in phases:
+        k = (id(opt_i), kind)
+        steps[k] = make_train_step_single(
+            builder, sensor, film, spp=spp, optimizer=opt_i,
+            max_depth=2, project=proj, loss=kind)
 
     true_p = ts.make_params(turbidity=6.5, albedo=0.3,
                             sun_direction=[0.45, 0.30, 0.84])
@@ -135,13 +226,87 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
         base_scene._replace(env=env_t), crn_key))
     target = jax.block_until_ready(target)
 
-    if use_min:
+    if recipe == "argmax":
+        # The sun disc is the brightest image feature by ~1e4x whenever
+        # it is in frame: back-projecting the brightest target pixel
+        # through the camera IS a (sub-degree) sun-direction measurement.
+        # Classic practical initialization; the optimizer then only has
+        # to descend the clean local landscape (tools/train_landscape.py:
+        # every 1-D section is monotone toward truth near it).
+        from tpusky.render import sensors as sensors_mod
+        lum = jnp.sum(target, axis=-1)
+        flat = int(jnp.argmax(lum))
+        py, px = divmod(flat, w)
+        uv0 = jnp.asarray([[(px + 0.5) / w, (py + 0.5) / h]], jnp.float32)
+        _o0, d0 = sensors_mod.sample_ray(sensor, uv0)
+        sun0 = np.asarray(d0[0], np.float32)
+        print(f"  seed {seed} argmax sun init: {sun0}", flush=True)
+        params = {"t": jnp.float32(3.0),
+                  "alb": jnp.full((3,), 0.3, jnp.float32),
+                  "sun": jnp.asarray(sun0)}
+    elif use_min:
         params = {"t": jnp.float32(3.0),
                   "alb": jnp.full((3,), 0.3, jnp.float32),
                   "sun": jnp.asarray([0.35, 0.2, 0.91], jnp.float32)}
     else:
         params = ts.make_params(turbidity=3.0, albedo=0.3,
                                 sun_direction=[0.35, 0.2, 0.91])
+    if recipe in ("gridinit", "robust"):
+        # Global initialization by grid search over (T, sun) under the
+        # blurred loss: ~300 cheap forward renders (~25 ms each) replace
+        # the fragile blind joint descent phase. The local landscape near
+        # the grid argmin is clean (tools/train_landscape.py), so small-lr
+        # adam finishes the job; measured failure modes of pure descent
+        # (T-sun cross-bias, early adam overshoot) cannot occur.
+        from tpusky.render import film as film_mod2
+
+        def eval_loss(pd):
+            sc = scene_builder_min(pd)
+            img = film_mod2.develop(integrator.render_rows(
+                sc, sensor, film, crn_key, spp, 2, 1000, "rgb", 0, h,
+                kinds=kinds))
+            li = jnp.log1p(jnp.maximum(img, 0.0))
+            lt = jnp.log1p(jnp.maximum(target, 0.0))
+            sig = h / 32.0
+            r = jnp.arange(h, dtype=jnp.float32)
+            B = jnp.exp(-0.5 * ((r[:, None] - r[None, :]) / sig) ** 2)
+            B = B / B.sum(axis=1, keepdims=True)
+            blur = lambda x: jnp.einsum("ij,jwc->iwc", B,
+                                        jnp.einsum("ij,hjc->hic", B, x))
+            return (jnp.mean((li - lt) ** 2)
+                    + 16.0 * jnp.mean((blur(li) - blur(lt)) ** 2))
+
+        eval_j = jax.jit(eval_loss)
+        sun_init = np.asarray(params["sun"], np.float64)
+        sun_init /= np.linalg.norm(sun_init)
+        # Fibonacci cap grid of directions within 20 deg of the init
+        up = np.asarray([0.0, 0.0, 1.0])
+        t1 = np.cross(sun_init, up); t1 /= np.linalg.norm(t1)
+        t2 = np.cross(sun_init, t1)
+        cands = [sun_init]
+        n_dir, cap = 36, np.radians(20.0)
+        ga = np.pi * (3.0 - np.sqrt(5.0))
+        for i in range(n_dir):
+            r_f = np.sqrt((i + 0.5) / n_dir) * cap
+            th = ga * i
+            v = (np.cos(r_f) * sun_init
+                 + np.sin(r_f) * (np.cos(th) * t1 + np.sin(th) * t2))
+            if v[2] > 0.05:
+                cands.append(v / np.linalg.norm(v))
+        best, best_pd = np.inf, None
+        for tv in (2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0):
+            for sv in cands:
+                pd = {"t": jnp.float32(tv),
+                      "alb": jnp.full((3,), 0.3, jnp.float32),
+                      "sun": jnp.asarray(sv, jnp.float32)}
+                l = float(eval_j(pd))
+                if l < best:
+                    best, best_pd = l, pd
+        params = best_pd
+        print(f"  seed {seed} gridinit: T={float(params['t']):.1f} "
+              f"sun={np.asarray(params['sun'])} loss={best:.3e}",
+              flush=True)
+
     opt_state = optimizer.init(params)
 
     sd_true = np.asarray([0.45, 0.30, 0.84])
@@ -162,16 +327,68 @@ def run_recovery(seed: int, iters: int, recipe: str, spp: int,
               f"alb={float(np.mean(params.albedo)):6.3f} sun={ang:7.3f}deg "
               f"loss={float(loss):.3e}", flush=True)
 
+    def sun_cap_refine(params, radius_deg, n_dir=36):
+        """argmin of the blurred loss over a spherical cap around the
+        incumbent sun (exact direct search; 2 DOF, smooth basin)."""
+        sun_c = np.asarray(params["sun"], np.float64)
+        sun_c /= np.linalg.norm(sun_c)
+        up = np.asarray([0.0, 0.0, 1.0])
+        t1 = np.cross(sun_c, up)
+        if np.linalg.norm(t1) < 1e-9:
+            t1 = np.asarray([1.0, 0.0, 0.0])
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(sun_c, t1)
+        best_v = sun_c
+        best_l = float(eval_j(params))
+        ga2 = np.pi * (3.0 - np.sqrt(5.0))
+        for k in range(n_dir):
+            r_f = np.sqrt((k + 0.5) / n_dir) * np.radians(radius_deg)
+            th = ga2 * k
+            v = (np.cos(r_f) * sun_c
+                 + np.sin(r_f) * (np.cos(th) * t1 + np.sin(th) * t2))
+            v /= np.linalg.norm(v)
+            if v[2] <= 0.05:
+                continue
+            cand = dict(params); cand["sun"] = jnp.asarray(v, jnp.float32)
+            l = float(eval_j(cand))
+            if l < best_l:
+                best_l, best_v = l, v
+        out = dict(params)
+        out["sun"] = jnp.asarray(best_v, jnp.float32)
+        return out, best_l
+
     t0 = time.perf_counter()
     i = 0
-    for kind, n in losses:
-        step = steps[kind]
+    best_loss, best_params = np.inf, params
+    refine_sched = (sun_refine_radii if recipe == "robust" else [])
+    for ph_i, (opt_i, kind, n) in enumerate(phases):
+        step = steps[(id(opt_i), kind)]
+        opt_state = opt_i.init(params)     # fresh moments per phase
         for _ in range(n):
+            prev = params
             opt_state, params, loss = step(opt_state, params, target,
                                            crn_key)
             i += 1
+            lf = float(loss)               # loss at `prev`
+            if lf < best_loss:
+                best_loss, best_params = lf, prev
             if i % log_every == 0 or i == 1:
                 report(i, jax.block_until_ready(params), loss)
+        if ph_i < len(refine_sched):
+            params, rl = sun_cap_refine(params, refine_sched[ph_i])
+            print(f"  seed {seed} sun-refine r={refine_sched[ph_i]} "
+                  f"-> loss {rl:.3e}", flush=True)
+    if recipe == "robust":
+        # best-tracking is a DIVERGENCE GUARD only: the final iterate is
+        # normally the answer (late phases polish T below what the
+        # total-loss argmin captures — compensated residuals can give a
+        # lower loss at slightly-wrong T); fall back to the best-loss
+        # params only if the trajectory demonstrably blew up.
+        lf = float(loss)
+        if lf > 3.0 * best_loss:
+            params = best_params
+            print(f"  seed {seed} DIVERGED (final {lf:.3e} vs best "
+                  f"{best_loss:.3e}) -> best-tracked params", flush=True)
     dt = time.perf_counter() - t0
     if use_min:
         params = ts.make_params(

@@ -30,15 +30,27 @@ from .utils.io import read_exr, write_exr
 
 
 def load_dict(d, mode="rgb"):
-    """``mi.load_dict`` equivalent (lazy import keeps sky-only use light)."""
+    """``mi.load_dict`` equivalent (lazy import keeps sky-only use light).
+
+    ``mode`` accepts a mode string ("rgb"/"spectral"), a Mitsuba variant
+    name ("llvm_ad_spectral_polarized"), or a `tpusky.Variant`."""
+    from .config import resolve
     from .render.loader import load_dict as _ld
-    return _ld(d, mode=mode)
+    v = resolve(mode)
+    bundle = _ld(d, mode=v.mode)
+    if v.polarized and bundle.integrator in ("path", "direct"):
+        # polarized variants transport Stokes vectors (`mitsuba.conf`
+        # *_polarized; the stokes integrator wraps the sampling one)
+        import dataclasses
+        bundle = dataclasses.replace(bundle, integrator="stokes")
+    return bundle
 
 
 def load_file(path, mode="rgb", parameters=None):
     """``mi.load_file`` equivalent: Mitsuba XML or JSON scene file."""
+    from .config import resolve
     from .render.xml_loader import load_file as _lf
-    return _lf(path, mode=mode, parameters=parameters)
+    return _lf(path, mode=resolve(mode).mode, parameters=parameters)
 
 __version__ = "0.1.0"
 

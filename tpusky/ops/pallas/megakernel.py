@@ -185,11 +185,23 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     lane = (jnp.uint32(pid * BLOCK)
             + jax.lax.broadcasted_iota(jnp.uint32, (1, BLOCK), 1))
     spp_sh = spp.bit_length() - 1
-    w_sh = width.bit_length() - 1
     pixel = lane >> spp_sh
-    px = (pixel & jnp.uint32(width - 1)).astype(jnp.int32) \
-        .astype(jnp.float32)
-    py = (pixel >> w_sh).astype(jnp.int32).astype(jnp.float32)
+    if width & (width - 1) == 0:
+        w_sh = width.bit_length() - 1
+        px = (pixel & jnp.uint32(width - 1)).astype(jnp.int32) \
+            .astype(jnp.float32)
+        py = (pixel >> w_sh).astype(jnp.int32).astype(jnp.float32)
+    else:
+        # non-pow2 width: exact f32 div-mod (pixel < 2^24, guaranteed by
+        # _megakernel_ok's w*h bound; the rounding of the reciprocal
+        # multiply is corrected by the two where-steps)
+        pf = pixel.astype(jnp.int32).astype(jnp.float32)
+        py = jnp.floor(pf * (1.0 / width))
+        px = pf - py * width
+        py = jnp.where(px < 0.0, py - 1.0, py)
+        px = jnp.where(px < 0.0, px + width, px)
+        py = jnp.where(px >= width, py + 1.0, py)
+        px = jnp.where(px >= width, px - width, px)
 
     # ---- camera ray (perspective_ray + _render_rows_chunk raygen) ----
     u0 = _rand(lane, 10_000, 0, seed)

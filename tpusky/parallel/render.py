@@ -159,9 +159,11 @@ def make_train_step_single(scene_builder, sensor, film_cfg, spp,
     from ..render.bsdf import table_kinds
 
     _loss_kind = loss[0] if isinstance(loss, tuple) else loss
-    if _loss_kind not in ("l2", "rel_l2", "log_l2", "log_l2_blur"):
+    if _loss_kind not in ("l2", "rel_l2", "log_l2", "log_l2_blur",
+                          "log_l2_nodisc"):
         raise ValueError(f"unknown loss kind {_loss_kind!r}; expected one "
-                         "of 'l2', 'rel_l2', 'log_l2', 'log_l2_blur'")
+                         "of 'l2', 'rel_l2', 'log_l2', 'log_l2_blur', "
+                         "'log_l2_nodisc'")
 
     def loss_fn(params, target, key):
         scene = scene_builder(params)
@@ -169,6 +171,32 @@ def make_train_step_single(scene_builder, sensor, film_cfg, spp,
         img = film_mod.develop(integrator.render_rows(
             scene, sensor, film_cfg, key, spp, max_depth, 1000, mode,
             0, film_cfg.height, kinds=kinds))
+        if loss == "log_l2_nodisc":
+            # log-space MSE with the sun-disc neighbourhood MASKED OUT
+            # (derived from the TARGET's hot pixels, dilated ~2.5 deg):
+            # with the sun within ~1 deg of truth, every unmasked
+            # log-space loss is still DISC-dominated — each misaligned
+            # disc pixel carries (delta log)^2 ~ 64 vs the sky's ~1e-5,
+            # so ~60 pixels outweigh the 260k sky pixels 1000x and bias
+            # the photometric parameters. Trimming the disc makes the
+            # sky signal (turbidity/albedo) the whole objective; use for
+            # final T/albedo phases with the sun frozen.
+            li = jnp.log1p(jnp.maximum(img, 0.0))
+            lt = jnp.log1p(jnp.maximum(target, 0.0))
+            lum_t = jnp.sum(jax.lax.stop_gradient(target), axis=-1)
+            hot = (lum_t > 200.0).astype(li.dtype)
+            sig = li.shape[0] / 64.0
+            r = jnp.arange(li.shape[0], dtype=li.dtype)
+            B = jnp.exp(-0.5 * ((r[:, None] - r[None, :]) / sig) ** 2)
+            B = B / B.sum(axis=1, keepdims=True)
+            spread = jnp.einsum("ij,jw->iw", B,
+                                jnp.einsum("ij,hj->hi", B, hot))
+            # <= so an all-dark target (no disc in frame) keeps every
+            # pixel instead of masking the whole image
+            keep = (spread <= 1e-4 * jnp.max(spread)).astype(li.dtype)
+            keep = keep[..., None]
+            return (jnp.sum(keep * (li - lt) ** 2)
+                    / jnp.maximum(jnp.sum(keep) * li.shape[-1], 1.0))
         if loss == "rel_l2":
             # relative MSE: with a 1e4:1 dynamic range between the sun
             # disc and the sky, plain L2 is ~all disc residual and the

@@ -386,11 +386,21 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             f_a, pdf_b_a = bsdf_mod.eval_pdf(
                 scene.bsdfs, mat_idx, wi_local, wo_a, wavelengths,
                 kinds=kinds, refl_tex=refl_tex)
-            off_a = p + jnp.sign(dot(ng, d_a))[..., None] * ng * (
-                _SHADOW_EPS * jnp.maximum(
-                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+            # Shadow-ray origin offset ALONG THE RAY (the reference's
+            # spawn_ray_to scheme): a normal-direction offset shortens
+            # the true distance to the sampled emitter point by
+            # eps*(n·N_emit)/(d·N_emit) — UNBOUNDED at shallow emitter
+            # angles — so any fixed maxt margin falsely self-occludes
+            # far receivers against the emitter's own surface (found by
+            # the ptracer-vs-path Z-test: the path image lost ALL
+            # area-NEE light beyond |p| ~ 2, a +29% band error, exact-
+            # quadrature-confirmed). Along-ray offsets shorten the
+            # distance by exactly eps.
+            eps_a = _SHADOW_EPS * jnp.maximum(
+                1.0, jnp.linalg.norm(p, axis=-1))
+            off_a = p + eps_a[..., None] * d_a
             occ_a = scene_occluded(scene, off_a, d_a,
-                                   dist_a * (1.0 - 1e-3))
+                                   (dist_a - eps_a) * (1.0 - 1e-3))
             mis_a = _mis_weight(pdf_a, sg(pdf_b_a))
             contrib_a = (thr_s * f_a * L_a * shadow_T(off_a, d_a, dist_a)
                          * (mis_a / jnp.maximum(pdf_a, 1e-20))[..., None])
@@ -795,7 +805,9 @@ def _megakernel_ok(scene, sensor, film_cfg, spp, max_depth, mode,
             or scene.area_emitter_shapes.shape[0]):
         return False
     w, h = film_cfg.width, film_cfg.height
-    if spp & (spp - 1) or w & (w - 1):
+    # spp must be a power of two (in-kernel lane->pixel shift); width may
+    # be arbitrary (exact f32 div-mod) as long as pixel ids stay exact
+    if spp & (spp - 1) or w * h >= (1 << 24):
         return False
     return True
 
@@ -856,8 +868,20 @@ def _render_moments_impl(scene, sensor, film_cfg, key, spp, max_depth,
     u_pos = smp.next(10_000, 2)
     uv = jnp.stack([(px + u_pos[:, 0]) / w, (py + u_pos[:, 1]) / h], -1)
     o, d = sensors_mod.sample_ray(sensor, uv)
-    radiance = _path_sample(scene, o, d, smp, max_depth, rr_depth, mode,
-                            None, kinds=kinds, nmaps=nmaps)
+    if mode == "spectral":
+        # hero-wavelength transport -> sRGB, same streams as _render_impl
+        from ..ops import spectrum as spec_mod
+        u_wl = smp.next(20_000, 1)[..., 0]
+        shifted = spec_mod.sample_shifted(u_wl, 4)
+        wavelengths, wl_weight = spec_mod.sample_rgb_spectrum(shifted)
+        spec_radiance = _path_sample(scene, o, d, smp, max_depth,
+                                     rr_depth, mode, wavelengths,
+                                     kinds=kinds, nmaps=nmaps)
+        radiance = spec_mod.spectrum_to_srgb(spec_radiance * wl_weight,
+                                             wavelengths)
+    else:
+        radiance = _path_sample(scene, o, d, smp, max_depth, rr_depth,
+                                mode, None, kinds=kinds, nmaps=nmaps)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
     both = jnp.concatenate([radiance, radiance * radiance], axis=-1)
     film2 = film_mod.Film(h, w, 2 * film_cfg.n_channels, "box")

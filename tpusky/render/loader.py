@@ -362,7 +362,7 @@ def _one_transform(op: str, arg) -> np.ndarray:
             return T.rotate(arg["axis"], float(arg["angle"]))
         arg = np.asarray(arg, np.float64)
         return T.rotate(arg[:3], float(arg[3]))
-    if op == "look_at":
+    if op in ("look_at", "lookat"):
         return T.look_at(arg["origin"], arg["target"],
                          arg.get("up", (0, 0, 1)))
     if op == "matrix":
@@ -379,7 +379,7 @@ def _parse_to_world(v) -> np.ndarray:
     if v is None:
         return np.eye(4, dtype=np.float32)
     if isinstance(v, dict):
-        if v.get("type") == "look_at":
+        if v.get("type") in ("look_at", "lookat"):
             return T.look_at(v["origin"], v["target"], v.get("up", (0, 0, 1)))
         if "transforms" in v:
             m = np.eye(4, dtype=np.float32)

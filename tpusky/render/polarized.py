@@ -502,8 +502,13 @@ def path_sample_polarized(scene: Scene, o, d, smp: _SamplerCtx,
                                        wavelengths)
             m_world = mu.to_world_mueller(frame, m_local, -wo_a, wi_local)
             tm = mu.matmul(state.throughput, m_world)
-            occ_a = scene_occluded(scene, offset(d_a), d_a,
-                                   dist_a * (1.0 - 1e-3))
+            # along-ray shadow origin offset (exact-eps shortening; same
+            # false-self-occlusion fix as integrator.py area NEE)
+            eps_a = _SHADOW_EPS * jnp.maximum(
+                1.0, jnp.linalg.norm(p, axis=-1))
+            occ_a = scene_occluded(
+                scene, p + eps_a[..., None] * d_a, d_a,
+                (dist_a - eps_a) * (1.0 - 1e-3))
             mis_a = _mis_weight(pdf_a, sg(pdf_b_a))
             w = L_a * (mis_a / jnp.maximum(pdf_a, 1e-20))[..., None]
             ok_a = active & ~occ_a & (pdf_a > 0.0)

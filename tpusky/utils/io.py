@@ -479,3 +479,34 @@ def write_vol(path: str, data, bbox_min=(0, 0, 0), bbox_max=(1, 1, 1)):
         f.write(struct.pack("<iiiii", 1, xr, yr, zr, ch))
         f.write(struct.pack("<6f", *bbox_min, *bbox_max))
         f.write(data.tobytes())
+
+
+def write_jpg(path: str, image: np.ndarray, quality: int = 90) -> None:
+    """Write an 8-bit JPEG (reference `bitmap.cpp` JPEG branch via
+    libjpeg; here via the environment's PIL, the Python-native
+    equivalent). Float input is treated as linear radiance, gamma-encoded
+    to sRGB and clipped — same convention as `write_png`."""
+    from PIL import Image
+    img = np.asarray(image)
+    if img.dtype in (np.float32, np.float64):
+        img = np.clip(img, 0.0, 1.0)
+        srgb = np.where(img <= 0.0031308, img * 12.92,
+                        1.055 * img ** (1 / 2.4) - 0.055)
+        img = (srgb * 255.0 + 0.5).astype(np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == 1:
+        pil = Image.fromarray(img[..., 0], mode="L")
+    else:
+        pil = Image.fromarray(img[..., :3], mode="RGB")
+    pil.save(path, format="JPEG", quality=int(quality))
+
+
+def read_jpg(path: str) -> np.ndarray:
+    """Read a JPEG -> float32 linear RGB in [0, 1] (inverse of
+    `write_jpg`'s sRGB encoding)."""
+    from PIL import Image
+    with Image.open(path) as pil:
+        arr = np.asarray(pil.convert("RGB"), np.float32) / 255.0
+    return np.where(arr <= 0.04045, arr / 12.92,
+                    ((arr + 0.055) / 1.055) ** 2.4).astype(np.float32)
