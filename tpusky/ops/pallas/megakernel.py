@@ -180,6 +180,11 @@ def _mis(pa, pb):
 def _mega_kernel(kinds, spp: int, width: int, height: int,
                  cam_ref, shp_ref, alb_ref, seed_ref,
                  skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref, out_ref):
+    # Roofline instrumentation (tools/mega_roofline.py): stages named in
+    # TPUSKY_MEGA_STUB (comma list, read at TRACE time) are replaced by
+    # shape-compatible constants, so per-stage cost = full - stubbed.
+    stub = frozenset(
+        x for x in os.environ.get("TPUSKY_MEGA_STUB", "").split(",") if x)
     pid = pl.program_id(0)
     seed = seed_ref[0, 0].astype(jnp.uint32)
     lane = (jnp.uint32(pid * BLOCK)
@@ -204,8 +209,15 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
         px = jnp.where(px >= width, px - width, px)
 
     # ---- camera ray (perspective_ray + _render_rows_chunk raygen) ----
-    u0 = _rand(lane, 10_000, 0, seed)
-    u1 = _rand(lane, 10_000, 1, seed)
+    if "rand" in stub:
+        def _rand_s(lane_, dim, c, seed_):
+            # Mosaic has no uint32->f32 cast; go through the int32 path
+            return 0.5 + 0.0 * (lane_ >> 8).astype(jnp.int32) \
+                .astype(jnp.float32)
+    else:
+        _rand_s = _rand
+    u0 = _rand_s(lane, 10_000, 0, seed)
+    u1 = _rand_s(lane, 10_000, 1, seed)
     uvx = (px + u0) * (1.0 / width)
     uvy = (py + u1) * (1.0 / height)
     tanh = cam_ref[0, _C_TANH]
@@ -242,8 +254,17 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
         return wx, wy, wz
 
     # ---- bounce 0: intersect + material select (one pass) ----
-    hit, t, nx, ny, nz, ar, ag, ab, tws = _intersect_all(
-        kinds, shp_ref, alb_ref, ox, oy, oz, dx, dy, dz)
+    if "isect" in stub:
+        one = jnp.ones_like(dx)
+        hit = dz < 0.0
+        t = one
+        nx, ny = one * 0.0, one * 0.0
+        nz = one
+        ar, ag, ab = one * 0.4, one * 0.4, one * 0.4
+        tws = one * 0.0
+    else:
+        hit, t, nx, ny, nz, ar, ag, ab, tws = _intersect_all(
+            kinds, shp_ref, alb_ref, ox, oy, oz, dx, dy, dz)
     tfin = jnp.where(hit, t, 0.0)
     pxw = ox + tfin * dx
     pyw = oy + tfin * dy
@@ -272,13 +293,28 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     # wide (1, 2B) pass was tried and REVERTED: Mosaic cannot concat
     # lane vectors with mismatched sublane offsets ("result/input offset
     # mismatch on non-concat dimension", 2026-08).
-    un0 = _rand(lane, 0, 0, seed)
-    un1 = _rand(lane, 0, 1, seed)
-    edx, edy, edz, pick_sky = _nee_sample_rows(un0, un1, misc_ref, g_ref)
-    pdf_e = _pdf_row(edx, edy, edz, g_ref, misc_ref, pick_sky)
+    un0 = _rand_s(lane, 0, 0, seed)
+    un1 = _rand_s(lane, 0, 1, seed)
+    if "nee" in stub:
+        # cheap lane-varying stand-in (all-constant rows trip a Mosaic
+        # compiler check, "limits[i] <= dim(i)")
+        edx = 0.25 + 0.1 * un0
+        edy = 0.15 + 0.1 * un1
+        edz = jnp.sqrt(jnp.maximum(1.0 - edx * edx - edy * edy, 0.0))
+        pick_sky = un0 < 0.8
+    else:
+        edx, edy, edz, pick_sky = _nee_sample_rows(un0, un1, misc_ref,
+                                                   g_ref)
+    if "pdf" in stub:
+        pdf_e = 0.5 + 0.0 * un0
+    else:
+        pdf_e = _pdf_row(edx, edy, edz, g_ref, misc_ref, pick_sky)
     pdf_e = jnp.where(edz >= 0.0, pdf_e, 0.0)
-    Lr, Lg, Lb = _radiance_rows(edx, edy, edz, skyp_ref, skyr_ref,
-                                sun_ref, misc_ref)
+    if "rad" in stub:
+        Lr = Lg = Lb = 1.0 + 0.0 * un0
+    else:
+        Lr, Lg, Lb = _radiance_rows(edx, edy, edz, skyp_ref, skyr_ref,
+                                    sun_ref, misc_ref)
     wdx, wdy, wdz = env_world(edx, edy, edz)
     # diffuse eval toward d_e: f = albedo/pi * cos_o, valid if both sides
     cos_o = wdx * fnx + wdy * fny + wdz * fnz
@@ -291,11 +327,14 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     osx = pxw + jnp.sign(ndote) * nx * eps_l
     osy = pyw + jnp.sign(ndote) * ny * eps_l
     osz = pzw + jnp.sign(ndote) * nz * eps_l
-    occ = _occluded(kinds, shp_ref, osx, osy, osz, wdx, wdy, wdz)
+    if "occ" in stub:
+        occ = osx > 1e30
+    else:
+        occ = _occluded(kinds, shp_ref, osx, osy, osz, wdx, wdy, wdz)
 
     # ---- BSDF cosine sample -> continuation direction ----
-    ub0 = _rand(lane, 1, 0, seed)
-    ub1 = _rand(lane, 1, 1, seed)
+    ub0 = _rand_s(lane, 1, 0, seed)
+    ub1 = _rand_s(lane, 1, 1, seed)
     # concentric disk (square_to_uniform_disk_concentric)
     cx = 2.0 * ub0 - 1.0
     cy = 2.0 * ub1 - 1.0
@@ -324,12 +363,21 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     gdx = jnp.where(cont, cdx, dx)
     gdy = jnp.where(cont, cdy, dy)
     gdz = jnp.where(cont, cdz, dz)
-    occ2 = _occluded(kinds, shp_ref, o2x, o2y, o2z, cdx, cdy, cdz)
+    if "occ" in stub:
+        occ2 = o2x > 1e30
+    else:
+        occ2 = _occluded(kinds, shp_ref, o2x, o2y, o2z, cdx, cdy, cdz)
     ex, ey, ez = env_local(gdx, gdy, gdz)
-    Er, Eg, Eb = _radiance_rows(ex, ey, ez, skyp_ref, skyr_ref, sun_ref,
-                                misc_ref)
-    em_pdf = _pdf_row(ex, ey, ez, g_ref, misc_ref,
-                      jnp.ones_like(ex, dtype=bool))
+    if "rad" in stub:
+        Er = Eg = Eb = 1.0 + 0.0 * ex
+    else:
+        Er, Eg, Eb = _radiance_rows(ex, ey, ez, skyp_ref, skyr_ref,
+                                    sun_ref, misc_ref)
+    if "pdf" in stub:
+        em_pdf = 0.5 + 0.0 * ex
+    else:
+        em_pdf = _pdf_row(ex, ey, ez, g_ref, misc_ref,
+                          jnp.ones_like(ex, dtype=bool))
 
     # ---- NEE contribution ----
     mis_nee = _mis(pdf_e, pdf_b_nee)
