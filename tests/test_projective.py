@@ -367,3 +367,78 @@ def test_indirect_boundary_mesh_blocker_vs_fd():
     err_tot = abs(g_total - fd) / denom
     assert err_tot < 0.35, (fd, g_int, float(d_ind[0]), err_tot)
     assert err_tot < err_int, (fd, g_int, g_total)
+
+
+@pytest.mark.slow
+def test_indirect_boundary_cube_blocker_vs_fd():
+    """indirect_boundary_grad generalized beyond spheres (round 4): a
+    CUBE blocker between the panel and the ground; the cube's 12-edge
+    curve family (non-silhouette edges contribute ~zero jump) carries
+    the indirect visibility gradient. Same geometry/masking protocol as
+    the sphere test above."""
+    from tpusky.render import film as film_mod
+    from tpusky.render.bsdf import table_kinds
+
+    panel = np.diag([3.0, 3.0, 1.0, 1.0]).astype(np.float32)
+    panel[2, 3] = 4.0
+    panel[:3, :3] = panel[:3, :3] @ np.diag([1.0, -1.0, -1.0])
+    rad = np.zeros((3, 3), np.float32)
+    rad[2] = 20.0
+    ground = np.diag([20.0, 20.0, 1.0, 1.0]).astype(np.float32)
+    cube = np.diag([0.8, 0.8, 0.8, 1.0]).astype(np.float32)
+    cube[2, 3] = 2.0
+    base = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=3, to_world=cube, bsdf_idx=1),
+                dict(kind=1, to_world=panel, bsdf_idx=2, emitter_idx=0)],
+        bsdf_albedos=[[0.6, 0.6, 0.6], [0.3, 0.3, 0.3], [0.0, 0.0, 0.0]],
+        area_radiance=rad, env=None)
+
+    def scene_of(cx):
+        return _with_translation(base, 1, jnp.stack(
+            [jnp.asarray(cx, jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0)]))
+
+    sensor = make_perspective([0.0, -9.0, 6.0], [2.5, 0.0, 0.0],
+                              fov_x_deg=40)
+    film = Film(64, 64, 3)
+    spp = 96
+    key = jax.random.PRNGKey(7)
+
+    def render(cx):
+        return film_mod.develop(integrator.render_rows(
+            scene_of(cx), sensor, film, key, spp, 2, 1000, "rgb", 0, 64))
+
+    mask = np.ones((64, 64, 3), np.float32)
+    from tpusky.render.sensors import sample_ray
+    ys, xs = np.meshgrid((np.arange(64) + 0.5) / 64,
+                         (np.arange(64) + 0.5) / 64, indexing="ij")
+    uv = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    o, d = sample_ray(sensor, uv)
+    for cx in (-0.3, 0.0, 0.3):
+        _, _, _, _, sidx, hit = shapes_mod.ray_intersect(
+            scene_of(cx).shapes, o, d)
+        on_cube = (np.asarray(sidx) == 1) & np.asarray(hit)
+        mask *= (~on_cube.reshape(64, 64))[..., None]
+
+    def loss_of(img):
+        return jnp.sum(img * jnp.asarray(mask)) / mask.sum()
+
+    eps = 0.15
+    fd = (float(loss_of(render(eps))) - float(loss_of(render(-eps)))) \
+        / (2 * eps)
+    g_int = float(jax.grad(lambda c: loss_of(render(c)))(0.0))
+
+    grad_img = jnp.asarray(mask) / mask.sum()
+    scene0 = scene_of(0.0)
+    d_ind = proj.indirect_boundary_grad(
+        scene0, sensor, film, grad_img, jax.random.PRNGKey(11),
+        blocker_indices=[1], n_x=16384, probe_spp=4, max_depth=2,
+        kinds=table_kinds(scene0.bsdfs))
+    g_total = g_int + float(d_ind[1, 0])
+
+    denom = max(abs(fd), 1e-4)
+    err_int = abs(g_int - fd) / denom
+    err_tot = abs(g_total - fd) / denom
+    assert err_tot < 0.35, (fd, g_int, float(d_ind[1, 0]), err_tot)
+    assert err_tot < err_int, (fd, g_int, g_total)

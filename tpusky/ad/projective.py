@@ -43,8 +43,9 @@ Scope: primary (camera) visibility boundaries; shadow boundaries of
 delta directional lights (`shadow_boundary_grad` — the sun-shadow case);
 and ONE level of indirect boundaries (`indirect_boundary_grad` — the
 blocker silhouette seen from camera-visible shading points, covering
-area-light occlusion and one-bounce indirect visibility for sphere
-blockers/diffuse receivers). Area-light penumbrae as seen by the camera
+area-light occlusion and one-bounce indirect visibility for ALL analytic
+blocker kinds, and `indirect_boundary_grad_mesh` for triangle-mesh
+blockers via silhouette-edge selection). Area-light penumbrae as seen by the camera
 are smooth (no boundary term); point-light shadow curves and deeper
 indirect chains are not sampled — the reference needs guided projective
 walks there (`ad/guiding.py`, `prb_projective.py`). Validated against
@@ -516,9 +517,13 @@ def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
     in-sphere curve normal, and Li just off the curve is probed by the
     scene's own path engine (√δ-free single-δ probes — the silhouette
     jump of Li is a step in the incident field, not a grazing-cosine
-    ramp). Scope: sphere blockers, diffuse receivers, one indirect
-    level; deeper chains would need the reference's guided projective
-    walk. Composes with `primary_boundary_grad` /
+    ramp). Scope: ALL analytic blocker kinds (sphere/rect/disk/cube/
+    cylinder via the per-kind `_CURVES` silhouette/edge families, with
+    the eye placed at each receiver point; non-silhouette segments
+    contribute ~zero jump and need no classification) — triangle-mesh
+    blockers via `indirect_boundary_grad_mesh` — diffuse receivers, one
+    indirect level; deeper chains would need the reference's guided
+    projective walk. Composes with `primary_boundary_grad` /
     `shadow_boundary_grad` without double counting: those cover
     discontinuities of the *image* in pixel space and of delta-light
     visibility; this covers the boundary term of the (continuous)
@@ -547,18 +552,23 @@ def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
 
     idxs = (range(n_shapes) if blocker_indices is None
             else blocker_indices)
-    tt = (jnp.arange(n_x) % 64 + jax.random.uniform(k_t, (n_x,))) \
-        / 64.0 * (2.0 * jnp.pi)                  # stratified curve param
+    tt01 = (jnp.arange(n_x) % 64 + jax.random.uniform(k_t, (n_x,))) / 64.0
     for j in idxs:
-        if scene.shapes.kind[j] != SPHERE:
+        kind_j = int(scene.shapes.kind[j])
+        if kind_j not in _CURVES:
             continue
+        curve_j, t_len_j = _CURVES[kind_j]
+        tt = tt01 * t_len_j                      # stratified curve param
 
-        def omega_of(c, t_):
-            """Per-lane silhouette directions from eye=x for the sphere
-            translated by c -> (K, 3) unit vectors."""
+        def omega_of(c, t_, curve=curve_j):
+            """Per-lane candidate-discontinuity directions from eye=x
+            for shape j translated by c -> (K, 3) unit vectors. The
+            per-kind curve set is the shape's full edge/silhouette
+            family (non-silhouette segments contribute ~zero jump and
+            need no classification — module docstring)."""
             t2w = scene.shapes.to_world[j]
             t2w = t2w.at[:3, 3].add(c)
-            pts = jax.vmap(lambda xx, t1: _sphere_curve(
+            pts = jax.vmap(lambda xx, t1: curve(
                 t2w, xx, t1[None])[0])(jax.lax.stop_gradient(p), t_)
             v = pts - jax.lax.stop_gradient(p)
             return v / jnp.maximum(
@@ -605,9 +615,10 @@ def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
         f_cos = albedo * (1.0 / jnp.pi) * cos_x[..., None]
         jump = jnp.sum((li_m - li_p) * f_cos * g_px, axis=-1)   # (K,)
         wgt = jnp.where(ok, jump * tau_n, 0.0) \
-            * (2.0 * jnp.pi / 64.0) * (w * h / n_x) * 64.0
+            * (t_len_j / 64.0) * (w * h / n_x) * 64.0
         # ^ stratified t over 64 bins x film-area MC factor; the 64s
-        #   cancel: wgt = jump*|τ| * 2π * WH / n_x
+        #   cancel: wgt = jump*|τ| * t_len * WH / n_x (t_len = the
+        #   kind's curve-parameter interval, 2π for the sphere circle)
 
         def gfun(c):
             om = omega_of(c, tt)
