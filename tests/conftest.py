@@ -46,16 +46,16 @@ def _cpu_cache_dir():
 jax.config.update("jax_compilation_cache_dir", _cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-# XLA:CPU's executable.serialize() SEGFAULTS on this jax build for the
-# suite's largest executables (the render-gradient / train-step
-# programs) — reproduced deterministically at the same test with warm
-# and cold cache dirs, inside put_executable_and_time. jax only offers a
-# MIN compile-time threshold, so bound the cache from above ourselves:
-# skip persisting any program whose compile took longer than the cap
-# (the crashers are the slowest compiles by far; everything the cache
-# meaningfully accelerates across runs stays cached).
+# XLA:CPU's executable.serialize() SEGFAULTS for the suite's largest
+# executables — long attributed to the serializer, but round 4 traced
+# the whole crash family (serialize, deserialize, AND compile) to
+# vm.max_map_count exhaustion (see the mmap guard below): the largest
+# programs simply allocate the most mappings and crash first. With the
+# guard in place the cap can be generous; it remains as defence in
+# depth on hosts where neither the sysctl nor cache flushing helps
+# (set TPUSKY_CACHE_COMPILE_SECS_CAP=25 to restore the strict bound).
 _MAX_CACHE_COMPILE_SECS = float(
-    os.environ.get("TPUSKY_CACHE_COMPILE_SECS_CAP", "25"))
+    os.environ.get("TPUSKY_CACHE_COMPILE_SECS_CAP", "120"))
 from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_put = _cc.put_executable_and_time

@@ -226,3 +226,22 @@ def rgb_of_spectrum(spectrum, wavelengths):
     s = np.interp(lam, np.asarray(wavelengths, np.float64),
                   np.atleast_1d(np.asarray(spectrum, np.float64)))
     return a @ s
+
+
+def eval_emitter_coeff_spectrum(coeffs, wavelengths):
+    """EMITTER-side spectrum from fitted coefficients: reflectance fit x
+    normalised D65 illuminant.
+
+    The sigmoid fit solves ``rgb = ∫ S(λ)·d65(λ)·CMF(λ) dλ`` — a
+    REFLECTANCE under D65 (the rgb2spec convention; `_solver_tables`).
+    The render pipeline integrates emitted spectra against the bare CMFs
+    (`ops/spectrum.spectrum_to_xyz`), so an RGB emitter's emission must
+    be ``S(λ)·D65n(λ)`` for the round trip to return the original RGB —
+    exactly the reference's `srgb_d65` emitter texture (`srgb.cpp`
+    emitter branch scales the fetched reflectance spectrum by the CIE
+    D65 curve and MI_CIE_D65_NORMALIZATION). Omitting the factor shifts
+    every RGB emitter by the E-vs-D65 white-point difference (~+20% red,
+    −9% blue — the bias that hid under MC noise until round 4's
+    cross-mode test tightened)."""
+    from .spectrum import cie_d65
+    return eval_coeff_spectrum(coeffs, wavelengths) * cie_d65(wavelengths)

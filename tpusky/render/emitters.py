@@ -36,24 +36,26 @@ def env_eval(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
         if wavelengths is not None:
             # rgb2spec upsampling (`srgb.cpp:14-38`): fit once per trace
             # (loop-invariant), evaluate at the hero wavelengths
-            from ..ops.rgb2spec import (eval_coeff_spectrum,
+            from ..ops.rgb2spec import (eval_emitter_coeff_spectrum,
                                         fit_sigmoid_coeffs_jnp)
             cf = fit_sigmoid_coeffs_jnp(env.radiance)
-            return jnp.broadcast_to(eval_coeff_spectrum(cf, wavelengths),
-                                    wavelengths.shape)
+            return jnp.broadcast_to(
+                eval_emitter_coeff_spectrum(cf, wavelengths),
+                wavelengths.shape)
         return jnp.broadcast_to(env.radiance, shape + env.radiance.shape)
     if isinstance(env, EnvMapState):
         d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         if wavelengths is not None:
             if env.coeff is not None:
                 # nearest-texel rgb2spec spectrum at the hero wavelengths
-                from ..ops.rgb2spec import eval_coeff_spectrum
+                from ..ops.rgb2spec import eval_emitter_coeff_spectrum
                 h, w = env.bitmap.shape[:2]
                 u, v = _envmap_uv(d_local)
                 col = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
                 row = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
                 cf = env.coeff.reshape(-1, 4)[row * w + col]
-                return env.scale * eval_coeff_spectrum(cf, wavelengths)
+                return env.scale * eval_emitter_coeff_spectrum(cf,
+                                                               wavelengths)
             rgb = envmap_eval(env, d_local)
             return jnp.broadcast_to(jnp.mean(rgb, -1, keepdims=True),
                                     wavelengths.shape)

@@ -95,12 +95,14 @@ class PathState(NamedTuple):
 
 
 def _spec_rows(coeffs_table, rows_idx, wavelengths):
-    """Per-lane emitter spectrum: gather fitted (c0,c1,c2,scale) rows and
-    evaluate at the hero wavelengths -> (..., W)."""
+    """Per-lane EMITTER spectrum: gather fitted (c0,c1,c2,scale) rows and
+    evaluate at the hero wavelengths -> (..., W), including the D65
+    illuminant factor (`rgb2spec.eval_emitter_coeff_spectrum` — the
+    reference's srgb_d65 emitter convention)."""
     from ..ops.gather import take_rows
-    from ..ops.rgb2spec import eval_coeff_spectrum
-    return eval_coeff_spectrum(take_rows(coeffs_table, rows_idx),
-                               wavelengths)
+    from ..ops.rgb2spec import eval_emitter_coeff_spectrum
+    return eval_emitter_coeff_spectrum(take_rows(coeffs_table, rows_idx),
+                                       wavelengths)
 
 
 def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
@@ -424,9 +426,9 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 _SHADOW_EPS * jnp.maximum(
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
-            from ..ops.rgb2spec import eval_coeff_spectrum
+            from ..ops.rgb2spec import eval_emitter_coeff_spectrum
             I_l = (intensity if wavelengths is None
-                   else eval_coeff_spectrum(emit_cf["point"][li],
+                   else eval_emitter_coeff_spectrum(emit_cf["point"][li],
                                             wavelengths))
             contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
                          / dist2_l[..., None])
@@ -447,9 +449,9 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                     1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
             occ_l = scene_occluded(scene, off_l, d_b,
                                    jnp.full((n,), jnp.inf))
-            from ..ops.rgb2spec import eval_coeff_spectrum
+            from ..ops.rgb2spec import eval_emitter_coeff_spectrum
             E_l = (irr if wavelengths is None
-                   else eval_coeff_spectrum(emit_cf["dirl"][li],
+                   else eval_emitter_coeff_spectrum(emit_cf["dirl"][li],
                                             wavelengths))
             contrib_l = (thr_s * f_l * E_l
                          * shadow_T(off_l, d_b, jnp.full((n,), jnp.inf)))
@@ -473,10 +475,11 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 I_l = falloff
             else:
                 # spectral intensity x scalar (falloff+texture) modulation
-                from ..ops.rgb2spec import eval_coeff_spectrum
+                from ..ops.rgb2spec import eval_emitter_coeff_spectrum
                 ratio = (jnp.sum(falloff, -1)
                          / jnp.maximum(jnp.sum(light.intensity), 1e-12))
-                I_l = (eval_coeff_spectrum(emit_cf["spot"][si], wavelengths)
+                I_l = (eval_emitter_coeff_spectrum(emit_cf["spot"][si],
+                                                   wavelengths)
                        * ratio[..., None])
             contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
                          / dist2_l[..., None])
