@@ -5,6 +5,13 @@ sunsky parameters, then recover them by gradient descent on the image
 loss, with rays data-parallel over the device mesh and per-iteration
 checkpointing.
 
+NOTE: the PRODUCTION recovery recipe lives in `bench.py --train`
+(round 4): global (T x sun-cap) grid initialisation, T+albedo adam
+phases with the sun frozen, and nested direct-search sun refinement —
+measured to recover T within 0.03 and the sun within 0.25 deg on every
+CRN seed, where plain joint adam (this demo) is seed-dependent. This
+example stays as the minimal didactic gradient-descent loop.
+
     python examples/inverse_sunsky.py                  # quick CPU demo
     python examples/inverse_sunsky.py --size 1080 --spp 256   # full config
 

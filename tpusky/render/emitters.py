@@ -22,8 +22,21 @@ from ..ops.gather import take_ints, take_scalars
 
 
 class ConstantEnv(NamedTuple):
-    """Uniform environment radiance (reference `src/emitters/constant.cpp`)."""
+    """Uniform environment radiance from an RGB COLOR (reference
+    `src/emitters/constant.cpp` with an srgb_d65 radiance): spectral eval
+    routes through rgb2spec x D65 (the emitter convention)."""
     radiance: jnp.ndarray       # (C,)
+
+
+class UniformEnv(NamedTuple):
+    """Constant environment with a FLAT SPECTRUM (a scalar / uniform
+    spectrum property — the reference's `uniform.cpp` texture on
+    `constant.cpp`): in spectral mode the value holds at every
+    wavelength, with no upsampling and no illuminant factor. A separate
+    type (not a flag) so the distinction stays static under jit —
+    NamedTuple fields are pytree LEAVES and a bool leaf would be
+    traced."""
+    radiance: jnp.ndarray       # (C,) equal channels
 
 
 def env_eval(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
@@ -31,11 +44,20 @@ def env_eval(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
     if isinstance(env, sunsky.SunskyState):
         d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         return sunsky.eval(env, d_local, wavelengths=wavelengths, mode=mode)
+    if isinstance(env, UniformEnv):
+        shape = d_world.shape[:-1]
+        if wavelengths is not None:
+            # flat spectrum: the scalar radiance at every wavelength
+            # (`uniform.cpp`) — no upsampling, no illuminant
+            return jnp.broadcast_to(jnp.mean(env.radiance),
+                                    wavelengths.shape)
+        return jnp.broadcast_to(env.radiance, shape + env.radiance.shape)
     if isinstance(env, ConstantEnv):
         shape = d_world.shape[:-1]
         if wavelengths is not None:
-            # rgb2spec upsampling (`srgb.cpp:14-38`): fit once per trace
-            # (loop-invariant), evaluate at the hero wavelengths
+            # rgb2spec upsampling (`srgb.cpp:14-38`) with the srgb_d65
+            # emitter factor: fit once per trace (loop-invariant),
+            # evaluate at the hero wavelengths
             from ..ops.rgb2spec import (eval_emitter_coeff_spectrum,
                                         fit_sigmoid_coeffs_jnp)
             cf = fit_sigmoid_coeffs_jnp(env.radiance)
@@ -73,7 +95,7 @@ def env_sample_direction(env, env_to_world, sample2):
         d_local, pdf = sunsky.sample_direction(env, sample2)
         d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local, precision=jax.lax.Precision.HIGHEST)
         return d_world, pdf
-    if isinstance(env, ConstantEnv):
+    if isinstance(env, (ConstantEnv, UniformEnv)):
         d = warp.square_to_uniform_sphere(sample2)
         pdf = jnp.full(d.shape[:-1], warp.INV_FOUR_PI)
         return d, pdf
@@ -118,7 +140,7 @@ def env_pdf_direction(env, env_to_world, d_world):
     if isinstance(env, sunsky.SunskyState):
         d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         return sunsky.pdf_direction(env, d_local)
-    if isinstance(env, ConstantEnv):
+    if isinstance(env, (ConstantEnv, UniformEnv)):
         return jnp.full(d_world.shape[:-1], warp.INV_FOUR_PI)
     if isinstance(env, EnvMapState):
         d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)

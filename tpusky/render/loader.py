@@ -47,7 +47,7 @@ from ..models.sunsky.astronomy import sun_direction as astro_sun_direction
 from ..models.sunsky.tables import load_tables
 from ..utils import transform as T
 from . import integrator as integrator_mod
-from .emitters import ConstantEnv
+from .emitters import ConstantEnv, UniformEnv
 from .film import Film
 from .scene import make_scene
 from .sensors import Orthographic, Perspective, make_spherical
@@ -1283,9 +1283,16 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             env_params = _sunsky_params_from_props(env_desc, mode)
         elif env_desc["type"] == "constant":
             env_kind = "constant"
-            env_params = ConstantEnv(jnp.asarray(
-                spectrum_to_channels(env_desc.get("radiance", 1.0), "rgb"),
-                jnp.float32))
+            rad_prop = env_desc.get("radiance", 1.0)
+            # a scalar / uniform-spectrum property is a FLAT spectrum
+            # (reference float-property -> uniform.cpp semantics), not an
+            # RGB color — spectral eval must not upsample it
+            is_uniform = (isinstance(rad_prop, (int, float))
+                          or (isinstance(rad_prop, dict)
+                              and rad_prop.get("type") == "uniform"))
+            cls = UniformEnv if is_uniform else ConstantEnv
+            env_params = cls(jnp.asarray(
+                spectrum_to_channels(rad_prop, "rgb"), jnp.float32))
         elif env_desc["type"] == "envmap":
             from ..utils.io import read_exr
             from .emitters import make_envmap
