@@ -112,3 +112,32 @@ def test_point_light_via_loader():
     img = np.array(bundle.render(seed=0))
     expected = 0.6 / np.pi * 20 / 9.0
     assert abs(img[4, 4].mean() - expected) / expected < 0.01
+
+
+def test_constant_env_spectral_conventions():
+    """UniformEnv (scalar radiance = flat spectrum, `uniform.cpp`) vs
+    ConstantEnv (RGB color = srgb_d65 emitter convention): the flat
+    spectrum is exactly constant across wavelengths; the RGB one
+    round-trips through the spectral pipeline back to its RGB value."""
+    import jax
+    import jax.numpy as jnp
+    from tpusky.render.emitters import ConstantEnv, UniformEnv, env_eval
+    from tpusky.ops import spectrum as spec_mod
+
+    eye = jnp.eye(3)
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    wl = jnp.asarray([[400.0, 500.0, 600.0, 700.0]])
+
+    u = UniformEnv(jnp.full((3,), 2.0))
+    out_u = np.asarray(env_eval(u, d, eye, wavelengths=wl,
+                                mode="spectral"))
+    np.testing.assert_allclose(out_u, 2.0, rtol=1e-6)
+
+    c = ConstantEnv(jnp.asarray([2.0, 0.8, 0.4]))
+    n = 4096
+    us = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+    wls, wgt = spec_mod.sample_rgb_spectrum(us[:, None])
+    s = env_eval(c, jnp.broadcast_to(d, (n, 3)), eye, wavelengths=wls,
+                 mode="spectral")
+    back = np.asarray(spec_mod.spectrum_to_srgb(s * wgt, wls).mean(axis=0))
+    np.testing.assert_allclose(back, [2.0, 0.8, 0.4], rtol=0.01)
