@@ -43,8 +43,9 @@ def test_pallas_sun_disc_and_horizon():
 
 
 def test_eval_dispatches_to_fused_kernel(monkeypatch):
-    """model.eval's TPU fast path: custom_vjp primal = pallas kernel
-    (interpret on CPU), backward = exact jnp vjp."""
+    """model.eval's TPU fast path: fused pallas primal (interpret on CPU);
+    reverse mode transposes into the fused adjoint kernel (round 5), whose
+    gradients match the jnp vjp to the trig-approximation tolerance."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -83,7 +84,9 @@ def test_eval_dispatches_to_fused_kernel(monkeypatch):
     g_fused = float(jax.grad(lambda t: loss(t, True))(jnp.float32(4.2)))
     monkeypatch.setattr(M, "_pallas_available", lambda: False)
     g_jnp = float(jax.grad(lambda t: loss(t, False))(jnp.float32(4.2)))
-    assert abs(g_fused - g_jnp) / max(abs(g_jnp), 1e-9) < 1e-6
+    # fused adjoint kernel vs jnp vjp: the polynomial asin's derivative
+    # error dominates at disc-edge lanes (~1e-2 there, ~1e-5 elsewhere)
+    assert abs(g_fused - g_jnp) / max(abs(g_jnp), 1e-9) < 5e-3
 
 
 def test_fused_hit_and_nee_kernels_match_jnp():
@@ -181,3 +184,100 @@ def test_fused_spectral_kernels_match_jnp():
            / (np.abs(np.array(radj_at_dk)) + 1e-3))
     assert np.median(rel) < 1e-4, np.median(rel)
     assert rel.max() < 1e-2, rel.max()
+
+
+def test_fused_adjoint_kernels_match_jnp_vjp(monkeypatch):
+    """Round-5 fused backward (VERDICT r4 item 1): reverse mode through
+    the fused hit/NEE/eval blocks runs the Pallas adjoint kernels
+    (in-kernel vjp of the gs-safe body, incl. the disc straight-through
+    surrogate) and matches the jnp vjp — exactly for table-parameter
+    chains, to the trig-approximation tolerance on disc-edge lanes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import tpusky as ts
+    import tpusky.ops.pallas.sunsky_kernel as K
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+
+    monkeypatch.setattr(M, "_pallas_available", lambda: True)
+    for fn in ("sunsky_eval_rgb_pallas", "sunsky_hit_rgb_pallas",
+               "sunsky_nee_rgb_pallas"):
+        orig = getattr(K, fn)
+        monkeypatch.setattr(
+            K, fn, (lambda o: lambda *a, **kw: o(*a, interpret=True))(orig))
+
+    tables = load_tables("rgb")
+    rng = np.random.default_rng(3)
+    d = rng.normal(size=(400, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    sun = np.asarray([0.3, 0.2, 0.93]); sun /= np.linalg.norm(sun)
+    d[:40] = sun + 0.002 * rng.normal(size=(40, 3))   # disc-edge lanes
+    d[:40] /= np.linalg.norm(d[:40], axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    u2 = jnp.asarray(rng.uniform(size=(400, 2)).astype(np.float32))
+
+    def env_of(t, z):
+        p = ts.make_params(turbidity=t, albedo=0.25,
+                           sun_direction=[0.3, 0.2, z])
+        return M.precompute(tables, p, "rgb")
+
+    def lsum(out):
+        return sum(jnp.sum(jnp.log1p(jnp.abs(x)))
+                   for x in jax.tree.leaves(out))
+
+    cases = {
+        "eval": (lambda e: M.eval(e, d), lambda e: M._eval_rgb_jnp(e, d)),
+        "hit": (lambda e: M.eval_pdf(e, d), lambda e: M._hit_rgb_jnp(e, d)),
+        "nee": (lambda e: M.sample_eval(e, u2),
+                lambda e: M._sample_eval_rgb_jnp(e, u2)),
+    }
+    for name, (fused, ref) in cases.items():
+        for argi, tol in ((0, 1e-4), (1, 3e-2)):   # turbidity, sun_z
+            gf = jax.grad(lambda t, z: lsum(fused(env_of(t, z))),
+                          argnums=argi)(jnp.float32(4.2), jnp.float32(0.93))
+            gj = jax.grad(lambda t, z: lsum(ref(env_of(t, z))),
+                          argnums=argi)(jnp.float32(4.2), jnp.float32(0.93))
+            rel = abs(float(gf) - float(gj)) / max(abs(float(gj)), 1e-9)
+            assert rel < tol, (name, argi, float(gf), float(gj), rel)
+
+
+def test_fused_forward_mode_is_exact_jnp(monkeypatch):
+    """jax.jvp through the fused blocks evaluates the EXACT jnp tangent
+    (linear_call forward), so `render_forward` stays bit-faithful."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import tpusky as ts
+    import tpusky.ops.pallas.sunsky_kernel as K
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+
+    monkeypatch.setattr(M, "_pallas_available", lambda: True)
+    orig = K.sunsky_hit_rgb_pallas
+    monkeypatch.setattr(K, "sunsky_hit_rgb_pallas",
+                        lambda *a, **kw: orig(*a, interpret=True))
+
+    tables = load_tables("rgb")
+    rng = np.random.default_rng(5)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+
+    def out_of(t):
+        p = ts.make_params(turbidity=t, albedo=0.3,
+                           sun_direction=[0.3, 0.2, 0.93])
+        env = M.precompute(tables, p, "rgb")
+        rad, pdf = M.eval_pdf(env, d)
+        return jnp.sum(rad) + jnp.sum(pdf)
+
+    def out_ref(t):
+        p = ts.make_params(turbidity=t, albedo=0.3,
+                           sun_direction=[0.3, 0.2, 0.93])
+        env = M.precompute(tables, p, "rgb")
+        rad, pdf = M._hit_rgb_jnp(env, d)
+        return jnp.sum(rad) + jnp.sum(pdf)
+
+    _, tf = jax.jvp(out_of, (jnp.float32(3.7),), (jnp.float32(1.0),))
+    _, tr = jax.jvp(out_ref, (jnp.float32(3.7),), (jnp.float32(1.0),))
+    np.testing.assert_allclose(float(tf), float(tr), rtol=1e-6)

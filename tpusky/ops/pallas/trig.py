@@ -28,6 +28,28 @@ def acos(c):
     return jnp.where(cc >= 0.0, pos, jnp.pi - pos)
 
 
+def asin01_gs(t):
+    """`asin01` with a FINITE gradient at t == 1 (double-where on the
+    sqrt, mirroring ops.math.safe_asin). Used by the adjoint kernels:
+    plain sqrt(1-t) has an infinite derivative at t == 1 that turns
+    masked-lane cotangents into NaN via 0*inf."""
+    p = (1.5707963050 + t * (-0.2145988016 + t * (0.0889789874 + t * (
+        -0.0501743046 + t * (0.0308918810 + t * (-0.0170881256 + t * (
+            0.0066700901 + t * -0.0012624911)))))))
+    om = 1.0 - t
+    pos = om > 0.0
+    root = jnp.where(pos, jnp.sqrt(jnp.where(pos, om, 1.0)), 0.0)
+    return 0.5 * jnp.pi - root * p
+
+
+def acos_gs(c):
+    """`acos` with finite gradients at |c| == 1 (see asin01_gs)."""
+    cc = jnp.clip(c, -1.0, 1.0)
+    a = asin01_gs(jnp.abs(cc))
+    pos = 0.5 * jnp.pi - a
+    return jnp.where(cc >= 0.0, pos, jnp.pi - pos)
+
+
 def _atan01(t):
     """atan for t in [0, 1]: minimax polynomial in t^2 (|err| < 1e-7)."""
     s = t * t

@@ -106,31 +106,40 @@ def env_sample_direction(env, env_to_world, sample2):
     raise TypeError(f"unknown environment {type(env)}")
 
 
-def env_eval_pdf(env, d_world, env_to_world, wavelengths=None, mode="rgb"):
+def env_eval_pdf(env, d_world, env_to_world, wavelengths=None, mode="rgb",
+                 pdf_detached=False):
     """(radiance, solid-angle pdf) toward d_world in one call — fused into
-    a single Pallas pass for sunsky RGB (the emitter-hit MIS block)."""
+    a single Pallas pass for sunsky RGB (the emitter-hit MIS block).
+    pdf_detached=True declares the render contract (pdf only used under
+    stop_gradient) so the sunsky adjoint skips the pdf transpose."""
     if isinstance(env, sunsky.SunskyState):
         d_local = jnp.einsum("ji,...j->...i", env_to_world, d_world, precision=jax.lax.Precision.HIGHEST)
         return sunsky.eval_pdf(env, d_local, wavelengths=wavelengths,
-                               mode=mode)
+                               mode=mode, pdf_detached=pdf_detached)
+    pdf = env_pdf_direction(env, env_to_world, d_world)
+    if pdf_detached:
+        pdf = jax.lax.stop_gradient(pdf)
     return (env_eval(env, d_world, env_to_world, wavelengths=wavelengths,
-                     mode=mode),
-            env_pdf_direction(env, env_to_world, d_world))
+                     mode=mode), pdf)
 
 
 def env_sample_eval(env, env_to_world, sample2, wavelengths=None,
-                    mode="rgb"):
+                    mode="rgb", pdf_detached=False):
     """Importance-sample a world direction AND evaluate its radiance +
     pdf — the NEE block, fused into one Pallas pass for sunsky RGB.
-    The returned direction is detached (sample placement)."""
+    The returned direction is detached (sample placement); pdf_detached
+    declares the render contract (see env_eval_pdf)."""
     if isinstance(env, sunsky.SunskyState):
         d_local, rad, pdf = sunsky.sample_eval(env, sample2,
                                                wavelengths=wavelengths,
-                                               mode=mode)
+                                               mode=mode,
+                                               pdf_detached=pdf_detached)
         d_world = jnp.einsum("ij,...j->...i", env_to_world, d_local, precision=jax.lax.Precision.HIGHEST)
         return jnp.asarray(jax.lax.stop_gradient(d_world)), rad, pdf
     d_world, pdf = env_sample_direction(env, env_to_world, sample2)
     d_world = jnp.asarray(jax.lax.stop_gradient(d_world))
+    if pdf_detached:
+        pdf = jax.lax.stop_gradient(pdf)
     rad = env_eval(env, d_world, env_to_world, wavelengths=wavelengths,
                    mode=mode)
     return d_world, rad, pdf

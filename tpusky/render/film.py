@@ -30,6 +30,26 @@ class Film(NamedTuple):
     rfilter: str = "box"       # box | gaussian | tent | mitchell |
     #                            catmullrom | lanczos
     bands: tuple = None        # specfilm band edges (nm), len = channels+1
+    # crop window (`hdrfilm.cpp:46,137`: crop_offset_*, crop_width/height):
+    # rays are generated for crop pixels only; the developed image has the
+    # crop size. RNG stays keyed on FULL-film pixel ids, so a crop render
+    # equals the same window of the full render bitwise.
+    crop_offset: tuple = None  # (x0, y0) in full-film pixels
+    crop_size: tuple = None    # (crop_width, crop_height)
+    # specfilm per-channel sensor response functions (`specfilm.cpp`):
+    # tuple of (lambda_min, lambda_max, values-tuple) regular spectra, one
+    # per output channel; used instead of hard band edges when set.
+    srfs: tuple = None
+
+
+def crop_extent(film: "Film"):
+    """(x0, y0, width, height) of the render window (full film without a
+    crop)."""
+    if film.crop_size is None:
+        return 0, 0, film.width, film.height
+    x0, y0 = film.crop_offset or (0, 0)
+    cw, ch = film.crop_size
+    return int(x0), int(y0), int(cw), int(ch)
 
 
 def splat_ordered(film: Film, values, spp: int):

@@ -251,7 +251,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             # one fused pass computes radiance AND pdf (Pallas on TPU)
             env_L, em_pdf_raw = em.env_eval_pdf(scene.env, state.d,
                                                 scene.env_to_world,
-                                                wavelengths, mode)
+                                                wavelengths, mode,
+                                                pdf_detached=True)
             em_pdf = jnp.where(state.prev_bsdf_delta, 0.0, em_pdf_raw)
         else:
             env_L = _env_radiance(scene, state.d, wavelengths, mode)
@@ -355,7 +356,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             # fused sample + radiance + pdf (one Pallas pass on TPU);
             # d_e comes back detached (sample placement)
             d_e, L_e, pdf_e = em.env_sample_eval(
-                scene.env, scene.env_to_world, u_nee, wavelengths, mode)
+                scene.env, scene.env_to_world, u_nee, wavelengths, mode,
+                pdf_detached=True)
             pdf_e_detached = sg(pdf_e)
             wo_local = frame.to_local(d_e)
             f_val, pdf_b = bsdf_mod.eval_pdf(
@@ -505,7 +507,7 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                 u_nee_m = sg(smp.next(100_000 + 4 * depth + 1, 2))
                 d_me, L_me, pdf_me = em.env_sample_eval(
                     scene.env, scene.env_to_world, u_nee_m, wavelengths,
-                    mode)
+                    mode, pdf_detached=True)
                 pdf_me_d = sg(pdf_me)
                 f_p = medium_mod.stack_phase_pdf(media, reg_oh,
                                                  state.d, d_me)
@@ -570,15 +572,22 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
         )
         return new_state, None
 
-    # Rematerialised bounce: the backward sweep stores only the compact
-    # per-bounce carry (rays, throughput — a dozen floats per lane) and
-    # recomputes intersections/emitter evals per bounce. This is the
-    # JAX-native analogue of the reference's path-replay backprop
+    # Rematerialised bounce (depth > 4): the backward sweep stores only
+    # the compact per-bounce carry (rays, throughput — a dozen floats per
+    # lane) and recomputes intersections/emitter evals per bounce. This is
+    # the JAX-native analogue of the reference's path-replay backprop
     # (`prb.py:63-258`): replay instead of taping, with identical RNG by
     # construction (counter-based streams).
+    #
+    # At SHALLOW depths remat is a pure tax: the fused sunsky blocks
+    # already recompute their forward inside the adjoint kernel (their
+    # linearisation residuals are just the inputs), so checkpointing the
+    # bounce forces a second forward run of the Pallas kernels per bounce
+    # for nothing (~25% of the fwd+bwd step at depth 2). Residual memory
+    # for <=4 bounces is tens of floats/lane — far below HBM pressure.
     if max_depth > 1:
-        state, _ = jax.lax.scan(jax.checkpoint(bounce), init,
-                                jnp.arange(max_depth - 1))
+        body = bounce if max_depth <= 4 else jax.checkpoint(bounce)
+        state, _ = jax.lax.scan(body, init, jnp.arange(max_depth - 1))
     else:
         state = init
 
@@ -621,7 +630,8 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
     if scene.env is not None:
         env_L, em_pdf_raw = em.env_eval_pdf(scene.env, state.d,
                                             scene.env_to_world,
-                                            wavelengths, mode)
+                                            wavelengths, mode,
+                                            pdf_detached=True)
         em_pdf = jnp.where(state.prev_bsdf_delta, 0.0, em_pdf_raw)
     else:
         env_L = _env_radiance(scene, state.d, wavelengths, mode)
@@ -666,13 +676,19 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
     (SURVEY.md §7 item 8).
     """
     h, w = film_cfg.height, film_cfg.width
-    n = n_rows * w * spp_chunk
+    cx0, cy0, cw, _ch = film_mod.crop_extent(film_cfg)
+    n = n_rows * cw * spp_chunk
     local_lane = jnp.arange(n, dtype=jnp.uint32)
     local_pixel = local_lane // spp_chunk
-    pixel = jnp.uint32(row0) * jnp.uint32(w) + local_pixel
+    # full-film pixel id: RNG keys stay crop-invariant (`hdrfilm.cpp:137`
+    # semantics — a crop renders the same samples as that window of the
+    # full film), so crop == full-render window bitwise for box filters
+    px_full = jnp.uint32(cx0) + local_pixel % cw
+    py_full = jnp.uint32(cy0) + jnp.uint32(row0) + local_pixel // cw
+    pixel = py_full * jnp.uint32(w) + px_full
     sample_idx = jnp.uint32(spp0) + local_lane % spp_chunk
-    px = (pixel % w).astype(jnp.float32)
-    py = (pixel // w).astype(jnp.float32)
+    px = px_full.astype(jnp.float32)
+    py = py_full.astype(jnp.float32)
 
     smp = _SamplerCtx(sampler_kind, key, pixel, sample_idx, spp)
     u_pos = smp.next(10_000, 2)
@@ -723,14 +739,15 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
                                 kinds=kinds, nmaps=nmaps, tkinds=tkinds)
     radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
 
-    block_film = film_mod.Film(n_rows, w, film_cfg.n_channels,
+    block_film = film_mod.Film(n_rows, cw, film_cfg.n_channels,
                                film_cfg.rfilter)
     if film_cfg.rfilter == "box":
         # lanes are pixel-ordered by construction: dense reduction, no
         # scatter (film.splat_ordered) — ~20x faster on TPU
         return film_mod.splat_ordered(block_film, radiance, spp_chunk)
-    local_y = pix_y - jnp.float32(row0)
-    return film_mod.splat(block_film, jnp.stack([pix_x, local_y], -1),
+    local_y = pix_y - jnp.float32(cy0 + row0)
+    local_x = pix_x - jnp.float32(cx0)
+    return film_mod.splat(block_film, jnp.stack([local_x, local_y], -1),
                           radiance)
 
 
@@ -745,7 +762,7 @@ def render_rows(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
     reference bounds its wavefront the same way with multi-pass splitting,
     `integrator.cpp:247-265`.)
     """
-    w = film_cfg.width
+    w = film_mod.crop_extent(film_cfg)[2]
     chunk_cap = max(1, min(spp, max_lanes // max(n_rows * w, 1)))
     # smallest divisor-of-spp chunking whose chunk fits the lane budget
     spp_chunk = next(c for c in range(chunk_cap, 0, -1) if spp % c == 0)
@@ -785,7 +802,8 @@ def _megakernel_ok(scene, sensor, film_cfg, spp, max_depth, mode,
     from ..models.sunsky.model import SunskyState
     if not (mode == "rgb" and max_depth == 2
             and sampler_kind == "independent"
-            and film_cfg.rfilter == "box" and film_cfg.n_channels == 3):
+            and film_cfg.rfilter == "box" and film_cfg.n_channels == 3
+            and film_cfg.crop_size is None):
         return False
     # the megakernel has no Russian-roulette logic; require that RR can
     # never trigger before the path terminates (depth 2 -> RR off)
@@ -842,14 +860,15 @@ def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
             # from the pure-jnp wavefront path (same estimator)
             def f(sc, se, k):
                 return render_rows(sc, se, film_cfg, k, spp, max_depth,
-                                   rr_depth, mode, 0, film_cfg.height,
+                                   rr_depth, mode, 0,
+                                   film_mod.crop_extent(film_cfg)[3],
                                    sampler_kind=sampler_kind, kinds=kinds,
                                    nmaps=nmaps, tkinds=tkinds)
             return jax.jvp(f, primals, tangents)
 
         return mega(scene, sensor, key)
     return render_rows(scene, sensor, film_cfg, key, spp, max_depth,
-                       rr_depth, mode, 0, film_cfg.height,
+                       rr_depth, mode, 0, film_mod.crop_extent(film_cfg)[3],
                        sampler_kind=sampler_kind, kinds=kinds, nmaps=nmaps,
                        tkinds=tkinds)
 

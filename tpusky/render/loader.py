@@ -1245,19 +1245,42 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     rfilter = rfilter if rfilter in ("box", "gaussian", "tent",
                                      "mitchell", "lanczos",
                                      "catmullrom") else "box"
+    # crop window (`hdrfilm.cpp:46`: crop_offset_x/y, crop_width/height)
+    crop_offset = crop_size = None
+    if "crop_width" in film_desc or "crop_height" in film_desc:
+        cw = int(film_desc.get("crop_width", w))
+        ch = int(film_desc.get("crop_height", h))
+        cx = int(film_desc.get("crop_offset_x", 0))
+        cy = int(film_desc.get("crop_offset_y", 0))
+        if not (0 <= cx and cx + cw <= w and 0 <= cy and cy + ch <= h):
+            raise ValueError("crop window exceeds the film")
+        crop_offset, crop_size = (cx, cy), (cw, ch)
     if film_desc.get("type") == "specfilm":
         # spectral band film (`src/films/specfilm.cpp`): each channel
-        # integrates one wavelength band; requires mode='spectral'
-        if "bands" in film_desc:
-            bands = tuple(float(b) for b in film_desc["bands"])
+        # integrates one wavelength band, or carries a named/explicit
+        # sensor response function (srf) weighting its band
+        srfs = None
+        if "srfs" in film_desc:
+            from .spectra import parse_srf
+            srfs = tuple(parse_srf(s) for s in film_desc["srfs"])
+            lo = min(s[0] for s in srfs)
+            hi = max(s[1] for s in srfs)
+            bands = tuple(lo + (hi - lo) * i / len(srfs)
+                          for i in range(len(srfs) + 1))
+            film = Film(h, w, len(srfs), rfilter, bands,
+                        crop_offset, crop_size, srfs)
         else:
-            nb = int(film_desc.get("n_bands", 4))
-            lo = float(film_desc.get("lambda_min", 360.0))
-            hi = float(film_desc.get("lambda_max", 720.0))
-            bands = tuple(lo + (hi - lo) * i / nb for i in range(nb + 1))
-        film = Film(h, w, len(bands) - 1, rfilter, bands)
+            if "bands" in film_desc:
+                bands = tuple(float(b) for b in film_desc["bands"])
+            else:
+                nb = int(film_desc.get("n_bands", 4))
+                lo = float(film_desc.get("lambda_min", 360.0))
+                hi = float(film_desc.get("lambda_max", 720.0))
+                bands = tuple(lo + (hi - lo) * i / nb for i in range(nb + 1))
+            film = Film(h, w, len(bands) - 1, rfilter, bands,
+                        crop_offset, crop_size)
     else:
-        film = Film(h, w, 3, rfilter)
+        film = Film(h, w, 3, rfilter, None, crop_offset, crop_size)
     sampler_desc = sensor_desc.get("sampler", top_level_sampler or {})
     spp = int(sampler_desc.get("sample_count", 16))
     sampler_kind = {"independent": "independent",
