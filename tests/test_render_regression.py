@@ -127,3 +127,60 @@ def test_cross_integrator_megakernel_vs_path_golden(goldens, monkeypatch):
         goldens["sunsky_sphere_var"])
     assert ok, (f"megakernel vs path golden: {n_failed} px failed "
                 f"(min p={min_p:.3g}, alpha={alpha:.3g})")
+
+
+def test_cross_integrator_spectral_ptracer_vs_path():
+    """Spectral light tracing agrees with spectral path tracing (the
+    reference's `ptracer.cpp` is variant-generic; round 5 closes the
+    'RGB+perspective only' gap). A sunsky-lit diffuse plane seen from
+    straight above: every camera pixel is direct sun+sky illumination in
+    both estimators. Env particles importance-sample the emitter's
+    spectral distribution (`model.sample_wavelengths` — previously dead
+    in the render path); both images are hero-wavelength transport
+    converted to sRGB, gated by a per-pixel Z-test over K-run means."""
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.render.ptracer import render_ptracer
+    from tpusky.render.scene import make_scene
+    from tpusky.render.sensors import make_perspective
+
+    tables = load_tables("spectral")
+    params = ts.make_params(turbidity=3.0, albedo=0.3,
+                            sun_direction=[0.3, 0.2, 0.93],
+                            mode="spectral")
+    env = M.precompute(tables, params, "spectral")
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0)],
+        bsdf_albedos=[[0.5, 0.4, 0.3]], env=None)._replace(env=env)
+    sensor = make_perspective([0, 0, 3.0], [0, 0.01, 0], fov_x_deg=45)
+    size = 16
+    film = Film(size, size, 3)
+
+    K = 4
+    path_runs = np.stack([
+        np.asarray(integrator.render(scene, sensor, film,
+                                     jax.random.PRNGKey(10 + k), spp=64,
+                                     max_depth=2, mode="spectral"))
+        for k in range(K)])
+    pt_runs = np.stack([
+        np.asarray(render_ptracer(scene, sensor, film,
+                                  jax.random.PRNGKey(60 + k),
+                                  n_particles=1 << 20, max_depth=2,
+                                  mode="spectral"))
+        for k in range(K)])
+    mean_a, var_a = path_runs.mean(0), path_runs.var(0, ddof=1)
+    mean_b, var_b = pt_runs.mean(0), pt_runs.var(0, ddof=1)
+    sigma2 = (var_a + var_b) / K + 1e-10
+    z = np.abs(mean_a - mean_b) / np.sqrt(sigma2)
+    import scipy.stats as st
+    n = z.size
+    thresh = st.norm.ppf(1 - 0.5 * (1 - (1 - 0.01) ** (1 / n)))
+    bad = int((z > 1.5 * thresh).sum())
+    # also gate the aggregate: mean images within 2%
+    rel = abs(mean_a.mean() - mean_b.mean()) / mean_a.mean()
+    assert bad == 0 and rel < 0.02, (
+        f"spectral ptracer vs path: {bad} px failed "
+        f"(max z={z.max():.2f}, thresh={1.5 * thresh:.2f}), "
+        f"aggregate rel={rel:.4f}")

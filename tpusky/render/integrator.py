@@ -698,7 +698,22 @@ def _render_rows_chunk(scene, sensor, film_cfg, key, spp, spp0, spp_chunk,
     uv = jnp.stack([pix_x / w, pix_y / h], axis=-1)
 
     o, d = sensors_mod.sample_ray(sensor, uv, u_lens)
-    if mode == "spectral" and film_cfg.bands is not None:
+    if mode == "spectral" and film_cfg.srfs is not None:
+        # specfilm with per-channel sensor response functions
+        # (`specfilm.cpp`): wavelengths importance-sampled from the
+        # COMBINED SRF, channels weighted by their own SRF / pdf
+        from . import spectra as srf_mod
+        u_wl = smp.next(20_000, 1)[..., 0]
+        wavelengths, wl_pdf = srf_mod.srf_sample_wavelengths(
+            film_cfg.srfs, u_wl, 4)
+        spec_radiance = _path_sample(scene, o, d, smp, max_depth,
+                                     rr_depth, mode, wavelengths,
+                                     vma_axes=vma_axes, kinds=kinds,
+                                     nmaps=nmaps, tkinds=tkinds)
+        radiance = srf_mod.srf_accumulate(
+            film_cfg.srfs, wavelengths,
+            spec_radiance / jnp.maximum(wl_pdf, 1e-12))
+    elif mode == "spectral" and film_cfg.bands is not None:
         # specfilm path (reference `src/films/specfilm.cpp`): hero
         # wavelengths sampled uniformly over the band range; each output
         # channel accumulates its band's radiance estimate

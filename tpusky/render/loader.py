@@ -332,7 +332,8 @@ class SceneBundle:
             return render_ptracer(scene, self.sensor, self.film, key,
                                   n_particles=n_particles,
                                   max_depth=self.max_depth,
-                                  sampler_kind=self.sampler_kind)
+                                  sampler_kind=self.sampler_kind,
+                                  mode=self.mode)
         if self.integrator == "stokes":
             from .polarized import render_stokes
             return render_stokes(scene, self.sensor, self.film, key,
@@ -1259,10 +1260,23 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         # spectral band film (`src/films/specfilm.cpp`): each channel
         # integrates one wavelength band, or carries a named/explicit
         # sensor response function (srf) weighting its band
-        srfs = None
+        # SRF channels: an explicit `srfs` list, or (the reference's
+        # convention, `spectral_render_test.py:178-227`) any named nested
+        # spectrum dict (e.g. band_00: {type: regular, ...}) — one output
+        # channel each, ordered by key name (`specfilm.cpp:152-161`)
+        srf_descs = None
         if "srfs" in film_desc:
+            srf_descs = list(film_desc["srfs"])
+        else:
+            named = [(k, v) for k, v in sorted(film_desc.items())
+                     if isinstance(v, dict)
+                     and v.get("type") in ("regular", "irregular")
+                     and k != "rfilter"]
+            if named:
+                srf_descs = [v for _k, v in named]
+        if srf_descs is not None:
             from .spectra import parse_srf
-            srfs = tuple(parse_srf(s) for s in film_desc["srfs"])
+            srfs = tuple(parse_srf(s) for s in srf_descs)
             lo = min(s[0] for s in srfs)
             hi = max(s[1] for s in srfs)
             bands = tuple(lo + (hi - lo) * i / len(srfs)

@@ -88,9 +88,11 @@ def _splat(film_cfg, accum, pixel_uv01, value, ok):
 
 
 @partial(jax.jit, static_argnames=("film_cfg", "n_particles", "max_depth",
-                                   "strategies", "sampler_kind", "kinds"))
+                                   "strategies", "sampler_kind", "kinds",
+                                   "mode"))
 def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
-                  strategies, sampler_kind="independent", kinds=None):
+                  strategies, sampler_kind="independent", kinds=None,
+                  mode="rgb"):
     h, w = film_cfg.height, film_cfg.width
     n = n_particles
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -99,10 +101,63 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
     u_strat = smp.next(50_000, 1)[..., 0]
     strat = jnp.clip((u_strat * n_strat).astype(jnp.int32), 0, n_strat - 1)
 
+    # ---- hero wavelengths (spectral mode; `ptracer.cpp` is variant-
+    # generic, SURVEY H4). Env particles importance-sample the emitter's
+    # precomputed spectral distribution (`model.sample_wavelengths`,
+    # reference `sunsky.cpp:463`); the rest use the RGB-sensor-response
+    # distribution the camera-path tracer uses. Each lane's estimator is
+    # unbiased under its own wavelength density; splats convert to sRGB.
+    wavelengths = None
+    wl_weight = None
+    n_chan = 3
+    emit_cf = None
+    if mode == "spectral":
+        from ..ops import spectrum as spec_mod
+        from ..models.sunsky import model as sunsky_model
+        u_wl = smp.next(50_004, 1)[..., 0]
+        shifted = spec_mod.sample_shifted(u_wl, 4)
+        wavelengths, wl_weight = spec_mod.sample_rgb_spectrum(shifted)
+        if "env" in strategies and isinstance(scene.env,
+                                              sunsky_model.SunskyState):
+            wl_env, pdf_env = sunsky_model.sample_wavelengths(
+                scene.env, u_wl)
+            env_sel = (strat == strategies.index("env"))[..., None]
+            wavelengths = jnp.where(env_sel, wl_env, wavelengths)
+            wl_weight = jnp.where(
+                env_sel, 1.0 / jnp.maximum(pdf_env, 1e-9), wl_weight)
+        n_chan = 4
+        from ..ops.rgb2spec import fit_sigmoid_coeffs_jnp as _fit
+        emit_cf = dict(
+            area=(_fit(scene.area_radiance)
+                  if scene.area_emitter_shapes.shape[0] else None),
+            dir_area=(_fit(scene.dir_area_radiance)
+                      if scene.dir_area_radiance is not None else None),
+            point=(_fit(scene.point_lights[:, 3:])
+                   if scene.point_lights.shape[0] else None),
+            spot=tuple(_fit(light.intensity)
+                       for light in scene.spot_lights))
+
+    def to_rgb(spec):
+        """Per-lane contribution -> splat RGB."""
+        if mode != "spectral":
+            return spec
+        from ..ops import spectrum as spec_mod
+        return spec_mod.spectrum_to_srgb(spec * wl_weight, wavelengths)
+
+    def emit_spec(rgb_rows, coeffs, rows_idx=None):
+        """Emitter quantity -> per-lane spectrum (rgb2spec upsampled) or
+        the RGB rows unchanged in RGB mode."""
+        if mode != "spectral":
+            return rgb_rows
+        from ..ops.rgb2spec import eval_emitter_coeff_spectrum
+        from ..ops.gather import take_rows as _tr
+        cf = _tr(coeffs, rows_idx) if rows_idx is not None else coeffs
+        return eval_emitter_coeff_spectrum(cf, wavelengths)
+
     accum = jnp.zeros((h * w, 3))
     o = jnp.zeros((n, 3))
     d = jnp.zeros((n, 3))
-    beta = jnp.zeros((n, 3))
+    beta = jnp.zeros((n, n_chan))
     u_e = smp.next(50_001, 2)
     u_d = smp.next(50_002, 2)
 
@@ -119,6 +174,8 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
                                                  u_e)
             from ..ops.gather import take_rows
             L = take_rows(scene.area_radiance, shape_idx)
+            if mode == "spectral":
+                L = emit_spec(L, emit_cf["area"], shape_idx)
             # cosine-weighted emission direction about the normal
             frame_e = Frame(n_e)
             d_loc = warp.square_to_cosine_hemisphere(u_d)
@@ -131,7 +188,7 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
             cos_c = jnp.maximum(dot(n_e, d_c), 0.0)
             off = p_e + n_e * _SHADOW_EPS
             occ = _occluded(scene, off, d_c, dist_c * (1 - 1e-3))
-            direct = (L * (cos_c * w_c / jnp.maximum(
+            direct = to_rgb(L * (cos_c * w_c / jnp.maximum(
                 inv_area / n_area, 1e-12))[..., None] * scale)
             accum = _splat(film_cfg, accum, uv_c, direct,
                            sel & ok_c & ~occ & (cos_c > 0))
@@ -147,6 +204,8 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
                                                  u_e)
             from ..ops.gather import take_rows
             L = take_rows(scene.dir_area_radiance, shape_idx)
+            if mode == "spectral":
+                L = emit_spec(L, emit_cf["dir_area"], shape_idx)
             d_e = n_e
             a0 = L * (1.0 / jnp.maximum(inv_area / n_shapes, 1e-12)
                       )[..., None]
@@ -157,17 +216,19 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
             u_pick = smp.next(50_003, 1)[..., 0]
             pick = jnp.clip((u_pick * n_pt).astype(jnp.int32), 0, n_pt - 1)
             p_e = jnp.zeros((n, 3))
-            inten = jnp.zeros((n, 3))
+            inten = jnp.zeros((n, n_chan))
             for li in range(n_pt):
                 m = (pick == li)[..., None]
                 p_e = jnp.where(m, scene.point_lights[li, :3], p_e)
-                inten = jnp.where(m, scene.point_lights[li, 3:], inten)
+                I_li = (scene.point_lights[li, 3:] if mode != "spectral"
+                        else emit_spec(None, emit_cf["point"][li]))
+                inten = jnp.where(m, I_li, inten)
             d_e = warp.square_to_uniform_sphere(u_d)
             a0 = inten * (4.0 * jnp.pi * n_pt)
             uv_c, w_c, d_c, dist_c, ok_c = _sensor_connect(sensor, p_e)
             occ = _occluded(scene, p_e, d_c, dist_c * (1 - 1e-3))
             accum = _splat(film_cfg, accum, uv_c,
-                           inten * (w_c * n_pt * scale)[..., None],
+                           to_rgb(inten * (w_c * n_pt * scale)[..., None]),
                            sel & ok_c & ~occ)
             o_s = p_e
         elif name == "spot":
@@ -189,7 +250,21 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
                                  fall)
                 solid = jnp.where(
                     m, 2.0 * jnp.pi * (1.0 - light.cos_cutoff), solid)
-            a0 = fall * (solid * n_sp)[..., None]
+            def spot_spec(fall_rgb, pick_v):
+                """RGB falloff -> spectral intensity x scalar modulation
+                ratio (the camera-path tracer's spot convention)."""
+                if mode != "spectral":
+                    return fall_rgb
+                out = jnp.zeros((n, n_chan))
+                for li, light in enumerate(scene.spot_lights):
+                    ratio = (jnp.sum(fall_rgb, -1)
+                             / jnp.maximum(jnp.sum(light.intensity), 1e-12))
+                    I_s = (emit_spec(None, emit_cf["spot"][li])
+                           * ratio[..., None])
+                    out = jnp.where((pick_v == li)[..., None], I_s, out)
+                return out
+
+            a0 = spot_spec(fall, pick) * (solid * n_sp)[..., None]
             uv_c, w_c, d_c, dist_c, ok_c = _sensor_connect(sensor, p_e)
             fall_c = jnp.zeros((n, 3))
             for li, light in enumerate(scene.spot_lights):
@@ -197,13 +272,15 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
                                    em.spot_falloff(light, d_c), fall_c)
             occ = _occluded(scene, p_e, d_c, dist_c * (1 - 1e-3))
             accum = _splat(film_cfg, accum, uv_c,
-                           fall_c * (w_c * n_sp * scale)[..., None],
+                           to_rgb(spot_spec(fall_c, pick)
+                                  * (w_c * n_sp * scale)[..., None]),
                            sel & ok_c & ~occ)
             o_s = p_e
         else:  # environment: inward from the bounding sphere
             d_sky, pdf_dir = em.env_sample_direction(scene.env,
                                                      scene.env_to_world, u_e)
-            L = em.env_eval(scene.env, d_sky, scene.env_to_world)
+            L = em.env_eval(scene.env, d_sky, scene.env_to_world,
+                            wavelengths=wavelengths, mode=mode)
             r = scene.bsphere_radius
             frame_s = Frame(d_sky)
             disk = warp.square_to_uniform_disk_concentric(u_d) * r
@@ -261,17 +338,18 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
         uv_c, w_c, d_c, dist_c, ok_c = _sensor_connect(sensor, p)
         wo_c = frame.to_local(d_c)
         f_c, _ = bsdf_mod.eval_pdf(scene.bsdfs, mat_idx, wi_local, wo_c,
-                                   kinds=kinds)
+                                   wavelengths, kinds=kinds)
         off = p + jnp.sign(dot(ng, d_c))[..., None] * ng * _SHADOW_EPS
         occ = _occluded(scene, off, d_c, dist_c * (1 - 1e-3))
-        accum = _splat(film_cfg, accum, uv_c, beta * f_c * w_c[..., None],
+        accum = _splat(film_cfg, accum, uv_c,
+                       to_rgb(beta * f_c * w_c[..., None]),
                        active & ok_c & ~occ)
 
         # continue the walk
         u_b = smp.next(60_000 + 3 * depth, 3)
         wo, weight, pdf_b, _is_delta = bsdf_mod.sample(
             scene.bsdfs, mat_idx, wi_local, u_b[..., :2], u_b[..., 2],
-            kinds=kinds)
+            wavelengths, kinds=kinds)
         d_next = frame.to_world(wo)
         beta = beta * weight
         active = active & (pdf_b > 0.0) & jnp.any(beta > 0, axis=-1)
@@ -292,8 +370,13 @@ def _ptracer_impl(scene, sensor, film_cfg, key, n_particles, max_depth,
 
 def render_ptracer(scene: Scene, sensor, film_cfg, key,
                    n_particles: int = 1 << 20, max_depth: int = 4,
-                   sampler_kind: str = "independent"):
-    """Light-traced image (H, W, 3). RGB mode, perspective sensor only."""
+                   sampler_kind: str = "independent", mode: str = "rgb"):
+    """Light-traced image (H, W, 3); perspective sensor.
+
+    mode='spectral' runs hero-wavelength transport (4 wavelengths per
+    particle, env particles importance-sampled from the sunsky spectral
+    distribution) and converts to sRGB at splat time — the reference's
+    `ptracer.cpp` is variant-generic (SURVEY H4)."""
     if not isinstance(sensor, Perspective):
         raise TypeError("ptracer supports the perspective sensor")
     strategies = []
@@ -312,4 +395,5 @@ def render_ptracer(scene: Scene, sensor, film_cfg, key,
         return jnp.zeros((film_cfg.height, film_cfg.width, 3))
     return _ptracer_impl(scene, sensor, film_cfg, key, n_particles,
                          max_depth, tuple(strategies), sampler_kind,
-                         kinds=bsdf_mod.table_kinds(scene.bsdfs))
+                         kinds=bsdf_mod.table_kinds(scene.bsdfs),
+                         mode=mode)
