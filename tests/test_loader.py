@@ -178,3 +178,28 @@ def test_variant_config_object():
     assert b.integrator == "stokes"
     b2 = ts.load_dict(d, mode="llvm_ad_rgb")
     assert b2.integrator == "path"
+
+
+def test_sampling_weight_loader_key():
+    """`sampling_weight` on delta emitters populates the scene's emitter
+    selection distribution (`scene.cpp:100-119`)."""
+    import numpy as np
+    from tpusky.render.loader import load_dict
+    d = {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": 2},
+        "sensor": {"type": "perspective", "fov": 45,
+                   "film": {"width": 8, "height": 8},
+                   "sampler": {"sample_count": 4}},
+        "floor": {"type": "rectangle"},
+    }
+    for i in range(4):
+        d[f"l{i}"] = {"type": "point", "position": [i, 0, 2],
+                      "intensity": 1.0, "sampling_weight": float(i + 1)}
+    d["ldir"] = {"type": "directional", "direction": [0, 0, -1],
+                 "irradiance": 0.5}
+    b = load_dict(d)
+    w = np.asarray(b._scene_static.delta_light_weights)
+    np.testing.assert_allclose(w, [1.0, 2.0, 3.0, 4.0, 1.0])
+    img = b.render(seed=0)
+    assert np.isfinite(np.asarray(img)).all()

@@ -185,3 +185,78 @@ def test_train_step_reduces_loss():
         assert np.isfinite(float(loss))
     # turbidity should move noticeably toward the target value 6.0
     assert float(params.turbidity) > 4.0, float(params.turbidity)
+
+
+def test_many_light_single_sample_selection_unbiased():
+    """>2 delta lights switch NEE to single-sample emitter selection over
+    `sampling_weight` (`scene.cpp:100-119,295-345`): a 16-point-light
+    render agrees with the sum of per-light renders (each taking the
+    unrolled path) under a per-pixel Z-test, with one BSDF eval + one
+    shadow ray per vertex regardless of the light count."""
+    import numpy as np
+    import jax
+    from tpusky.render import integrator
+    from tpusky.render.film import Film
+    from tpusky.render.scene import make_scene
+    from tpusky.render.sensors import make_perspective
+
+    rng = np.random.default_rng(0)
+    lights = []
+    for i in range(16):
+        pos = np.asarray([rng.uniform(-3, 3), rng.uniform(-3, 3),
+                          rng.uniform(1.0, 3.0)])
+        inten = rng.uniform(0.5, 4.0, size=3)
+        lights.append(np.concatenate([pos, inten]))
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    weights = rng.uniform(0.5, 2.0, size=16)
+
+    def scene_of(light_rows, w=None):
+        return make_scene(
+            shapes=[dict(kind=1, to_world=ground, bsdf_idx=0)],
+            bsdf_albedos=[[0.6, 0.5, 0.4]], env=None,
+            point_lights=np.stack(light_rows),
+            delta_light_weights=w)
+
+    sensor = make_perspective([0, 0, 4.0], [0, 0.01, 0], fov_x_deg=50)
+    film = Film(16, 16, 3)
+
+    # reference: sum of per-light renders (unrolled path; light transport
+    # is linear in the emitters) — K independent runs so ITS noise enters
+    # the Z denominator too
+    K = 6
+    ref_runs = []
+    for k in range(K):
+        acc = np.zeros((16, 16, 3))
+        for li in range(16):
+            acc += np.asarray(integrator.render(
+                scene_of([lights[li]]), sensor, film,
+                jax.random.PRNGKey(1000 * k + 11), spp=32, max_depth=2))
+        ref_runs.append(acc)
+    ref_runs = np.stack(ref_runs)
+    ref_mean, ref_var = ref_runs.mean(0), ref_runs.var(0, ddof=1)
+
+    # the selection estimator is SPIKY (a small-pmf light can dominate a
+    # pixel), so cross-run sample variance underestimates badly whenever
+    # the spike is undersampled; use the estimator's own second moment
+    # (`render_moments`, the reference's moment.cpp machinery) for an
+    # honest per-pixel variance like `test_renders.py:159` does.
+    spp_ss = 4096
+    mean, m2 = integrator.render_moments(
+        scene_of(lights, weights), sensor, film, jax.random.PRNGKey(100),
+        spp=spp_ss, max_depth=2)
+    mean = np.asarray(mean)
+    var1 = np.maximum(np.asarray(m2) - mean ** 2, 0.0)
+    z = np.abs(mean - ref_mean) / np.sqrt(
+        var1 / spp_ss + ref_var / K + 1e-8)
+    import scipy.stats as st
+    thresh = st.norm.ppf(1 - 0.5 * (1 - (1 - 0.01) ** (1 / z.size)))
+    bad = int((z > 1.5 * thresh).sum())
+    rel = abs(mean.mean() - ref_mean.mean()) / ref_mean.mean()
+    assert bad == 0 and rel < 0.02, (bad, float(z.max()), rel)
+
+    # uniform weights agree too (weights only reshape variance)
+    img_u = np.asarray(integrator.render(
+        scene_of(lights), sensor, film, jax.random.PRNGKey(500),
+        spp=512, max_depth=2))
+    rel_u = abs(img_u.mean() - ref_mean.mean()) / ref_mean.mean()
+    assert rel_u < 0.05, rel_u

@@ -105,6 +105,115 @@ def _spec_rows(coeffs_table, rows_idx, wavelengths):
                                        wavelengths)
 
 
+
+def _delta_lights_single_sample(scene, u_pick, p, ng, frame, wi_local,
+                                mat_idx, thr_s, active, wavelengths,
+                                emit_cf, kinds, refl_tex, shadow_T):
+    """ONE sampled delta emitter (point/directional/spot) per NEE query.
+
+    The reference builds a DiscreteDistribution over each emitter's
+    `sampling_weight()` and samples a single emitter per query
+    (`scene.cpp:100-119,295-345`); per-vertex cost — one BSDF eval + one
+    shadow ray — is independent of the light count. The statically
+    unrolled per-light connection in `bounce` remains the specialisation
+    for <= 2 delta lights. Estimator: contribution(selected) / pmf."""
+    from ..ops.distr import discrete_sample_reuse, make_discrete
+    from ..ops.gather import take_rows
+    sg = jax.lax.stop_gradient
+    n = p.shape[0]
+    n_pt = scene.point_lights.shape[0]
+    n_dir = scene.directional_lights.shape[0]
+    n_spot = len(scene.spot_lights)
+    n_delta = n_pt + n_dir + n_spot
+
+    w = scene.delta_light_weights
+    if w is None:
+        w = jnp.ones((n_delta,))
+    w = sg(jnp.maximum(w, 0.0))
+    pmf = w / jnp.maximum(jnp.sum(w), 1e-12)
+    idx, _ = discrete_sample_reuse(make_discrete(w), u_pick)
+
+    def _stack(rows):
+        return jnp.concatenate([jnp.asarray(r, jnp.float32).reshape(-1, 3)
+                                for r in rows], axis=0)
+    pos_rows = _stack([scene.point_lights[:, :3],
+                       jnp.zeros((n_dir, 3))]
+                      + [l.position for l in scene.spot_lights])
+    dir_rows = _stack([jnp.zeros((n_pt, 3)),
+                       scene.directional_lights[:, :3],
+                       jnp.zeros((n_spot, 3))])
+    inten_rows = _stack([scene.point_lights[:, 3:],
+                         scene.directional_lights[:, 3:]]
+                        + [l.intensity for l in scene.spot_lights])
+
+    lp = take_rows(pos_rows, idx)
+    ld = take_rows(dir_rows, idx)
+    I_rgb = take_rows(inten_rows, idx)
+    pmf_sel = take_rows(pmf[:, None], idx)[..., 0]
+    is_dir = (idx >= n_pt) & (idx < n_pt + n_dir)
+    is_spot = idx >= n_pt + n_dir
+
+    to_l = lp - p
+    dist2 = jnp.sum(to_l * to_l, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    d_pos = to_l / dist[..., None]
+    d_dirn = -ld / jnp.maximum(
+        jnp.linalg.norm(ld, axis=-1, keepdims=True), 1e-12)
+    d_l = jnp.where(is_dir[..., None], d_dirn, d_pos)
+    maxt = jnp.where(is_dir, jnp.inf, dist * (1.0 - 1e-3))
+    t_dist = jnp.where(is_dir, jnp.inf, dist)
+
+    wo_l = frame.to_local(d_l)
+    f_l, _ = bsdf_mod.eval_pdf(scene.bsdfs, mat_idx, wi_local, wo_l,
+                               wavelengths, kinds=kinds, refl_tex=refl_tex)
+    off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
+        _SHADOW_EPS * jnp.maximum(
+            1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+    occ_l = scene_occluded(scene, off_l, d_l, maxt)
+
+    # spot falloff: per-spot masked selects (cheap math only — the BSDF
+    # eval and shadow ray above are shared by every branch)
+    fall = I_rgb
+    ratio = jnp.ones((n,))
+    for si, light in enumerate(scene.spot_lights):
+        m = idx == n_pt + n_dir + si
+        f_s = em.spot_falloff(light, -d_l)
+        fall = jnp.where(m[..., None], f_s, fall)
+        ratio = jnp.where(
+            m, jnp.sum(f_s, -1) / jnp.maximum(jnp.sum(light.intensity),
+                                              1e-12), ratio)
+
+    if wavelengths is None:
+        I_eff = jnp.where(is_spot[..., None], fall, I_rgb)
+    else:
+        from ..ops.rgb2spec import eval_emitter_coeff_spectrum
+        ncf = None
+        for key_ in ("point", "dirl"):
+            if emit_cf[key_] is not None:
+                ncf = emit_cf[key_].shape[-1]
+        if emit_cf["spot"]:
+            ncf = jnp.asarray(emit_cf["spot"][0]).reshape(-1).shape[0]
+        blocks = []
+        blocks.append(emit_cf["point"].reshape(n_pt, -1) if n_pt and
+                      emit_cf["point"] is not None
+                      else jnp.zeros((n_pt, ncf)))
+        blocks.append(emit_cf["dirl"].reshape(n_dir, -1) if n_dir and
+                      emit_cf["dirl"] is not None
+                      else jnp.zeros((n_dir, ncf)))
+        for c in emit_cf["spot"]:
+            blocks.append(jnp.asarray(c).reshape(1, -1))
+        cf_rows = jnp.concatenate(blocks, axis=0)
+        I_spec = eval_emitter_coeff_spectrum(take_rows(cf_rows, idx),
+                                             wavelengths)
+        I_eff = I_spec * jnp.where(is_spot, ratio, 1.0)[..., None]
+
+    geo = jnp.where(is_dir, 1.0, 1.0 / jnp.maximum(dist2, 1e-12))
+    contrib = (thr_s * f_l * I_eff * shadow_T(off_l, d_l, t_dist)
+               * (geo / jnp.maximum(pmf_sel, 1e-12))[..., None])
+    ok = active & ~occ_l & (pmf_sel > 0.0)
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
 def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
                  rr_depth: int, mode: str, wavelengths, vma_axes=(),
                  kinds=None, nmaps=False, tkinds=None):
@@ -411,82 +520,99 @@ def _path_sample(scene: Scene, o, d, smp: "_SamplerCtx", max_depth: int,
             ok_a = active & ~occ_a & (pdf_a > 0.0)
             result = result + jnp.where(ok_a[..., None], contrib_a, 0.0)
 
-        # ---- delta emitters (point / directional): direct connection ----
-        n_point = scene.point_lights.shape[0]
-        for li in range(n_point):
-            lp = scene.point_lights[li, :3]
-            intensity = scene.point_lights[li, 3:]
-            to_l = lp - p
-            dist2_l = jnp.sum(to_l * to_l, axis=-1)
-            dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
-            d_l = to_l / dist_l[..., None]
-            wo_l = frame.to_local(d_l)
-            f_l, _ = bsdf_mod.eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
-                kinds=kinds, refl_tex=refl_tex)
-            off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
-                _SHADOW_EPS * jnp.maximum(
-                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
-            from ..ops.rgb2spec import eval_emitter_coeff_spectrum
-            I_l = (intensity if wavelengths is None
-                   else eval_emitter_coeff_spectrum(emit_cf["point"][li],
-                                            wavelengths))
-            contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
-                         / dist2_l[..., None])
-            result = result + jnp.where((active & ~occ_l)[..., None],
-                                        contrib_l, 0.0)
-        n_dir = scene.directional_lights.shape[0]
-        for li in range(n_dir):
-            d_l = -scene.directional_lights[li, :3]
-            d_l = d_l / jnp.linalg.norm(d_l)
-            irr = scene.directional_lights[li, 3:]
-            d_b = jnp.broadcast_to(d_l, p.shape)
-            wo_l = frame.to_local(d_b)
-            f_l, _ = bsdf_mod.eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
-                kinds=kinds, refl_tex=refl_tex)
-            off_l = p + jnp.sign(dot(ng, d_b))[..., None] * ng * (
-                _SHADOW_EPS * jnp.maximum(
-                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occ_l = scene_occluded(scene, off_l, d_b,
-                                   jnp.full((n,), jnp.inf))
-            from ..ops.rgb2spec import eval_emitter_coeff_spectrum
-            E_l = (irr if wavelengths is None
-                   else eval_emitter_coeff_spectrum(emit_cf["dirl"][li],
-                                            wavelengths))
-            contrib_l = (thr_s * f_l * E_l
-                         * shadow_T(off_l, d_b, jnp.full((n,), jnp.inf)))
-            result = result + jnp.where((active & ~occ_l)[..., None],
-                                        contrib_l, 0.0)
-        for si, light in enumerate(scene.spot_lights):   # spot / projector
-            to_l = light.position - p
-            dist2_l = jnp.sum(to_l * to_l, axis=-1)
-            dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
-            d_l = to_l / dist_l[..., None]
-            falloff = em.spot_falloff(light, -d_l)
-            wo_l = frame.to_local(d_l)
-            f_l, _ = bsdf_mod.eval_pdf(
-                scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
-                kinds=kinds, refl_tex=refl_tex)
-            off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
-                _SHADOW_EPS * jnp.maximum(
-                    1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
-            occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
-            if wavelengths is None:
-                I_l = falloff
-            else:
-                # spectral intensity x scalar (falloff+texture) modulation
+        def _delta_lights_unrolled():
+            """Static per-light direct connections (<= 2 delta lights)."""
+            acc = jnp.zeros_like(result)
+            for li in range(n_point):
+                lp = scene.point_lights[li, :3]
+                intensity = scene.point_lights[li, 3:]
+                to_l = lp - p
+                dist2_l = jnp.sum(to_l * to_l, axis=-1)
+                dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
+                d_l = to_l / dist_l[..., None]
+                wo_l = frame.to_local(d_l)
+                f_l, _ = bsdf_mod.eval_pdf(
+                    scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
+                    kinds=kinds, refl_tex=refl_tex)
+                off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
+                    _SHADOW_EPS * jnp.maximum(
+                        1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+                occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
                 from ..ops.rgb2spec import eval_emitter_coeff_spectrum
-                ratio = (jnp.sum(falloff, -1)
-                         / jnp.maximum(jnp.sum(light.intensity), 1e-12))
-                I_l = (eval_emitter_coeff_spectrum(emit_cf["spot"][si],
-                                                   wavelengths)
-                       * ratio[..., None])
-            contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
-                         / dist2_l[..., None])
-            result = result + jnp.where((active & ~occ_l)[..., None],
-                                        contrib_l, 0.0)
+                I_l = (intensity if wavelengths is None
+                       else eval_emitter_coeff_spectrum(emit_cf["point"][li],
+                                                wavelengths))
+                contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
+                             / dist2_l[..., None])
+                acc = acc + jnp.where((active & ~occ_l)[..., None],
+                                            contrib_l, 0.0)
+            n_dir = scene.directional_lights.shape[0]
+            for li in range(n_dir):
+                d_l = -scene.directional_lights[li, :3]
+                d_l = d_l / jnp.linalg.norm(d_l)
+                irr = scene.directional_lights[li, 3:]
+                d_b = jnp.broadcast_to(d_l, p.shape)
+                wo_l = frame.to_local(d_b)
+                f_l, _ = bsdf_mod.eval_pdf(
+                    scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
+                    kinds=kinds, refl_tex=refl_tex)
+                off_l = p + jnp.sign(dot(ng, d_b))[..., None] * ng * (
+                    _SHADOW_EPS * jnp.maximum(
+                        1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+                occ_l = scene_occluded(scene, off_l, d_b,
+                                       jnp.full((n,), jnp.inf))
+                from ..ops.rgb2spec import eval_emitter_coeff_spectrum
+                E_l = (irr if wavelengths is None
+                       else eval_emitter_coeff_spectrum(emit_cf["dirl"][li],
+                                                wavelengths))
+                contrib_l = (thr_s * f_l * E_l
+                             * shadow_T(off_l, d_b, jnp.full((n,), jnp.inf)))
+                acc = acc + jnp.where((active & ~occ_l)[..., None],
+                                            contrib_l, 0.0)
+            for si, light in enumerate(scene.spot_lights):   # spot / projector
+                to_l = light.position - p
+                dist2_l = jnp.sum(to_l * to_l, axis=-1)
+                dist_l = jnp.sqrt(jnp.maximum(dist2_l, 1e-12))
+                d_l = to_l / dist_l[..., None]
+                falloff = em.spot_falloff(light, -d_l)
+                wo_l = frame.to_local(d_l)
+                f_l, _ = bsdf_mod.eval_pdf(
+                    scene.bsdfs, mat_idx, wi_local, wo_l, wavelengths,
+                    kinds=kinds, refl_tex=refl_tex)
+                off_l = p + jnp.sign(dot(ng, d_l))[..., None] * ng * (
+                    _SHADOW_EPS * jnp.maximum(
+                        1.0, jnp.linalg.norm(p, axis=-1, keepdims=True)))
+                occ_l = scene_occluded(scene, off_l, d_l, dist_l * (1 - 1e-3))
+                if wavelengths is None:
+                    I_l = falloff
+                else:
+                    # spectral intensity x scalar (falloff+texture) modulation
+                    from ..ops.rgb2spec import eval_emitter_coeff_spectrum
+                    ratio = (jnp.sum(falloff, -1)
+                             / jnp.maximum(jnp.sum(light.intensity), 1e-12))
+                    I_l = (eval_emitter_coeff_spectrum(emit_cf["spot"][si],
+                                                       wavelengths)
+                           * ratio[..., None])
+                contrib_l = (thr_s * f_l * I_l * shadow_T(off_l, d_l, dist_l)
+                             / dist2_l[..., None])
+                acc = acc + jnp.where((active & ~occ_l)[..., None],
+                                            contrib_l, 0.0)
+            return acc
+
+        # ---- delta emitters (point / directional / spot) ----
+        n_point = scene.point_lights.shape[0]
+        n_dirl = scene.directional_lights.shape[0]
+        n_spotl = len(scene.spot_lights)
+        if n_point + n_dirl + n_spotl > 2:
+            # single-sample emitter selection over sampling_weight
+            # (`scene.cpp:100-119,295-345`): O(1) BSDF/shadow work per
+            # vertex regardless of the light count
+            u_pick = sg(smp.next(300_000 + depth, 1))[..., 0]
+            result = result + _delta_lights_single_sample(
+                scene, u_pick, p, ng, frame, wi_local, mat_idx, thr_s,
+                active, wavelengths, emit_cf, kinds, refl_tex, shadow_T)
+        else:
+            result = result + _delta_lights_unrolled()
 
         # ---- BSDF sampling for the next bounce ----
         u_bsdf = sg(smp.next(3 * depth + 1, 3))

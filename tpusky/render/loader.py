@@ -955,6 +955,7 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
     curves = []
     textures = []
     point_lights, directional_lights, spot_lights = [], [], []
+    point_weights, dir_weights, spot_weights = [], [], []
     dir_areas = {}   # shape list index -> radiance (directionalarea)
     media_list = []  # per-shape participating media (render/medium.py);
     #                  the scene carries a single Medium or a tuple of
@@ -1038,12 +1039,15 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
             point_lights.append(np.concatenate([
                 np.asarray(value.get("position", [0, 0, 0]), np.float32),
                 spectrum_to_channels(value.get("intensity", 1.0), "rgb")]))
+            point_weights.append(float(value.get("sampling_weight", 1.0)))
         elif t == "directional":
             directional_lights.append(np.concatenate([
                 np.asarray(value.get("direction", [0, 0, -1]), np.float32),
                 spectrum_to_channels(value.get("irradiance", 1.0), "rgb")]))
+            dir_weights.append(float(value.get("sampling_weight", 1.0)))
         elif t in ("spot", "projector"):
             from .emitters import make_spot
+            spot_weights.append(float(value.get("sampling_weight", 1.0)))
             tex = value.get("texture")
             if isinstance(tex, dict):   # inline bitmap only
                 tex = np.asarray(tex.get("bitmap"), np.float32)
@@ -1407,6 +1411,9 @@ def load_dict(d: dict, mode: str = "rgb") -> SceneBundle:
         point_lights=point_lights or None,
         directional_lights=directional_lights or None,
         spot_lights=tuple(spot_lights),
+        delta_light_weights=(
+            (point_weights + dir_weights + spot_weights)
+            if (point_weights or dir_weights or spot_weights) else None),
         dir_area_radiance=dir_area_radiance,
         meshes=meshes or None,
         medium=(None if not media_list else media_list[0]

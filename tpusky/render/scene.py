@@ -42,6 +42,9 @@ class Scene(NamedTuple):
                                              # see render/medium.py, H19)
     sdf: Any = None                          # sdf.SDFGrid | None (H20)
     curve: Any = None                        # curve.CurveTable | None (H20)
+    delta_light_weights: jnp.ndarray = None  # (Np+Nd+Nspot,) per-emitter
+                                             # sampling_weight (scene.cpp:
+                                             # 100-119); None = uniform
 
 
 def scene_occluded(scene: "Scene", o, d, maxt):
@@ -74,7 +77,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                bsdf_normal_tex_indices=None, medium=None,
                sdf=None, bsdf_blend_children=None,
                bsdf_blend_weights=None, curves=None,
-               measured=None, measured_pol=None) -> Scene:
+               measured=None, measured_pol=None,
+               delta_light_weights=None) -> Scene:
     """Assemble a scene from host-side descriptions.
 
     shapes: list of dicts accepted by `make_shape_table`. The scene
@@ -131,6 +135,8 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
     if curves:
         from .curve import make_curve_table
         curve_table = make_curve_table(curves)
+    dlw = (None if delta_light_weights is None
+           else jnp.asarray(delta_light_weights, jnp.float32))
     return Scene(table, bsdfs, env, jnp.asarray(env_to_world, jnp.float32),
                  jnp.asarray(area_radiance, jnp.float32),
                  jnp.asarray(center, jnp.float32),
@@ -138,4 +144,4 @@ def make_scene(shapes=(), bsdf_albedos=((0.5, 0.5, 0.5),), env=None,
                  jnp.asarray(area_ids), jnp.asarray(pl), jnp.asarray(dl),
                  mesh_table, tuple(spot_lights),
                  jnp.asarray(dir_area_radiance, jnp.float32), tex_table,
-                 medium, sdf, curve_table)
+                 medium, sdf, curve_table, dlw)
