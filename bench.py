@@ -418,10 +418,91 @@ def bench_train() -> None:
                       "vs_baseline": None}), flush=True)
 
 
+def bench_grad_sun_recovery() -> None:
+    """Gradient-ONLY sun recovery (round 5; VERDICT r4 item 8): joint
+    adam on (turbidity, sun_direction) with a disc-softness blur
+    schedule — no grid search anywhere. The widened straight-through
+    ramp (`SunskyParams.disc_softness`; soft=2000 is a ~5 deg tangent
+    bump) pulls the sun from 5 deg off to the surrogate-equilibrium
+    floor (~1 deg, measured: the fixed point of the mixed hard-primal /
+    smooth-tangent estimator sits a fraction of the bump radius off).
+    The production config-5 recipe still direct-searches the final
+    sub-degree; this metric pins what gradients ALONE achieve."""
+    import optax
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.render import integrator, film as film_mod
+    from tpusky.render.film import Film
+    from tpusky.render.sensors import make_perspective
+    from tpusky.render.bsdf import table_kinds
+
+    h = w = 256
+    spp = 8
+    tables = load_tables("rgb")
+    base_scene = _sphere_plane_scene()
+    sensor = make_perspective([4, -4, 2.0], [0, 0, 1.0], fov_x_deg=45)
+    film = Film(h, w, 3)
+    kinds = table_kinds(base_scene.bsdfs)
+    true_sun = np.asarray([0.45, 0.30, 0.84])
+    true_sun = true_sun / np.linalg.norm(true_sun)
+    key = jax.random.PRNGKey(123)
+
+    def render_of(pd, soft, k):
+        full = ts.make_params(
+            turbidity=jnp.clip(pd["t"], 1.0, 10.0), albedo=0.3,
+            sun_direction=pd["sun"] / jnp.linalg.norm(pd["sun"]),
+            disc_softness=soft)
+        sc = base_scene._replace(env=M.precompute(tables, full, "rgb"))
+        return film_mod.develop(integrator.render_rows(
+            sc, sensor, film, k, spp, 2, 1000, "rgb", 0, h, kinds=kinds))
+
+    target = jax.block_until_ready(render_of(
+        {"t": jnp.float32(6.5), "sun": jnp.asarray(true_sun, jnp.float32)},
+        1.0, key))
+
+    @jax.jit
+    def loss_grad(pd, soft, k):
+        def loss(pd):
+            img = render_of(pd, soft, k)
+            li = jnp.log1p(jnp.maximum(img, 0.0))
+            lt = jnp.log1p(jnp.maximum(target, 0.0))
+            return jnp.mean((li - lt) ** 2)
+        return jax.value_and_grad(loss)(pd)
+
+    ax = np.cross(true_sun, [0.0, 0.0, 1.0])
+    ax = ax / np.linalg.norm(ax)
+    th = np.radians(5.0)
+    pd = {"t": jnp.float32(3.0),
+          "sun": jnp.asarray(np.cos(th) * true_sun + np.sin(th) * ax,
+                             jnp.float32)}
+    for soft, iters, lr_sun, lr_t in ((2000.0, 100, 0.03, 0.08),
+                                      (2000.0, 100, 0.006, 0.03)):
+        opt = optax.multi_transform(
+            {"t": optax.adam(optax.cosine_decay_schedule(lr_t, iters, 0.1)),
+             "sun": optax.adam(
+                 optax.cosine_decay_schedule(lr_sun, iters, 0.1))},
+            {"t": "t", "sun": "sun"})
+        st = opt.init(pd)
+        for _ in range(iters):
+            _l, g = loss_grad(pd, jnp.float32(soft), key)
+            up, st = opt.update(g, st, pd)
+            pd = jax.tree.map(lambda a, b: a + b, pd, up)
+    sd = np.asarray(pd["sun"])
+    sd = sd / np.linalg.norm(sd)
+    ang = float(np.degrees(np.arccos(np.clip(np.dot(sd, true_sun), -1, 1))))
+    print(json.dumps({"metric": "sunsky_grad_only_sun_recovery",
+                      "value": ang, "unit": "sun_dir_err_deg",
+                      "init_err_deg": 5.0,
+                      "turbidity_abs_err": abs(float(pd["t"]) - 6.5),
+                      "iters": 200, "vs_baseline": None}), flush=True)
+
+
 def main() -> None:
     bench_eval()
     bench_spectral()
     bench_grad()
+    bench_grad_sun_recovery()
     bench_train()
     bench_path()          # the headline metric, printed last
 
@@ -430,6 +511,8 @@ if __name__ == "__main__":
     import sys
     if "--eval" in sys.argv:
         bench_eval()
+    elif "--gradsun" in sys.argv:
+        bench_grad_sun_recovery()
     elif "--spectral" in sys.argv:
         bench_spectral()
     elif "--grad" in sys.argv:

@@ -442,3 +442,155 @@ def test_indirect_boundary_cube_blocker_vs_fd():
     err_tot = abs(g_total - fd) / denom
     assert err_tot < 0.35, (fd, g_int, float(d_ind[1, 0]), err_tot)
     assert err_tot < err_int, (fd, g_int, g_total)
+
+
+@pytest.mark.slow
+def test_indirect_boundary_through_mirror_vs_fd():
+    """Depth-N boundary chain (VERDICT r4 item 2): the sphere blocker's
+    silhouette is only visible through a MIRROR — camera -> specular
+    mirror -> diffuse ground receiver -> hemispherical integral cut by
+    the sphere seen from the receiver. `indirect_boundary_grad` with
+    prefix_depth=1 walks one detached BSDF bounce (the reference's
+    seed-ray projection walk, `prb_projective.py:1-567`) before sampling
+    the blocker-silhouette integral; interior AD + that term must land
+    on FD while interior alone visibly misses."""
+    from tpusky.render import film as film_mod
+    from tpusky.render.bsdf import CONDUCTOR, table_kinds
+    from tpusky.render.sensors import sample_ray
+
+    panel = np.diag([3.0, 3.0, 1.0, 1.0]).astype(np.float32)
+    panel[2, 3] = 4.0
+    panel[:3, :3] = panel[:3, :3] @ np.diag([1.0, -1.0, -1.0])  # face down
+    rad = np.zeros((4, 3), np.float32)
+    rad[2] = 20.0
+    ground = np.diag([20.0, 20.0, 1.0, 1.0]).astype(np.float32)
+    sph = np.eye(4, dtype=np.float32)
+    sph[2, 3] = 2.0
+    # vertical mirror at x=-6 (local +z -> world +x), 2.5-scaled
+    mirror = np.zeros((4, 4), np.float32)
+    mirror[3, 3] = 1.0
+    R = np.asarray([[0, 0, 1], [1, 0, 0], [0, 1, 0]], np.float32)
+    mirror[:3, :3] = R @ np.diag([2.5, 2.5, 1.0]).astype(np.float32)
+    mirror[:3, 3] = [-6.0, -3.73, 2.49]
+
+    base = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=0, to_world=sph, bsdf_idx=1),
+                dict(kind=1, to_world=panel, bsdf_idx=2, emitter_idx=0),
+                dict(kind=1, to_world=mirror, bsdf_idx=3)],
+        bsdf_albedos=[[0.6, 0.6, 0.6], [0.3, 0.3, 0.3],
+                      [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]],
+        bsdf_kinds=[0, 0, 0, CONDUCTOR],
+        area_radiance=rad, env=None)
+
+    def scene_of(cx):
+        return _with_translation(base, 1, jnp.stack(
+            [jnp.asarray(cx, jnp.float32), jnp.float32(0.0),
+             jnp.float32(0.0)]))
+
+    sensor = make_perspective([6.0, -9.0, 6.0], [-6.0, -3.73, 2.49],
+                              fov_x_deg=28)
+    film = Film(64, 64, 3)
+    spp = 128
+    key = jax.random.PRNGKey(7)
+
+    def render(cx):
+        scene = scene_of(cx)
+        return film_mod.develop(integrator.render_rows(
+            scene, sensor, film, key, spp, 3, 1000, "rgb", 0, 64,
+            kinds=table_kinds(scene.bsdfs)))
+
+    # mask: camera ray hits the MIRROR and the reflected ray hits the
+    # GROUND (not the sphere) for every tested offset
+    ys, xs = np.meshgrid((np.arange(64) + 0.5) / 64,
+                         (np.arange(64) + 0.5) / 64, indexing="ij")
+    uv = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1), jnp.float32)
+    o, d = sample_ray(sensor, uv)
+    mask = np.ones((64, 64, 3), np.float32)
+    for cx in (-0.3, 0.0, 0.3):
+        scene = scene_of(cx)
+        t1, p1, n1, _u, sidx1, hit1 = shapes_mod.ray_intersect(
+            scene.shapes, o, d)
+        on_mirror = np.asarray(hit1) & (np.asarray(sidx1) == 3)
+        d_ref = d - 2.0 * jnp.sum(d * n1, -1, keepdims=True) * n1
+        o_ref = p1 + n1 * 1e-3
+        _t2, _p2, _n2, _u2, sidx2, hit2 = shapes_mod.ray_intersect(
+            scene.shapes, o_ref, d_ref)
+        to_ground = np.asarray(hit2) & (np.asarray(sidx2) == 0)
+        ok_px = on_mirror & to_ground
+        mask *= ok_px.reshape(64, 64)[..., None]
+    assert mask.sum() > 300, "mirror view degenerate"
+
+    def loss_of(img):
+        return jnp.sum(img * jnp.asarray(mask)) / mask.sum()
+
+    eps = 0.15
+    fd = (float(loss_of(render(eps))) - float(loss_of(render(-eps)))) \
+        / (2 * eps)
+    g_int = float(jax.grad(lambda c: loss_of(render(c)))(0.0))
+
+    grad_img = jnp.asarray(mask) / mask.sum()
+    scene0 = scene_of(0.0)
+    d_ind = proj.indirect_boundary_grad(
+        scene0, sensor, film, grad_img, jax.random.PRNGKey(11),
+        blocker_indices=[1], n_x=16384, probe_spp=4, max_depth=2,
+        kinds=table_kinds(scene0.bsdfs), prefix_depth=1)
+    g_total = g_int + float(d_ind[1, 0])
+
+    denom = max(abs(fd), 1e-4)
+    err_int = abs(g_int - fd) / denom
+    err_tot = abs(g_total - fd) / denom
+    assert err_tot < 0.35, (fd, g_int, float(d_ind[1, 0]), err_tot)
+    assert err_tot < err_int, (fd, g_int, g_total)
+
+
+@pytest.mark.slow
+def test_boundary_guiding_reduces_variance():
+    """Boundary-sample guiding (`ad/guiding.py`, the reference's
+    `guiding.py:1-569` grid variant): when the adjoint image weighs only
+    a sub-arc of a silhouette, importance-sampling the curve parameter
+    from the seed-pass histogram cuts the estimator variance at EQUAL
+    total sample budget."""
+    from tpusky.render import film as film_mod
+    from tpusky.render.bsdf import table_kinds
+
+    ground = np.diag([20.0, 20.0, 1.0, 1.0]).astype(np.float32)
+    sph = np.eye(4, dtype=np.float32)
+    sph[2, 3] = 1.2
+    base = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0),
+                dict(kind=0, to_world=sph, bsdf_idx=1)],
+        bsdf_albedos=[[0.5, 0.5, 0.5], [0.3, 0.3, 0.3]],
+        env=None)
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    tables = load_tables("rgb")
+    env = M.precompute(tables, ts.make_params(
+        turbidity=3.0, albedo=0.3, sun_direction=[0.3, 0.2, 0.93]), "rgb")
+    scene = base._replace(env=env)
+
+    sensor = make_perspective([0.0, -7.0, 3.0], [0.0, 0.0, 1.2],
+                              fov_x_deg=40)
+    film = Film(64, 64, 3)
+    # adjoint image: only a small window on the UPPER-LEFT of the sphere
+    # silhouette contributes
+    g = np.zeros((64, 64, 3), np.float32)
+    g[18:26, 24:30] = 1.0
+    g /= g.sum()
+    kinds = table_kinds(scene.bsdfs)
+
+    def one(seed, bins):
+        d_sh, _dm = proj.primary_boundary_grad(
+            scene, sensor, film, jnp.asarray(g), jax.random.PRNGKey(seed),
+            shape_indices=[1], n_samples=512, probe_spp=2,
+            max_depth=2, kinds=kinds, guide_bins=bins)
+        return float(d_sh[1, 0, 3])      # d/d(translation x)
+
+    K = 8
+    ung = np.asarray([one(100 + k, 0) for k in range(K)])
+    gui = np.asarray([one(200 + k, 48) for k in range(K)])
+    # means agree (unbiased), guided variance strictly smaller
+    pooled = 0.5 * (ung.std() + gui.std()) + 1e-12
+    assert abs(ung.mean() - gui.mean()) < 4.0 * pooled, (ung, gui)
+    assert gui.std() < 0.7 * ung.std(), (ung.std(), gui.std())

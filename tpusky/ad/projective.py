@@ -41,15 +41,21 @@ sampled length-weighted, differentiated w.r.t. a global mesh translation.
 
 Scope: primary (camera) visibility boundaries; shadow boundaries of
 delta directional lights (`shadow_boundary_grad` — the sun-shadow case);
-and ONE level of indirect boundaries (`indirect_boundary_grad` — the
-blocker silhouette seen from camera-visible shading points, covering
-area-light occlusion and one-bounce indirect visibility for ALL analytic
-blocker kinds, and `indirect_boundary_grad_mesh` for triangle-mesh
-blockers via silhouette-edge selection). Area-light penumbrae as seen by the camera
-are smooth (no boundary term); point-light shadow curves and deeper
-indirect chains are not sampled — the reference needs guided projective
-walks there (`ad/guiding.py`, `prb_projective.py`). Validated against
-finite differences in ``tests/test_projective.py``.
+indirect boundaries at ARBITRARY chain depth (`indirect_boundary_grad`
+— the blocker silhouette seen from the end vertex of a detached BSDF
+walk of `prefix_depth` bounces from the camera, throughput-weighted;
+prefix_depth=0 is the camera-visible-receiver case, covering area-light
+occlusion for ALL analytic blocker kinds, and
+`indirect_boundary_grad_mesh` for triangle-mesh blockers via
+silhouette-edge selection — the deep chains are the role of the
+reference's `prb_projective.py:1-567` seed-ray walks). Boundary-sample
+GUIDING (`ad/guiding.py`, the reference's `guiding.py:1-569` grid
+variant) importance-samples the curve parameter from a seed-pass
+histogram (`guide_bins=` on the primary/shadow estimators). Area-light
+penumbrae as seen by the camera are smooth (no boundary term).
+Validated against finite differences in ``tests/test_projective.py``
+(incl. a blocker visible only through a mirror, and a guiding
+variance-reduction assertion).
 """
 
 from __future__ import annotations
@@ -239,16 +245,66 @@ def _gather_grad_image(grad_image, u_pix, valid):
 
 def _curve_boundary_grad(curve_fn, theta, t_len, scene, sensor, film_cfg,
                          grad_image, key, n_samples, probe_spp, probe_delta,
-                         max_depth, rr_depth, mode, kinds, tag):
+                         max_depth, rr_depth, mode, kinds, tag,
+                         guide_bins: int = 0, guide_frac: float = 0.25):
     """d(loss)/dθ boundary contribution of one discontinuity-curve family.
 
     curve_fn(theta, t (K,)) -> world points (K, 3), differentiable in θ.
+
+    guide_bins > 0 enables boundary-sample guiding (`ad/guiding.py`, the
+    reference's `guiding.py:1-569` grid variant): a cheap seed pass
+    (guide_frac of the budget, single-delta 1-spp probes) scores
+    |jump|*|tau| on a uniform t grid; the main pass importance-samples t
+    from the resulting histogram and divides by the guided density. Same
+    total probe budget as unguided; variance drops wherever the
+    contribution is concentrated on a sub-arc (see
+    tests/test_projective.py guiding assertion).
     """
     w, h = film_cfg.width, film_cfg.height
     scale = jnp.asarray([w, h], jnp.float32)
-    u01 = jax.random.uniform(jax.random.fold_in(key, tag + 17),
-                             (n_samples,))
-    t = (jnp.arange(n_samples) + u01) / n_samples * t_len   # stratified
+
+    guided_pdf = None
+    if guide_bins:
+        from .guiding import build_curve_guide, sample_curve_guide
+        n_seed = max(int(n_samples * guide_frac), guide_bins)
+        n_samples = max(n_samples - n_seed, 1)
+        u_seed = jax.random.uniform(jax.random.fold_in(key, tag + 29),
+                                    (n_seed,))
+        t_seed = (jnp.arange(n_seed) + u_seed) / n_seed * t_len
+
+        def u_of_seed(t_):
+            uv, valid = film_uv(sensor, curve_fn(theta, t_))
+            return uv * scale, valid
+
+        u_px_s, valid_s = u_of_seed(t_seed)
+        tau_s = jax.jvp(lambda tt: u_of_seed(tt)[0], (t_seed,),
+                        (jnp.ones_like(t_seed),))[1]
+        tau_s = jax.lax.stop_gradient(tau_s)
+        tau_sn = jnp.linalg.norm(tau_s, axis=-1)
+        ok_s = valid_s & (tau_sn > 1e-12) & jnp.isfinite(tau_sn)
+        nrm_s = jnp.stack([tau_s[:, 1], -tau_s[:, 0]], axis=-1) \
+            / jnp.maximum(tau_sn, 1e-12)[:, None]
+        u_sg_s = jax.lax.stop_gradient(u_px_s)
+        fm = _probe_radiance(scene, sensor, film_cfg,
+                             u_sg_s - probe_delta * nrm_s, key, 1,
+                             max_depth, rr_depth, mode, kinds, tag + 31)
+        fp = _probe_radiance(scene, sensor, film_cfg,
+                             u_sg_s + probe_delta * nrm_s, key, 1,
+                             max_depth, rr_depth, mode, kinds, tag + 33)
+        g_s = _gather_grad_image(grad_image, u_sg_s, ok_s)
+        score = jnp.abs(jnp.sum((fm - fp) * g_s, axis=-1)) * tau_sn
+        score = jnp.where(ok_s, score, 0.0)
+        guide = build_curve_guide(score, t_seed, t_len, n_bins=guide_bins)
+        u_main = jax.random.uniform(jax.random.fold_in(key, tag + 37),
+                                    (n_samples,))
+        u_main = (jnp.arange(n_samples) + u_main) / n_samples  # stratified
+        t, guided_pdf = sample_curve_guide(guide, u_main)
+        t = jax.lax.stop_gradient(t)
+        guided_pdf = jax.lax.stop_gradient(guided_pdf)
+    else:
+        u01 = jax.random.uniform(jax.random.fold_in(key, tag + 17),
+                                 (n_samples,))
+        t = (jnp.arange(n_samples) + u01) / n_samples * t_len  # stratified
 
     def u_of(theta_, t_):
         uv, valid = film_uv(sensor, curve_fn(theta_, t_))
@@ -282,7 +338,11 @@ def _curve_boundary_grad(curve_fn, theta, t_len, scene, sensor, film_cfg,
         - probe(4.0 * probe_delta * nrm, tag + 3)
     g_px = _gather_grad_image(grad_image, u_sg, ok)          # (K, C)
     jump = jnp.sum((f_minus - f_plus) * g_px, axis=-1)       # (K,)
-    wgt = jnp.where(ok, jump * tau_n, 0.0) * (t_len / n_samples)
+    if guided_pdf is not None:
+        mc_w = 1.0 / (jnp.maximum(guided_pdf, 1e-12) * n_samples)
+    else:
+        mc_w = t_len / n_samples
+    wgt = jnp.where(ok, jump * tau_n, 0.0) * mc_w
 
     def g(theta_):
         u_, _ = u_of(theta_, t)
@@ -297,7 +357,8 @@ def primary_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
                           n_samples: int = 4096, probe_spp: int = 4,
                           probe_delta: float = 0.15, max_depth: int = 2,
                           rr_depth: int = 1000, mode: str = "rgb",
-                          kinds=None, shape_indices=None):
+                          kinds=None, shape_indices=None,
+                          guide_bins: int = 0, guide_frac: float = 0.25):
     """Boundary-term gradient of `loss = Σ grad_image · image` w.r.t.
     each analytic shape's to_world matrix (and, if the scene has a mesh,
     a global mesh translation).
@@ -321,7 +382,8 @@ def primary_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
             lambda th, tt, c=curve: c(th, eye, tt), t2w_all[j], t_len,
             scene, sensor, film_cfg, grad_image, key, n_samples, probe_spp,
             probe_delta, max_depth, rr_depth, mode, kinds,
-            tag=1000 + 32 * j)
+            tag=1000 + 32 * j, guide_bins=guide_bins,
+            guide_frac=guide_frac)
         out = out.at[j].set(gj)
 
     d_mesh = None
@@ -348,7 +410,8 @@ def primary_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
                 lambda off, tt: mesh_curve(off, tt / float(lens.sum())),
                 jnp.zeros(3), float(lens.sum()), scene, sensor, film_cfg,
                 grad_image, key, n_samples, probe_spp, probe_delta,
-                max_depth, rr_depth, mode, kinds, tag=900000)
+                max_depth, rr_depth, mode, kinds, tag=900000,
+                guide_bins=guide_bins, guide_frac=guide_frac)
     return out, d_mesh
 
 
@@ -449,7 +512,8 @@ def shadow_boundary_grad(scene, sensor, film_cfg, grad_image, key,
                          n_samples: int = 4096, probe_spp: int = 4,
                          probe_delta: float = 0.15, max_depth: int = 2,
                          rr_depth: int = 1000, mode: str = "rgb",
-                         kinds=None):
+                         kinds=None, guide_bins: int = 0,
+                         guide_frac: float = 0.25):
     """Boundary gradient from shadow curves cast by blocker shapes under a
     delta directional light along `light_dir` (pointing FROM the light,
     i.e. the propagation direction). Returns d_to_world (N, 4, 4).
@@ -488,16 +552,67 @@ def shadow_boundary_grad(scene, sensor, film_cfg, grad_image, key,
         gj = _curve_boundary_grad(
             cfn, t2w_all[j], t_len, scene, sensor, film_cfg, grad_image,
             key, n_samples, probe_spp, probe_delta, max_depth, rr_depth,
-            mode, kinds, tag=500000 + 32 * j)
+            mode, kinds, tag=500000 + 32 * j, guide_bins=guide_bins,
+            guide_frac=guide_frac)
         out = out.at[j].set(gj)
     return out
+
+
+def _prefix_walk(scene, o, d, key, depth: int, kinds):
+    """Detached BSDF walk of `depth` bounces from primary rays -> the
+    receiver vertex of a deep boundary chain.
+
+    The role of the reference's seed-ray projection walk
+    (`prb_projective.py:1-567`): before sampling the blocker-silhouette
+    integral, follow `depth` DETACHED BSDF bounces (specular chains
+    included) accumulating throughput; the spherical Reynolds boundary
+    estimator then runs at the walk's end vertex, weighted by the
+    accumulated throughput. Returns (p, n_shading, shape_idx, throughput
+    (K, C), active)."""
+    from ..ops.gather import take_ints
+    from ..ops.math import Frame, dot as _dot
+    from ..render import bsdf as bsdf_mod
+    sg = jax.lax.stop_gradient
+    n = o.shape[0]
+    thr = jnp.ones((n, 3))
+    active = jnp.ones((n,), bool)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    smp = integ._SamplerCtx("independent", jax.random.fold_in(key, 99173),
+                            lane, jnp.zeros_like(lane), 1)
+    shapes_sg = sg(scene.shapes)
+    for k in range(depth):
+        _t, p, ng, _uv, shape_idx, hit = shapes_mod.ray_intersect(
+            shapes_sg, o, d)
+        active = active & hit
+        nsh = jnp.where(jnp.sum(ng * -d, axis=-1, keepdims=True) >= 0,
+                        ng, -ng)
+        frame = Frame(nsh)
+        wi = frame.to_local(-d)
+        mat_idx = take_ints(scene.shapes.bsdf_idx,
+                            jnp.maximum(shape_idx, 0))
+        u = sg(smp.next(810_000 + 3 * k, 3))
+        wo, weight, pdf_b, _delta = bsdf_mod.sample(
+            scene.bsdfs, mat_idx, wi, u[..., :2], u[..., 2], None,
+            kinds=kinds)
+        wo = sg(wo)
+        thr = thr * sg(weight)
+        active = active & (pdf_b > 0.0)
+        d = frame.to_world(wo)
+        o = p + jnp.sign(_dot(ng, d))[..., None] * ng * (
+            1e-3 * jnp.maximum(1.0, jnp.linalg.norm(p, axis=-1,
+                                                    keepdims=True)))
+    _t, p, ng, _uv, shape_idx, hit = shapes_mod.ray_intersect(
+        shapes_sg, o, d)
+    nsh = jnp.where(jnp.sum(ng * -d, axis=-1, keepdims=True) >= 0, ng, -ng)
+    return p, nsh, shape_idx, thr, active & hit
 
 
 def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
                            blocker_indices=None, n_x: int = 8192,
                            probe_spp: int = 4, probe_delta: float = 0.02,
                            max_depth: int = 3, rr_depth: int = 1000,
-                           mode: str = "rgb", kinds=None):
+                           mode: str = "rgb", kinds=None,
+                           prefix_depth: int = 0):
     """Secondary-bounce (one-indirect-level) boundary gradient
     w.r.t. sphere blockers' translations -> (N, 3) per shape.
 
@@ -537,18 +652,27 @@ def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
     n_shapes = scene.shapes.to_world.shape[0]
     out = jnp.zeros((n_shapes, 3))
 
-    # ---- camera rays at uniform film positions -> primary hits ----
+    # ---- camera rays at uniform film positions -> receiver vertices ----
+    # prefix_depth = 0: the camera-visible point itself; > 0: follow that
+    # many DETACHED BSDF bounces first (mirror chains etc. — the deep
+    # boundary chain of `prb_projective.py`), weighting the boundary
+    # integral by the walk's throughput.
     k_u, k_t, k_p = jax.random.split(jax.random.fold_in(key, 31337), 3)
     uv = jax.random.uniform(k_u, (n_x, 2))
     o, d = sensors_mod.sample_ray(sensor, uv)
-    t_hit, p, ng, _uv2, shape_idx, hit = shapes_mod.ray_intersect(
-        jax.lax.stop_gradient(scene.shapes), o, d)
+    if prefix_depth > 0:
+        p, nsh, shape_idx, thr_walk, hit = _prefix_walk(
+            scene, o, d, key, prefix_depth, kinds)
+    else:
+        t_hit, p, ng, _uv2, shape_idx, hit = shapes_mod.ray_intersect(
+            jax.lax.stop_gradient(scene.shapes), o, d)
+        nsh = jnp.where(jnp.sum(ng * -d, axis=-1, keepdims=True) >= 0,
+                        ng, -ng)
+        thr_walk = jnp.ones((n_x, 3))
     mat_idx = take_rows(scene.shapes.bsdf_idx[:, None].astype(jnp.float32),
                         jnp.maximum(shape_idx, 0))[..., 0].astype(jnp.int32)
     albedo = take_rows(scene.bsdfs.albedo, mat_idx)          # (K, 3)
     g_px = _gather_grad_image(grad_image, uv * jnp.asarray([w, h]), hit)
-    # flip the shading normal toward the camera side
-    nsh = jnp.where(jnp.sum(ng * -d, axis=-1, keepdims=True) >= 0, ng, -ng)
 
     idxs = (range(n_shapes) if blocker_indices is None
             else blocker_indices)
@@ -612,7 +736,7 @@ def indirect_boundary_grad(scene, sensor, film_cfg, grad_image, key, *,
         omega_sg = jax.lax.stop_gradient(omega)
         li_m = li(renorm(omega_sg - probe_delta * nrm), 64 * j)
         li_p = li(renorm(omega_sg + probe_delta * nrm), 64 * j + 1)
-        f_cos = albedo * (1.0 / jnp.pi) * cos_x[..., None]
+        f_cos = thr_walk * albedo * (1.0 / jnp.pi) * cos_x[..., None]
         jump = jnp.sum((li_m - li_p) * f_cos * g_px, axis=-1)   # (K,)
         wgt = jnp.where(ok, jump * tau_n, 0.0) \
             * (t_len_j / 64.0) * (w * h / n_x) * 64.0

@@ -65,11 +65,17 @@ class SunskyParams(NamedTuple):
     sky_scale: jnp.ndarray
     sun_scale: jnp.ndarray
     sun_half_aperture: jnp.ndarray
+    # width multiplier of the disc surrogate's straight-through tangent
+    # ramp (primal unchanged — see _disc_weight); 1.0 = one 512p pixel.
+    # Wider values let a blur-schedule recover the sun purely by
+    # gradients from several degrees off (test_ad.py joint recovery).
+    disc_softness: jnp.ndarray = 1.0
 
 
 def make_params(turbidity=3.0, albedo=0.3, sun_direction=None, sky_scale=1.0,
                 sun_scale=1.0, sun_aperture_deg=C.SUN_APERTURE_DEG,
-                mode: str = "rgb", dtype=jnp.float32) -> SunskyParams:
+                mode: str = "rgb", dtype=jnp.float32,
+                disc_softness=1.0) -> SunskyParams:
     nc = n_channels(mode)
     albedo = jnp.broadcast_to(jnp.asarray(albedo, dtype), (nc,))
     if sun_direction is None:
@@ -79,7 +85,8 @@ def make_params(turbidity=3.0, albedo=0.3, sun_direction=None, sky_scale=1.0,
     return SunskyParams(
         jnp.asarray(turbidity, dtype), albedo, sun_direction,
         jnp.asarray(sky_scale, dtype), jnp.asarray(sun_scale, dtype),
-        jnp.asarray(jnp.deg2rad(0.5 * sun_aperture_deg), dtype))
+        jnp.asarray(jnp.deg2rad(0.5 * sun_aperture_deg), dtype),
+        jnp.asarray(disc_softness, dtype))
 
 
 class SunskyState(NamedTuple):
@@ -392,7 +399,8 @@ def _disc_weight(state, gamma):
     cos_cut = jnp.cos(state.params.sun_half_aperture)
     cos_g = jnp.cos(gamma)
     hard = (cos_g >= cos_cut).astype(cos_g.dtype)
-    eps = 0.5 * (1.0 - cos_cut)
+    soft = getattr(state.params, "disc_softness", 1.0)
+    eps = 0.5 * (1.0 - cos_cut) * soft
     smooth = jnp.clip((cos_g - cos_cut) / jnp.maximum(eps, 1e-12) + 0.5,
                       0.0, 1.0)
     return smooth + jax.lax.stop_gradient(hard - smooth)

@@ -48,7 +48,7 @@ _EPS = C.EPSILON_F32
 # misc scalar layout (1, 16)
 _M_SUNX, _M_SUNY, _M_SUNZ, _M_HALF_AP, _M_SKY_SCALE, _M_SUN_SCALE = range(6)
 _M_SUN_PHI, _M_WMIX, _M_COS_CUT, _M_SX, _M_SY, _M_SZ, _M_TX, _M_TY, \
-    _M_TZ, _M_PAD = range(6, 16)
+    _M_TZ, _M_SOFT = range(6, 16)
 
 # per-gaussian row layout (14, 20)
 _G_MU1, _G_MU2, _G_S1, _G_S2, _G_INV_S1, _G_INV_S2, _G_A, _G_CDF, \
@@ -130,7 +130,7 @@ def _radiance_rows(dx, dy, dz, skyp_ref, skyr_ref, sun_ref, misc_ref,
         # linear ramp in cos(gamma) so the adjoint kernel reproduces the
         # jnp path's sun-direction/aperture gradients at disc-edge lanes.
         hard = (cos_gamma >= cos_cut).astype(cos_gamma.dtype)
-        eps_w = 0.5 * (1.0 - cos_cut)
+        eps_w = 0.5 * (1.0 - cos_cut) * misc_ref[0, _M_SOFT]
         smooth = jnp.clip((cos_gamma - cos_cut)
                           / jnp.maximum(eps_w, 1e-12) + 0.5, 0.0, 1.0)
         w_disc = smooth + jax.lax.stop_gradient(hard - smooth)
@@ -406,7 +406,8 @@ def _misc_row(state):
         jnp.cos(p.sun_half_aperture),
         state.sun_frame_s[0], state.sun_frame_s[1], state.sun_frame_s[2],
         state.sun_frame_t[0], state.sun_frame_t[1], state.sun_frame_t[2],
-        jnp.float32(0.0)])[None, :]
+        jnp.asarray(getattr(p, "disc_softness", 1.0),
+                    jnp.float32)])[None, :]
 
 
 def _gauss_rows(state):
@@ -637,7 +638,8 @@ def _misc_row_spec(state):
         jnp.cos(p.sun_half_aperture),
         state.sun_frame_s[0], state.sun_frame_s[1], state.sun_frame_s[2],
         state.sun_frame_t[0], state.sun_frame_t[1], state.sun_frame_t[2],
-        jnp.float32(0.0)])[None, :]
+        jnp.asarray(getattr(p, "disc_softness", 1.0),
+                    jnp.float32)])[None, :]
 
 
 def _spec_const_specs():
