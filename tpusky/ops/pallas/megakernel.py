@@ -178,6 +178,7 @@ def _mis(pa, pb):
 
 
 def _mega_kernel(kinds, spp: int, width: int, height: int,
+                 sample_major: bool,
                  cam_ref, shp_ref, alb_ref, seed_ref,
                  skyp_ref, skyr_ref, sun_ref, misc_ref, g_ref, out_ref):
     # Roofline instrumentation (tools/mega_roofline.py): stages named in
@@ -190,7 +191,18 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     lane = (jnp.uint32(pid * BLOCK)
             + jax.lax.broadcasted_iota(jnp.uint32, (1, BLOCK), 1))
     spp_sh = spp.bit_length() - 1
-    pixel = lane >> spp_sh
+    if sample_major:
+        # lane = sample*H*W + pixel (H*W pow2, checked by the wrapper):
+        # the per-pixel spp reduction outside becomes spp CONTIGUOUS
+        # chunk adds instead of an 8-strided window. RNG stays keyed on
+        # pixel*spp + sample, so every sample is bitwise the one the
+        # pixel-major layout would draw.
+        hw_sh = (width * height).bit_length() - 1
+        pixel = lane & jnp.uint32(width * height - 1)
+        smp_i = lane >> hw_sh
+        lane = (pixel << spp_sh) + smp_i
+    else:
+        pixel = lane >> spp_sh
     if width & (width - 1) == 0:
         w_sh = width.bit_length() - 1
         px = (pixel & jnp.uint32(width - 1)).astype(jnp.int32) \
@@ -235,23 +247,13 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     oy = jnp.broadcast_to(cam_ref[0, _C_OY], dx.shape)
     oz = jnp.broadcast_to(cam_ref[0, _C_OZ], dx.shape)
 
-    def env_local(wx, wy, wz):
-        ex = cam_ref[0, _C_E0 + 0] * wx + cam_ref[0, _C_E0 + 1] * wy \
-            + cam_ref[0, _C_E0 + 2] * wz
-        ey = cam_ref[0, _C_E0 + 3] * wx + cam_ref[0, _C_E0 + 4] * wy \
-            + cam_ref[0, _C_E0 + 5] * wz
-        ez = cam_ref[0, _C_E0 + 6] * wx + cam_ref[0, _C_E0 + 7] * wy \
-            + cam_ref[0, _C_E0 + 8] * wz
-        return ex, ey, ez
-
-    def env_world(ex, ey, ez):
-        wx = cam_ref[0, _C_E0 + 0] * ex + cam_ref[0, _C_E0 + 3] * ey \
-            + cam_ref[0, _C_E0 + 6] * ez
-        wy = cam_ref[0, _C_E0 + 1] * ex + cam_ref[0, _C_E0 + 4] * ey \
-            + cam_ref[0, _C_E0 + 7] * ez
-        wz = cam_ref[0, _C_E0 + 2] * ex + cam_ref[0, _C_E0 + 5] * ey \
-            + cam_ref[0, _C_E0 + 8] * ez
-        return wx, wy, wz
+    # The whole frame runs in ENV-LOCAL coordinates: the wrapper rotates
+    # the camera and every shape transform by env_to_world^T once on the
+    # host, so the two per-lane frame changes the round-4 roofline
+    # flagged (~36 VPU ops/lane of a ~230-op budget) vanish — sampled
+    # env directions feed the BSDF/shadow math directly, and env-hit
+    # lookups need no world->local rotation. Radiance is
+    # rotation-invariant, so the film output is unchanged.
 
     # ---- bounce 0: intersect + material select (one pass) ----
     if "isect" in stub:
@@ -315,7 +317,7 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     else:
         Lr, Lg, Lb = _radiance_rows(edx, edy, edz, skyp_ref, skyr_ref,
                                     sun_ref, misc_ref)
-    wdx, wdy, wdz = env_world(edx, edy, edz)
+    wdx, wdy, wdz = edx, edy, edz
     # diffuse eval toward d_e: f = albedo/pi * cos_o, valid if both sides
     cos_o = wdx * fnx + wdy * fny + wdz * fnz
     valid_nee = (wi_z > 0.0) & (cos_o > 0.0)
@@ -367,7 +369,7 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
         occ2 = o2x > 1e30
     else:
         occ2 = _occluded(kinds, shp_ref, o2x, o2y, o2z, cdx, cdy, cdz)
-    ex, ey, ez = env_local(gdx, gdy, gdz)
+    ex, ey, ez = gdx, gdy, gdz
     if "rad" in stub:
         Er = Eg = Eb = 1.0 + 0.0 * ex
     else:
@@ -399,42 +401,62 @@ def _mega_kernel(kinds, spp: int, width: int, height: int,
     res_g = res_g + w_env * thr_g * Eg
     res_b = res_b + w_env * thr_b * Eb
 
-    out_ref[0:1, :] = res_r
-    out_ref[1:2, :] = res_g
-    out_ref[2:3, :] = res_b
+    out_ref[0:1, :] = jnp.where(jnp.isfinite(res_r), res_r, 0.0)
+    out_ref[1:2, :] = jnp.where(jnp.isfinite(res_g), res_g, 0.0)
+    out_ref[2:3, :] = jnp.where(jnp.isfinite(res_b), res_b, 0.0)
 
 
-def _shape_rows(shapes):
-    """(n_shapes, 32) object-transform rows from a ShapeTable."""
+def _shape_rows(shapes, env_rot=None):
+    """(n_shapes, 32) object-transform rows from a ShapeTable; env_rot
+    composes the env-frame world rotation into the linear part
+    (local = A (E w') + b with w' the env-local point)."""
     t2o = shapes.to_object
     n = t2o.shape[0]
+    lin = t2o[:, :3, :3]
+    if env_rot is not None:
+        lin = jnp.einsum("nij,jk->nik", lin, env_rot,
+                         precision=jax.lax.Precision.HIGHEST)
     rows = jnp.zeros((n, 32), jnp.float32)
-    rows = rows.at[:, 0:9].set(t2o[:, :3, :3].reshape(n, 9))
+    rows = rows.at[:, 0:9].set(lin.reshape(n, 9))
     rows = rows.at[:, 9:12].set(t2o[:, :3, 3])
     return rows
 
 
 @functools.partial(jax.jit, static_argnames=("spp", "width", "height",
-                                             "interpret"))
+                                             "interpret", "lane_major",
+                                             "sample_major"))
 def direct_rgb_megakernel(scene, sensor, state, seed_key, spp: int,
                           width: int, height: int,
-                          interpret: bool = False):
-    """Fused direct-illumination frame -> per-lane radiance (N, 3),
-    pixel-ordered (N = width*height*spp). See module docstring for the
-    static eligibility contract."""
+                          interpret: bool = False,
+                          lane_major: bool = False,
+                          sample_major: bool = False):
+    """Fused direct-illumination frame -> per-lane radiance, pixel-ordered
+    (N = width*height*spp): (N, 3), or the kernel's native (3, N) rows
+    when lane_major=True — consuming the rows directly avoids an HBM
+    relayout of the (N, 3) intermediate (minor-dim-3 arrays tile to 128
+    lanes on TPU; the transpose cost ~1.5 ms/frame at 512²@8spp, the
+    round-4 "12% harness overhead"). See module docstring for the static
+    eligibility contract."""
     kinds = scene.shapes.kind
     n = width * height * spp
     n_pad = -(-n // BLOCK) * BLOCK
+    if sample_major:
+        assert (width * height) & (width * height - 1) == 0, \
+            "sample_major needs a power-of-two pixel count"
+        assert lane_major, "sample_major output is lane-major rows"
 
-    r = sensor.to_world[:3, :3]
+    # rotate the world into the env-local frame (world' = E^T world):
+    # camera rotation/origin and shape to_object linear parts absorb the
+    # rotation once here; the kernel then never touches env_to_world
+    # (E == I leaves every matrix bitwise unchanged: x*1 + y*0 is exact)
+    E = scene.env_to_world
+    r = E.T @ sensor.to_world[:3, :3]
     cam = jnp.zeros((1, 32), jnp.float32)
     cam = cam.at[0, 0:9].set(r.reshape(-1))
-    cam = cam.at[0, 9:12].set(sensor.to_world[:3, 3])
+    cam = cam.at[0, 9:12].set(E.T @ sensor.to_world[:3, 3])
     cam = cam.at[0, _C_TANH].set(
         jnp.tan(0.5 * jnp.deg2rad(sensor.fov_x_deg)))
     cam = cam.at[0, _C_ASPECT].set(sensor.aspect)
-    # env world->local = env_to_world^T (rows of the local->world matrix)
-    cam = cam.at[0, _C_E0:_C_E0 + 9].set(scene.env_to_world.T.reshape(-1))
 
     alb = jnp.take(scene.bsdfs.albedo, scene.shapes.bsdf_idx, axis=0)
     tws = jnp.take(scene.bsdfs.twosided.astype(jnp.float32),
@@ -446,7 +468,8 @@ def direct_rgb_megakernel(scene, sensor, state, seed_key, spp: int,
     seed = jax.random.key_data(seed_key)[-1].astype(jnp.int32)[None, None]
 
     n_sh = len(kinds)
-    kernel = functools.partial(_mega_kernel, kinds, spp, width, height)
+    kernel = functools.partial(_mega_kernel, kinds, spp, width, height,
+                               sample_major)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // BLOCK,),
@@ -464,7 +487,9 @@ def direct_rgb_megakernel(scene, sensor, state, seed_key, spp: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
         interpret=interpret,
-    )(cam, _shape_rows(scene.shapes), alb_rows, seed,
+    )(cam, _shape_rows(scene.shapes, E), alb_rows, seed,
       state.sky_params, state.sky_radiance[None, :], state.sun_radiance.T,
       _misc_row(state), _gauss_rows(state))
+    if lane_major:
+        return out[:, :n]
     return out[:, :n].T

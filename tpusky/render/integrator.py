@@ -988,12 +988,28 @@ def _render_impl(scene, sensor, film_cfg, key, spp, max_depth, rr_depth,
 
         @jax.custom_jvp
         def mega(sc, se, k):
-            radiance = direct_rgb_megakernel(
-                sc, se, sc.env, k, spp, film_cfg.width, film_cfg.height,
+            h_, w_ = film_cfg.height, film_cfg.width
+            hw = h_ * w_
+            smaj = hw & (hw - 1) == 0
+            rows = direct_rgb_megakernel(
+                sc, se, sc.env, k, spp, w_, h_,
                 interpret=bool(
-                    os.environ.get("TPUSKY_MEGAKERNEL_INTERPRET")))
-            radiance = jnp.where(jnp.isfinite(radiance), radiance, 0.0)
-            return film_mod.splat_ordered(film_cfg, radiance, spp)
+                    os.environ.get("TPUSKY_MEGAKERNEL_INTERPRET")),
+                lane_major=True, sample_major=smaj)
+            # lane-major box splat, no (N, 3) relayout (see
+            # direct_rgb_megakernel docstring). sample-major: the spp
+            # reduction is spp contiguous chunk adds (vector adds at HBM
+            # speed); pixel-major fallback: spp-strided reduce_window.
+            if smaj:
+                acc = sum(rows[:, s_ * hw:(s_ + 1) * hw]
+                          for s_ in range(spp))
+            else:
+                acc = jax.lax.reduce_window(rows, 0.0, jax.lax.add,
+                                            (1, spp), (1, spp), "VALID")
+            acc = jnp.where(jnp.isfinite(acc), acc, 0.0)
+            img = acc.T.reshape(h_, w_, 3)
+            wgt = jnp.full((h_, w_, 1), jnp.float32(spp))
+            return jnp.concatenate([img, wgt], -1)
 
         @mega.defjvp
         def mega_jvp(primals, tangents):
