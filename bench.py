@@ -424,6 +424,56 @@ def bench_train() -> None:
                       "vs_baseline": None}), flush=True)
 
 
+def bench_spectral_grad() -> None:
+    """Spectral fwd+bwd throughput (round 5: the fused spectral adjoint
+    kernels replace the unfused jnp transpose, like config 4's)."""
+    import tpusky as ts
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+    from tpusky.render import integrator, film as film_mod
+    from tpusky.render.film import Film
+    from tpusky.render.scene import make_scene
+    from tpusky.render.sensors import make_perspective
+    from tpusky.render.bsdf import table_kinds
+
+    h = w = 512
+    spp = 4
+    max_depth = 2
+    tables = load_tables("spectral")
+    params = ts.make_params(turbidity=3.0, albedo=0.3,
+                            sun_direction=[0.3, 0.2, 0.93],
+                            mode="spectral")
+    ground = np.diag([10.0, 10.0, 1.0, 1.0]).astype(np.float32)
+    base_scene = make_scene(
+        shapes=[dict(kind=1, to_world=ground, bsdf_idx=0)],
+        bsdf_albedos=[[0.5, 0.5, 0.5]], env=None)
+    sensor = make_perspective([4, -4, 2.0], [0, 0, 0.5], fov_x_deg=45)
+    film = Film(h, w, 3)
+    kinds = table_kinds(base_scene.bsdfs)
+
+    @jax.jit
+    def lg(p, key):
+        def loss(diff):
+            t, a, sd = diff
+            pp = p._replace(turbidity=t, albedo=a,
+                            sun_direction=sd / jnp.linalg.norm(sd))
+            env = M.precompute(tables, pp, "spectral")
+            scene = base_scene._replace(env=env)
+            img = film_mod.develop(integrator.render_rows(
+                scene, sensor, film, key, spp, max_depth, 1000,
+                "spectral", 0, h, kinds=kinds))
+            return jnp.mean(img ** 2)
+        return jax.value_and_grad(loss)(
+            (p.turbidity, p.albedo, p.sun_direction))
+
+    keys = [jax.random.PRNGKey(i + 1) for i in range(10)]
+    jax.block_until_ready(keys)
+    dt = _timed(lg, [(params, k) for k in keys],
+                (params, jax.random.PRNGKey(0)))
+    rays = h * w * spp * (1 + 2 * (max_depth - 1))
+    _emit("sunsky_spectral_fwd_bwd_rays_per_s", rays / dt, "rays/s")
+
+
 def bench_grad_sun_recovery() -> None:
     """Gradient-ONLY sun recovery (round 5; VERDICT r4 item 8): joint
     adam on (turbidity, sun_direction) with a disc-softness blur
@@ -508,6 +558,7 @@ def main() -> None:
     bench_eval()
     bench_spectral()
     bench_grad()
+    bench_spectral_grad()
     bench_grad_sun_recovery()
     bench_train()
     bench_path()          # the headline metric, printed last
@@ -519,6 +570,8 @@ if __name__ == "__main__":
         bench_eval()
     elif "--gradsun" in sys.argv:
         bench_grad_sun_recovery()
+    elif "--specgrad" in sys.argv:
+        bench_spectral_grad()
     elif "--spectral" in sys.argv:
         bench_spectral()
     elif "--grad" in sys.argv:

@@ -281,3 +281,61 @@ def test_fused_forward_mode_is_exact_jnp(monkeypatch):
     _, tf = jax.jvp(out_of, (jnp.float32(3.7),), (jnp.float32(1.0),))
     _, tr = jax.jvp(out_ref, (jnp.float32(3.7),), (jnp.float32(1.0),))
     np.testing.assert_allclose(float(tf), float(tr), rtol=1e-6)
+
+
+def test_fused_spectral_adjoint_kernels_match_jnp_vjp(monkeypatch):
+    """Round-5 spectral adjoints: reverse mode through the fused spectral
+    eval/hit/NEE blocks runs the Pallas adjoint kernels and matches the
+    jnp vjp (same contract as the RGB test above)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import tpusky as ts
+    import tpusky.ops.pallas.sunsky_kernel as K
+    from tpusky.models.sunsky import model as M
+    from tpusky.models.sunsky.tables import load_tables
+
+    monkeypatch.setattr(M, "_pallas_available", lambda: True)
+    for fn in ("sunsky_eval_spec_pallas", "sunsky_hit_spec_pallas",
+               "sunsky_nee_spec_pallas"):
+        orig = getattr(K, fn)
+        monkeypatch.setattr(
+            K, fn, (lambda o: lambda *a, **kw: o(*a, interpret=True))(orig))
+
+    tables = load_tables("spectral")
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    u2 = jnp.asarray(rng.uniform(size=(256, 2)).astype(np.float32))
+    wl = jnp.asarray(rng.uniform(380.0, 700.0,
+                                 size=(256, 4)).astype(np.float32))
+
+    def env_of(t):
+        p = ts.make_params(turbidity=t, albedo=0.25,
+                           sun_direction=[0.3, 0.2, 0.93], mode="spectral")
+        return M.precompute(tables, p, "spectral")
+
+    def lsum(out):
+        return sum(jnp.sum(jnp.log1p(jnp.abs(x)))
+                   for x in jax.tree.leaves(out))
+
+    cases = {
+        "eval": (lambda e: M.eval(e, d, wavelengths=wl, mode="spectral"),
+                 lambda e: M._eval_spec_jnp(e, d, wl)),
+        "hit": (lambda e: M.eval_pdf(e, d, wavelengths=wl,
+                                     mode="spectral"),
+                lambda e: M._hit_spec_jnp(e, d, wl)),
+        "nee": (lambda e: M.sample_eval(e, u2, wavelengths=wl,
+                                        mode="spectral"),
+                lambda e: M._sample_eval_spec_jnp(e, u2, wl)),
+        "nee_rg": (lambda e: M.sample_eval(e, u2, wavelengths=wl,
+                                           mode="spectral",
+                                           pdf_detached=True),
+                   lambda e: M._sample_eval_spec_jnp_rg(e, u2, wl)),
+    }
+    for name, (fused, ref) in cases.items():
+        gf = jax.grad(lambda t: lsum(fused(env_of(t))))(jnp.float32(4.2))
+        gj = jax.grad(lambda t: lsum(ref(env_of(t))))(jnp.float32(4.2))
+        rel = abs(float(gf) - float(gj)) / max(abs(float(gj)), 1e-9)
+        assert rel < 5e-3, (name, float(gf), float(gj), rel)

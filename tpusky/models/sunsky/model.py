@@ -533,17 +533,26 @@ def _eval_spec_jnp(state: SunskyState, d, wavelengths):
 
 @jax.custom_jvp
 def _eval_spec_fused(state: SunskyState, d, wavelengths):
-    """Fused Pallas spectral primal (TPU); AD via the jnp formula (same
-    custom_jvp pattern as `_eval_rgb_fused`)."""
+    """Fused Pallas spectral primal (TPU); forward-mode AD is the exact
+    jnp JVP, reverse mode transposes into the fused spectral adjoint
+    kernel (same linear_call pattern as the RGB blocks)."""
     from ...ops.pallas.sunsky_kernel import sunsky_eval_spec_pallas
     return sunsky_eval_spec_pallas(state, d, wavelengths)
 
 
-@_eval_spec_fused.defjvp
+def _eval_spec_bwd(primals, ct):
+    from ...ops.pallas.sunsky_kernel import sunsky_hit_spec_bwd_pallas
+    state, d, wl = primals
+    d_state, dd, dwl = sunsky_hit_spec_bwd_pallas(
+        state, d, wl, ct, with_pdf=False, interpret=_bwd_interpret())
+    return (d_state, dd, dwl)
+
+
+@functools.partial(_eval_spec_fused.defjvp, symbolic_zeros=True)
 def _eval_spec_fused_jvp(primals, tangents):
     primal_out = _eval_spec_fused(*primals)
-    _, tangent_out = jax.jvp(_eval_spec_jnp, primals, tangents)
-    return primal_out, tangent_out
+    return primal_out, _fused_linear_tangent(
+        _eval_spec_jnp, _eval_spec_bwd, primals, tangents)
 
 
 def eval(state: SunskyState, d, wavelengths=None, mode: str = "rgb"):
@@ -733,16 +742,54 @@ def _hit_spec_jnp(state: SunskyState, d, wavelengths):
 
 @jax.custom_jvp
 def _hit_spec_fused(state: SunskyState, d, wavelengths):
-    """(radiance, pdf) in one Pallas pass — spectral emitter-hit block."""
+    """(radiance, pdf) in one Pallas pass — spectral emitter-hit block.
+    Reverse mode transposes into the fused spectral adjoint kernel."""
     from ...ops.pallas.sunsky_kernel import sunsky_hit_spec_pallas
     return sunsky_hit_spec_pallas(state, d, wavelengths)
 
 
-@_hit_spec_fused.defjvp
+def _hit_spec_bwd(primals, ct):
+    from ...ops.pallas.sunsky_kernel import sunsky_hit_spec_bwd_pallas
+    state, d, wl = primals
+    g_rad, g_pdf = ct
+    d_state, dd, dwl = sunsky_hit_spec_bwd_pallas(
+        state, d, wl, g_rad, g_pdf, with_pdf=True,
+        interpret=_bwd_interpret())
+    return (d_state, dd, dwl)
+
+
+@functools.partial(_hit_spec_fused.defjvp, symbolic_zeros=True)
 def _hit_spec_fused_jvp(primals, tangents):
     primal_out = _hit_spec_fused(*primals)
-    _, tangent_out = jax.jvp(_hit_spec_jnp, primals, tangents)
-    return primal_out, tangent_out
+    return primal_out, _fused_linear_tangent(
+        _hit_spec_jnp, _hit_spec_bwd, primals, tangents)
+
+
+def _hit_spec_jnp_rg(state: SunskyState, d, wavelengths):
+    rad, pdf = _hit_spec_jnp(state, d, wavelengths)
+    return rad, jax.lax.stop_gradient(pdf)
+
+
+@jax.custom_jvp
+def _hit_spec_fused_rg(state: SunskyState, d, wavelengths):
+    from ...ops.pallas.sunsky_kernel import sunsky_hit_spec_pallas
+    return sunsky_hit_spec_pallas(state, d, wavelengths)
+
+
+def _hit_spec_bwd_rg(primals, ct):
+    from ...ops.pallas.sunsky_kernel import sunsky_hit_spec_bwd_pallas
+    state, d, wl = primals
+    g_rad, _g_pdf = ct
+    d_state, dd, dwl = sunsky_hit_spec_bwd_pallas(
+        state, d, wl, g_rad, with_pdf=False, interpret=_bwd_interpret())
+    return (d_state, dd, dwl)
+
+
+@functools.partial(_hit_spec_fused_rg.defjvp, symbolic_zeros=True)
+def _hit_spec_fused_rg_jvp(primals, tangents):
+    primal_out = _hit_spec_fused_rg(*primals)
+    return primal_out, _fused_linear_tangent(
+        _hit_spec_jnp_rg, _hit_spec_bwd_rg, primals, tangents)
 
 
 # --- render-contract variants (pdf outputs detached) -----------------------
@@ -829,9 +876,8 @@ def eval_pdf(state: SunskyState, d, wavelengths=None, mode: str = "rgb",
         flat_d = d.reshape(-1, 3)
         flat_wl = jnp.broadcast_to(
             wavelengths, d.shape[:-1] + (nw,)).reshape(-1, nw)
-        rad, pdf = _hit_spec_fused(state, flat_d, flat_wl)
-        if pdf_detached:
-            pdf = jax.lax.stop_gradient(pdf)
+        op = _hit_spec_fused_rg if pdf_detached else _hit_spec_fused
+        rad, pdf = op(state, flat_d, flat_wl)
         return (rad.reshape(d.shape[:-1] + (nw,)),
                 pdf.reshape(d.shape[:-1]))
     pdf = pdf_direction(state, d)
@@ -881,16 +927,55 @@ def _sample_eval_spec_jnp(state: SunskyState, u2, wavelengths):
 
 @jax.custom_jvp
 def _sample_eval_spec_fused(state: SunskyState, u2, wavelengths):
-    """(direction, radiance, pdf) in one Pallas pass — spectral NEE."""
+    """(direction, radiance, pdf) in one Pallas pass — spectral NEE.
+    Reverse mode transposes into the fused spectral adjoint kernel."""
     from ...ops.pallas.sunsky_kernel import sunsky_nee_spec_pallas
     return sunsky_nee_spec_pallas(state, u2, wavelengths)
 
 
-@_sample_eval_spec_fused.defjvp
+def _sample_eval_spec_bwd(primals, ct):
+    from ...ops.pallas.sunsky_kernel import sunsky_nee_spec_bwd_pallas
+    state, u2, wl = primals
+    _g_d, g_rad, g_pdf = ct
+    d_state, dwl = sunsky_nee_spec_bwd_pallas(
+        state, u2, wl, g_rad, g_pdf, with_pdf=True,
+        interpret=_bwd_interpret())
+    return (d_state, jnp.zeros_like(u2), dwl)
+
+
+@functools.partial(_sample_eval_spec_fused.defjvp, symbolic_zeros=True)
 def _sample_eval_spec_fused_jvp(primals, tangents):
     primal_out = _sample_eval_spec_fused(*primals)
-    _, tangent_out = jax.jvp(_sample_eval_spec_jnp, primals, tangents)
-    return primal_out, tangent_out
+    return primal_out, _fused_linear_tangent(
+        _sample_eval_spec_jnp, _sample_eval_spec_bwd, primals, tangents)
+
+
+def _sample_eval_spec_jnp_rg(state: SunskyState, u2, wavelengths):
+    d, rad, pdf = _sample_eval_spec_jnp(state, u2, wavelengths)
+    return d, rad, jax.lax.stop_gradient(pdf)
+
+
+@jax.custom_jvp
+def _sample_eval_spec_fused_rg(state: SunskyState, u2, wavelengths):
+    from ...ops.pallas.sunsky_kernel import sunsky_nee_spec_pallas
+    return sunsky_nee_spec_pallas(state, u2, wavelengths)
+
+
+def _sample_eval_spec_bwd_rg(primals, ct):
+    from ...ops.pallas.sunsky_kernel import sunsky_nee_spec_bwd_pallas
+    state, u2, wl = primals
+    _g_d, g_rad, _g_pdf = ct
+    d_state, dwl = sunsky_nee_spec_bwd_pallas(
+        state, u2, wl, g_rad, with_pdf=False, interpret=_bwd_interpret())
+    return (d_state, jnp.zeros_like(u2), dwl)
+
+
+@functools.partial(_sample_eval_spec_fused_rg.defjvp, symbolic_zeros=True)
+def _sample_eval_spec_fused_rg_jvp(primals, tangents):
+    primal_out = _sample_eval_spec_fused_rg(*primals)
+    return primal_out, _fused_linear_tangent(
+        _sample_eval_spec_jnp_rg, _sample_eval_spec_bwd_rg, primals,
+        tangents)
 
 
 def sample_eval(state: SunskyState, u2, wavelengths=None,
@@ -915,9 +1000,9 @@ def sample_eval(state: SunskyState, u2, wavelengths=None,
         flat_u = u2.reshape(-1, 2)
         flat_wl = jnp.broadcast_to(wavelengths,
                                    batch + (nw,)).reshape(-1, nw)
-        d, rad, pdf = _sample_eval_spec_fused(state, flat_u, flat_wl)
-        if pdf_detached:
-            pdf = jax.lax.stop_gradient(pdf)
+        op = (_sample_eval_spec_fused_rg if pdf_detached
+              else _sample_eval_spec_fused)
+        d, rad, pdf = op(state, flat_u, flat_wl)
         return (d.reshape(batch + (3,)), rad.reshape(batch + (nw,)),
                 pdf.reshape(batch))
     d, pdf = sample_direction(state, u2)

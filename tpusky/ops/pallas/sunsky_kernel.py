@@ -463,8 +463,10 @@ _SUN_SPEC_F = _N_CH * 4            # 44 flattened spectral sun coefs/segment
 
 
 def _radiance_spec_rows(dx, dy, dz, wl_rows, skyp_ref, skyr_ref, sun_ref,
-                        ld_ref, misc_ref):
+                        ld_ref, misc_ref, gs: bool = False):
     """Spectral radiance core -> W rows (1, B), one per hero wavelength.
+    gs=True: gradient-safe sqrts + the disc straight-through surrogate
+    (see _radiance_rows) for the adjoint kernels.
 
     Mirrors `model.eval_spectral` (reference spectral eval
     `sunsky.cpp:326-347`): evaluate ALL 11 dataset channels as (11, B)
@@ -473,6 +475,7 @@ def _radiance_spec_rows(dx, dy, dz, wl_rows, skyp_ref, skyr_ref, sun_ref,
     one-hot mask — the two neighbouring channels with weights (1-f, f).
     Sky, sun and limb darkening are each lerped separately (the jnp path
     lerps factors before multiplying; lerp-of-products would differ)."""
+    _asin01 = trig.asin01_gs if gs else trig.asin01
     sun_nx = misc_ref[0, _M_SUNX]
     sun_ny = misc_ref[0, _M_SUNY]
     sun_nz = misc_ref[0, _M_SUNZ]
@@ -490,15 +493,16 @@ def _radiance_spec_rows(dx, dy, dz, wl_rows, skyp_ref, skyr_ref, sun_ref,
     sy = jnp.where(dot_sd >= 0.0, sun_ny, -sun_ny)
     sz = jnp.where(dot_sd >= 0.0, sun_nz, -sun_nz)
     diff2 = (dx - sx) ** 2 + (dy - sy) ** 2 + (dz - sz) ** 2
-    half_chord = jnp.clip(0.5 * jnp.sqrt(diff2), 0.0, 1.0)
-    temp = 2.0 * trig.asin01(half_chord)
+    root_d = _gsqrt(diff2) if gs else jnp.sqrt(diff2)
+    half_chord = jnp.clip(0.5 * root_d, 0.0, 1.0)
+    temp = 2.0 * _asin01(half_chord)
     gamma = jnp.where(dot_sd >= 0.0, temp, jnp.pi - temp)
 
     cos_gamma = jnp.cos(gamma)
     cos_gamma_sqr = cos_gamma * cos_gamma
 
     # sun segment + elevation powers
-    elevation = trig.asin01(jnp.clip(cos_theta_c, 0.0, 1.0))
+    elevation = _asin01(jnp.clip(cos_theta_c, 0.0, 1.0))
     rel_el = jnp.maximum(2.0 * elevation / jnp.pi, 1e-30)
     pos_f = jnp.exp(jnp.log(rel_el) * (1.0 / 3.0)) * _N_SEG
     pos = jnp.clip(pos_f.astype(jnp.int32), 0, _N_SEG - 1)
@@ -508,8 +512,17 @@ def _radiance_spec_rows(dx, dy, dz, wl_rows, skyp_ref, skyr_ref, sun_ref,
     sin_ap = jnp.sin(half_ap)
     sin_g = jnp.sin(gamma)
     cp2 = 1.0 - (sin_g * sin_g) / (sin_ap * sin_ap)
-    cos_psi = jnp.where(cp2 > 0.0, jnp.sqrt(jnp.maximum(cp2, 0.0)), 0.0)
-    hit_sun = (cos_gamma >= jnp.cos(half_ap)).astype(jnp.float32)
+    cos_psi = (_gsqrt(cp2) if gs else
+               jnp.where(cp2 > 0.0, jnp.sqrt(jnp.maximum(cp2, 0.0)), 0.0))
+    cos_cut = jnp.cos(half_ap)
+    if gs:
+        hard = (cos_gamma >= cos_cut).astype(cos_gamma.dtype)
+        eps_w = (0.5 * (1.0 - cos_cut) * misc_ref[0, _M_SOFT])
+        smooth = jnp.clip((cos_gamma - cos_cut)
+                          / jnp.maximum(eps_w, 1e-12) + 0.5, 0.0, 1.0)
+        hit_sun = smooth + jax.lax.stop_gradient(hard - smooth)
+    else:
+        hit_sun = (cos_gamma >= cos_cut).astype(jnp.float32)
 
     # ---- sky formula over all 11 channels as (11, B) tiles ----
     ct11 = jnp.broadcast_to(cos_theta_c, (_N_CH, bsz))
@@ -529,7 +542,7 @@ def _radiance_spec_rows(dx, dy, dz, wl_rows, skyp_ref, skyr_ref, sun_ref,
     base = 1.0 + kh * kh - 2.0 * kh * cg11
     chi = (1.0 + cg2_11) / (base * jnp.sqrt(jnp.maximum(base, 1e-12)))
     c2 = (kc + kd * jnp.exp(ke * gam11) + kf * cg2_11
-          + kg * chi + ki * jnp.sqrt(ct11))
+          + kg * chi + ki * (_gsqrt(ct11) if gs else jnp.sqrt(ct11)))
     sky_all = c1 * c2 * skyr_ref[0, :][:, None]              # (11, B)
 
     # ---- sun polynomial over all 11 channels ----
@@ -1140,3 +1153,207 @@ def sunsky_nee_rgb_bwd_nopdf_pallas(state, u2, g_rad,
     )(u_t, *derived, ct)
     (d_state,) = pull(tuple(outs) + (jnp.zeros((14, _N_GAUSS)),))
     return d_state
+
+
+# ---------------------------------------------------------------------------
+# Spectral adjoint kernels (same design as the RGB ones above)
+# ---------------------------------------------------------------------------
+
+
+def _derived_spec(state):
+    """Kernel-facing derived tensors of a spectral SunskyState."""
+    return (state.sky_params, state.sky_radiance[None, :],
+            state.sun_radiance.T, state.sun_ld, _misc_row_spec(state),
+            _gauss_rows(state))
+
+
+_ACC_SPECS_SPEC = [
+    pl.BlockSpec((_N_CH, 9), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, _N_CH), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((_SUN_SPEC_F, _N_SEG), lambda i: (0, 0),
+                 memory_space=pltpu.VMEM),
+    pl.BlockSpec((_N_CH, C.N_SUN_LD_PARAMS), lambda i: (0, 0),
+                 memory_space=pltpu.VMEM),
+    pl.BlockSpec((1, 16), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((14, _N_GAUSS), lambda i: (0, 0),
+                 memory_space=pltpu.VMEM),
+]
+_ACC_SHAPES_SPEC = [
+    jax.ShapeDtypeStruct((_N_CH, 9), jnp.float32),
+    jax.ShapeDtypeStruct((1, _N_CH), jnp.float32),
+    jax.ShapeDtypeStruct((_SUN_SPEC_F, _N_SEG), jnp.float32),
+    jax.ShapeDtypeStruct((_N_CH, C.N_SUN_LD_PARAMS), jnp.float32),
+    jax.ShapeDtypeStruct((1, 16), jnp.float32),
+    jax.ShapeDtypeStruct((14, _N_GAUSS), jnp.float32),
+]
+
+
+def _acc_write(first, refs, vals):
+    @pl.when(first)
+    def _():
+        for r, v in zip(refs, vals):
+            r[...] = v
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        for r, v in zip(refs, vals):
+            r[...] += v
+
+
+def _spec_hit_bwd_kernel(nw, with_pdf, d_ref, wl_ref, skyp_ref, skyr_ref,
+                         sun_ref, ld_ref, misc_ref, g_ref, ct_ref,
+                         dd_ref, dwl_ref, dskyp_ref, dskyr_ref, dsun_ref,
+                         dld_ref, dmisc_ref, dgauss_ref):
+    """Adjoint of the spectral eval/hit block: ct rows [W radiance rows
+    (+ pdf when with_pdf)] -> per-lane (dd, dwl) + table cotangents."""
+    d = d_ref[...]
+    wl = wl_ref[...]
+    skyp = skyp_ref[...]
+    skyr = skyr_ref[...]
+    sun = sun_ref[...]
+    ld = ld_ref[...]
+    misc = misc_ref[...]
+    gauss = g_ref[...]
+    ct = ct_ref[...]
+
+    def f(d, wl, skyp, skyr, sun, ld, misc, gauss):
+        dx, dy, dz = d[0:1, :], d[1:2, :], d[2:3, :]
+        rows = _radiance_spec_rows(dx, dy, dz, wl, skyp, skyr, sun, ld,
+                                   misc, gs=True)
+        outs = list(rows)
+        if with_pdf:
+            outs.append(_pdf_row(dx, dy, dz, gauss, misc,
+                                 jnp.ones_like(dx, dtype=bool), gs=True))
+        return jnp.concatenate(outs, axis=0)
+
+    _, pull = jax.vjp(f, d, wl, skyp, skyr, sun, ld, misc, gauss)
+    dd, dwl, dskyp, dskyr, dsun, dld, dmisc, dgauss = pull(ct)
+    dd_ref[...] = dd
+    dwl_ref[...] = dwl
+    _acc_write(pl.program_id(0) == 0,
+               (dskyp_ref, dskyr_ref, dsun_ref, dld_ref, dmisc_ref,
+                dgauss_ref),
+               (dskyp, dskyr, dsun, dld, dmisc, dgauss))
+
+
+def _spec_nee_bwd_kernel(nw, with_pdf, u_ref, wl_ref, skyp_ref, skyr_ref,
+                         sun_ref, ld_ref, misc_ref, g_ref, ct_ref,
+                         dwl_ref, dskyp_ref, dskyr_ref, dsun_ref, dld_ref,
+                         dmisc_ref, dgauss_ref):
+    """Adjoint of the spectral NEE block (direction detached; with_pdf
+    False detaches placement entirely — the render's contract)."""
+    u = u_ref[...]
+    wl = wl_ref[...]
+    skyp = skyp_ref[...]
+    skyr = skyr_ref[...]
+    sun = sun_ref[...]
+    ld = ld_ref[...]
+    misc = misc_ref[...]
+    gauss = g_ref[...]
+    ct = ct_ref[...]
+    sg = jax.lax.stop_gradient
+
+    def f(wl, skyp, skyr, sun, ld, misc, gauss):
+        if with_pdf:
+            dx, dy, dz, pick = _nee_sample_rows(u[0:1, :], u[1:2, :],
+                                                misc, gauss)
+            pdf = _pdf_row(dx, dy, dz, gauss, misc, pick, gs=True,
+                           detach_wmix=True)
+            pdf = jnp.where(dz >= 0.0, pdf, 0.0)
+        else:
+            dx, dy, dz, _pick = _nee_sample_rows(u[0:1, :], u[1:2, :],
+                                                 sg(misc), sg(gauss))
+        dx, dy, dz = sg(dx), sg(dy), sg(dz)
+        rows = _radiance_spec_rows(dx, dy, dz, wl, skyp, skyr, sun, ld,
+                                   misc, gs=True)
+        outs = list(rows)
+        if with_pdf:
+            outs.append(pdf)
+        return jnp.concatenate(outs, axis=0)
+
+    _, pull = jax.vjp(f, wl, skyp, skyr, sun, ld, misc, gauss)
+    dwl, dskyp, dskyr, dsun, dld, dmisc, dgauss = pull(ct)
+    dwl_ref[...] = dwl
+    _acc_write(pl.program_id(0) == 0,
+               (dskyp_ref, dskyr_ref, dsun_ref, dld_ref, dmisc_ref,
+                dgauss_ref),
+               (dskyp, dskyr, dsun, dld, dmisc, dgauss))
+
+
+@functools.partial(jax.jit, static_argnames=("with_pdf", "interpret"))
+def sunsky_hit_spec_bwd_pallas(state, d, wavelengths, g_rad, g_pdf=None,
+                               with_pdf: bool = True,
+                               interpret: bool = False):
+    """Fused adjoint of the spectral eval/hit blocks -> (state cotangent,
+    d cotangent (N, 3), wavelength cotangent (N, W))."""
+    n, nw = wavelengths.shape
+    n_pad = -(-n // _BWD_BLOCK) * _BWD_BLOCK
+    d_t = _lane_major_unitx(d, n_pad)
+    wl_t = _lane_major(wavelengths, n_pad)
+    rows = nw + (1 if with_pdf else 0)
+    ct = jnp.zeros((rows, n_pad), jnp.float32).at[:nw, :n].set(g_rad.T)
+    if with_pdf:
+        ct = ct.at[nw, :n].set(g_pdf)
+    derived, pull = jax.vjp(_derived_spec, state)
+    kern = functools.partial(_spec_hit_bwd_kernel, nw, with_pdf)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_pad // _BWD_BLOCK,),
+        in_specs=[pl.BlockSpec((3, _BWD_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nw, _BWD_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+        + _spec_const_specs() + [_GAUSS_SPEC]
+        + [pl.BlockSpec((rows, _BWD_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((3, _BWD_BLOCK), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((nw, _BWD_BLOCK), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)]
+        + _ACC_SPECS_SPEC,
+        out_shape=[jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((nw, n_pad), jnp.float32)]
+        + _ACC_SHAPES_SPEC,
+        interpret=interpret,
+    )(d_t, wl_t, *derived, ct)
+    dd, dwl = outs[0], outs[1]
+    (d_state,) = pull(tuple(outs[2:]))
+    return d_state, dd[:, :n].T, dwl[:, :n].T
+
+
+@functools.partial(jax.jit, static_argnames=("with_pdf", "interpret"))
+def sunsky_nee_spec_bwd_pallas(state, u2, wavelengths, g_rad, g_pdf=None,
+                               with_pdf: bool = True,
+                               interpret: bool = False):
+    """Fused adjoint of the spectral NEE block -> (state cotangent,
+    wavelength cotangent (N, W)); u2 gets none (detached placement)."""
+    n, nw = wavelengths.shape
+    n_pad = -(-n // _BWD_BLOCK) * _BWD_BLOCK
+    u_t = _lane_major(u2, n_pad)
+    wl_t = _lane_major(wavelengths, n_pad)
+    rows = nw + (1 if with_pdf else 0)
+    ct = jnp.zeros((rows, n_pad), jnp.float32).at[:nw, :n].set(g_rad.T)
+    if with_pdf:
+        ct = ct.at[nw, :n].set(g_pdf)
+    derived, pull = jax.vjp(_derived_spec, state)
+    kern = functools.partial(_spec_nee_bwd_kernel, nw, with_pdf)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_pad // _BWD_BLOCK,),
+        in_specs=[pl.BlockSpec((2, _BWD_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((nw, _BWD_BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+        + _spec_const_specs() + [_GAUSS_SPEC]
+        + [pl.BlockSpec((rows, _BWD_BLOCK), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((nw, _BWD_BLOCK), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)]
+        + _ACC_SPECS_SPEC,
+        out_shape=[jax.ShapeDtypeStruct((nw, n_pad), jnp.float32)]
+        + _ACC_SHAPES_SPEC,
+        interpret=interpret,
+    )(u_t, wl_t, *derived, ct)
+    dwl = outs[0]
+    (d_state,) = pull(tuple(outs[1:]))
+    return d_state, dwl[:, :n].T
