@@ -318,8 +318,22 @@ class SceneBundle:
         spp = spp or self.spp
         if self.integrator in ("aov", "depth"):
             from .aov import render_aovs
+            idesc = next((v for v in self.scene_desc.values()
+                          if isinstance(v, dict)
+                          and v.get("type") in ("aov", "depth")), {})
+            child_desc = next((v for v in idesc.values()
+                               if isinstance(v, dict)
+                               and v.get("type") in ("path", "direct")),
+                              None)
+            child = child_kw = None
+            if child_desc is not None:      # nested integrator, aov.cpp:126
+                child = child_desc["type"]
+                child_kw = dict(spp=spp or self.spp,
+                                max_depth=int(child_desc.get(
+                                    "max_depth", 2)), mode=self.mode)
             aovs = render_aovs(scene, self.sensor, self.film.height,
-                               self.film.width)
+                               self.film.width, aovs=idesc.get("aovs"),
+                               child=child, child_kwargs=child_kw)
             return aovs["depth"] if self.integrator == "depth" else aovs
         if self.integrator == "moment":
             return integrator_mod.render_moments(
