@@ -290,6 +290,31 @@ def _recover_one(seed: int, machinery, iters: int = 320):
         if radius is not None:
             params = sun_cap_refine(params, radius)
 
+    # Derivative-free T polish (round 5): the adam endpoint for T is
+    # MARGIN-LIMITED — near the optimum the CRN loss is shallow and the
+    # T-gradient sits on the integer-turbidity lerp kink, so a ~1%
+    # gradient-path change (measured between the r4 jnp transpose and
+    # the r5 fused adjoints) moved the endpoint by ~0.15. A 14-step
+    # ternary search pins the endpoint at the loss minimum itself
+    # (~30 cheap forward renders), path-independent by construction —
+    # the same honest derivative-free class as the sun refinement.
+    lo, hi = float(params["t"]) - 0.5, float(params["t"]) + 0.5
+    for _ in range(14):
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        c1 = dict(params)
+        c1["t"] = jnp.float32(m1)
+        c2 = dict(params)
+        c2["t"] = jnp.float32(m2)
+        if (float(eval_j(c1, target, crn_key))
+                < float(eval_j(c2, target, crn_key))):
+            hi = m2
+        else:
+            lo = m1
+    params = dict(params)
+    params["t"] = jnp.float32(0.5 * (lo + hi))
+    params = sun_cap_refine(params, 0.15)
+
     t_err = abs(float(jnp.clip(params["t"], 1.0, 10.0)) - 6.5)
     sd = np.asarray(params["sun"])
     sd = sd / np.linalg.norm(sd)

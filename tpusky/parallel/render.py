@@ -89,7 +89,7 @@ def _flat_shard_index(mesh: Mesh):
 
 def render_sharded(scene, sensor, film_cfg: film_mod.Film, key, spp: int,
                    mesh: Mesh, max_depth: int = 2, rr_depth: int = 1000,
-                   mode: str = "rgb"):
+                   mode: str = "rgb", kinds=None):
     """Render with film rows sharded over `mesh` (1-D `(chips,)` or 2-D
     `(hosts, chips)`); returns the (H, W, C) image.
 
@@ -102,6 +102,16 @@ def render_sharded(scene, sensor, film_cfg: film_mod.Film, key, spp: int,
     `host_local_rows` for per-host assembly/IO without a cross-DCN
     gather.
     """
+    if kinds is None:
+        # static BSDF lobe pruning: without it every lobe formula runs on
+        # garbage parameters and inactive-lobe NaN local derivatives leak
+        # into texture/material cotangents through the kind-select wheres
+        # (0 * NaN) — derive it here while the scene is still concrete
+        try:
+            from ..render.bsdf import table_kinds
+            kinds = table_kinds(scene.bsdfs)
+        except Exception:
+            kinds = None
     n_dev = mesh.devices.size
     h = film_cfg.height
     assert h % n_dev == 0, f"film height {h} not divisible by mesh {n_dev}"
@@ -115,7 +125,7 @@ def render_sharded(scene, sensor, film_cfg: film_mod.Film, key, spp: int,
         return integrator.render_rows(scene_, sensor_, film_cfg, key_, spp,
                                       max_depth, rr_depth, mode,
                                       i * rows_per, rows_per,
-                                      vma_axes=names)
+                                      vma_axes=names, kinds=kinds)
 
     accum = shard_render(scene, sensor, key)
     return film_mod.develop(accum)

@@ -313,6 +313,14 @@ def eval_texture(tex: TextureTable, tex_idx, uv, wavelengths=None,
                    .astype(tex.uv_transform.dtype), tex.uv_transform, precision=jax.lax.Precision.HIGHEST)
     u = m[..., 0, 0] * uv[..., 0] + m[..., 0, 1] * uv[..., 1] + m[..., 0, 2]
     v = m[..., 1, 0] * uv[..., 0] + m[..., 1, 1] * uv[..., 1] + m[..., 1, 2]
+    # Inactive lanes (ray misses) can carry inf/NaN uv; their VALUE is
+    # masked downstream, but a non-finite bilinear WEIGHT poisons the
+    # texel-data cotangent through the gather transpose (0 * NaN — the
+    # weights multiply the cotangent that scatter-adds into the atlas).
+    # Pin them to a harmless in-range coordinate.
+    ok_uv = jnp.isfinite(u) & jnp.isfinite(v) & has
+    u = jnp.where(ok_uv, u, 0.5)
+    v = jnp.where(ok_uv, v, 0.5)
 
     nc = 3 if wavelengths is None else wavelengths.shape[-1]
     value = jnp.zeros(idx.shape + (nc,))
